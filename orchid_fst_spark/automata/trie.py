@@ -1,0 +1,97 @@
+"""Per-partition sorted-key trie + DFA intersection, and the
+deletion-neighborhood signature generator.
+
+The trie is the executor-side stand-in for the reference's mmap'd FST
+(/root/reference/.../fst.h:275-324): a shared-prefix structure over the
+sorted keys of one partition/block, traversed in lockstep with a compiled
+edit-distance DFA (the reference's automaton ∩ FST DFS,
+fst.cpp:471-524).  Children are kept in sorted order so enumeration is
+lexicographic, matching the reference's emission order.
+
+``deletion_variants`` powers the shuffle-native candidate generator
+(SymSpell-style): two strings within (Damerau-)Levenshtein distance k
+share at least one variant obtained by deleting <= k chars from each —
+so a join on variants is a complete candidate filter, verified exactly
+afterwards.  This is the path that scales: it is pure explode + equi-join
++ dedup, no per-query DFA compile.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from .lev_dfa import LevenshteinDFA
+
+
+class Trie:
+    """Plain dict-based trie over code points; values optional (map mode
+    carries the reference's uint64 value, fst.h:131)."""
+
+    __slots__ = ("root", "n_keys")
+
+    def __init__(self) -> None:
+        self.root: dict = {}
+        self.n_keys = 0
+
+    def insert(self, key: str, value=None) -> None:
+        node = self.root
+        for ch in key:
+            node = node.setdefault(ch, {})
+        # terminal marker: empty-string slot (cannot collide with a char);
+        # duplicate key overwrites -> last-wins upsert (fst.cpp:180-189)
+        node[""] = value
+        self.n_keys += 1
+
+    @classmethod
+    def from_sorted(cls, keys, values=None) -> "Trie":
+        t = cls()
+        if values is None:
+            for k in keys:
+                t.insert(k)
+        else:
+            for k, v in zip(keys, values):
+                t.insert(k, v)
+        return t
+
+
+def trie_dfa_matches(trie: Trie, dfa: LevenshteinDFA, with_values: bool = False):
+    """DFS the trie ∩ DFA product; yields matching keys (or (key, value))
+    in lexicographic order (reference Iterator::Next, fst.cpp:471-524:
+    prune on CanMatch-dead transitions, emit on final ∧ IsMatch)."""
+    out: list = []
+    is_match = dfa.is_match
+
+    def walk(node: dict, state: int, prefix: list) -> None:
+        term = "" in node
+        if term and is_match[state]:
+            key = "".join(prefix)
+            out.append((key, node[""]) if with_values else key)
+        for ch in sorted(k for k in node if k):
+            nxt = dfa.step(state, ch)
+            if nxt is None:
+                continue
+            prefix.append(ch)
+            walk(node[ch], nxt, prefix)
+            prefix.pop()
+
+    walk(trie.root, dfa.start, [])
+    return out
+
+
+def deletion_variants(s: str, k: int, max_len: int = 64) -> list[str]:
+    """All distinct strings obtained by deleting up to ``k`` code points
+    from ``s`` (including ``s`` itself).  Long keys are truncated to
+    ``max_len`` first — both sides of a join must use the same cap, and
+    candidates are always verified with an exact DP afterwards, so the
+    cap only (slightly) loosens the filter for near-identical long keys.
+    """
+    s = s[:max_len]
+    n = len(s)
+    out = {s}
+    if k >= 1:
+        for i in range(n):
+            out.add(s[:i] + s[i + 1 :])
+    if k >= 2 and n >= 2:
+        for i, j in combinations(range(n), 2):
+            out.add(s[:i] + s[i + 1 : j] + s[j + 1 :])
+    return list(out)

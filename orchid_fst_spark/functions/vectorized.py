@@ -1,0 +1,66 @@
+"""Arrow-vectorized pandas UDFs — the only Python that runs on executors.
+
+Everything here receives whole Arrow batches (pandas Series), computes
+with the numpy kernels from ``distance``/``similarity``, and returns a
+Series; no row-at-a-time Python UDFs anywhere in the engine
+(BASELINE.json input_hint).  Built-in Catalyst expressions are always
+preferred — these UDFs exist only for semantics Spark lacks:
+OSA / true Damerau-Levenshtein distance and Jaro-Winkler.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+from .distance import batch_levenshtein, damerau_levenshtein
+from .similarity import batch_jaro_winkler
+
+
+@F.pandas_udf(IntegerType())
+def osa_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Restricted Damerau-Levenshtein (OSA) — the reference's Damerau
+    semantics (automaton.cpp:425-430), numpy-vectorized across the batch."""
+    out = batch_levenshtein(a.fillna("").tolist(), b.fillna("").tolist(), transpositions=True)
+    return pd.Series(out.astype("int32"))
+
+
+def osa_distance_clamped(clamp: int):
+    """OSA distance saturating at clamp+1 (k-banded; cheaper at scale)."""
+
+    @F.pandas_udf(IntegerType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = batch_levenshtein(
+            a.fillna("").tolist(), b.fillna("").tolist(), clamp=clamp, transpositions=True
+        )
+        return pd.Series(out.astype("int32"))
+
+    return _udf
+
+
+@F.pandas_udf(IntegerType())
+def lev_distance_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Plain Levenshtein via the numpy batch kernel.  Prefer the JVM
+    built-in ``F.levenshtein`` in plans; this exists for differential
+    tests of the kernel against the built-in."""
+    out = batch_levenshtein(a.fillna("").tolist(), b.fillna("").tolist())
+    return pd.Series(out.astype("int32"))
+
+
+@F.pandas_udf(IntegerType())
+def true_damerau_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Unrestricted Damerau-Levenshtein (matches DuckDB's
+    damerau_levenshtein).  Per-pair DP inside the Arrow batch — used on
+    post-blocking candidate pairs only, never on full tables."""
+    av = a.fillna("").tolist()
+    bv = b.fillna("").tolist()
+    return pd.Series([damerau_levenshtein(x, y) for x, y in zip(av, bv)], dtype="int32")
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler similarity, DuckDB-compatible (floored transpositions,
+    boost threshold 0.7, p=0.1, prefix<=4)."""
+    out = batch_jaro_winkler(a.fillna("").tolist(), b.fillna("").tolist())
+    return pd.Series(out)

@@ -1,0 +1,136 @@
+"""Dictionary query API golden tests — reproduces the reference's fuzzy
+golden pattern (fst_unittest.cpp:25-173: sorted dict -> fuzzy('hair',2)
+-> exact ordered hit set) at fixture scale, plus match/prefix/range with
+the 4 bound flavors and UTF-8 keys."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orchid_fst_spark.operators import (
+    build_dict,
+    fuzzy_join,
+    fuzzy_lookup,
+    fuzzy_self_pairs,
+    match_lookup,
+    prefix_lookup,
+    range_lookup,
+)
+from orchid_fst_spark.operators.dictionary import fuzzy_enumerate_trie
+from orchid_fst_spark.functions.distance import osa, levenshtein
+from orchid_fst_spark.sources.fixtures import fuzzy_golden, gen_dict_kv, gen_dict_words
+
+
+@pytest.fixture(scope="module")
+def words():
+    return gen_dict_words(5000)
+
+
+@pytest.fixture(scope="module")
+def dict_df(spark, words):
+    df = spark.createDataFrame([(w,) for w in words], "key string")
+    return build_dict(df, "key").cache()
+
+
+@pytest.fixture(scope="module")
+def kv_df(spark):
+    df = spark.createDataFrame(gen_dict_kv(), "key string, value long")
+    return build_dict(df, "key", "value", dedup="max").cache()
+
+
+def test_fuzzy_golden_levenshtein(spark, dict_df, words):
+    golden = fuzzy_golden(words, "hair", 2, damerau=False)
+    for impl in ("builtin", "dfa"):
+        got = [r.key for r in fuzzy_lookup(dict_df, "hair", 2, impl=impl).collect()]
+        assert got == golden, impl
+    assert len(golden) > 10  # non-trivial neighborhood, like the 214-hit golden
+
+
+def test_fuzzy_golden_damerau(spark, dict_df, words):
+    golden = fuzzy_golden(words, "hair", 2, damerau=True)
+    got = [r.key for r in fuzzy_lookup(dict_df, "hair", 2, damerau=True).collect()]
+    assert got == golden
+    # Damerau is a superset of Levenshtein at the same k (220 >= 214 pattern)
+    assert set(fuzzy_golden(words, "hair", 2, False)) <= set(golden)
+
+
+def test_fuzzy_trie_enumeration_parity(spark, dict_df, words):
+    golden = fuzzy_golden(words, "hair", 2, damerau=True)
+    got = [r.key for r in fuzzy_enumerate_trie(dict_df, "hair", 2, damerau=True).collect()]
+    assert got == golden
+
+
+def test_fuzzy_prefix_pinned(spark, dict_df, words):
+    # samePrefixLen semantics (fst.cpp:530-553): first p chars pinned exactly
+    p = 2
+    golden = [
+        w for w in fuzzy_golden(words, "hair", 2, False) if w.startswith("hair"[:p])
+    ]
+    got = [r.key for r in fuzzy_lookup(dict_df, "hair", 2, prefix_len=p).collect()]
+    assert got == golden
+
+
+def test_match_and_miss(spark, kv_df):
+    rows = match_lookup(kv_df, "中国").collect()
+    assert len(rows) == 1
+    assert rows[0].value == 9  # duplicate key resolved by max (last-wins analog)
+    assert match_lookup(kv_df, "never-a-key").count() == 0
+
+
+def test_prefix_utf8(spark, kv_df):
+    got = [(r.key, r.value) for r in prefix_lookup(kv_df, "中国").collect()]
+    assert got == [("中国", 9), ("中国人", 2)]
+
+
+def test_range_bound_flavors(spark, dict_df, words):
+    lo, hi = words[100], words[200]
+    inner = words[101:200]
+    cases = [
+        (True, True, [lo] + inner + [hi]),
+        (True, False, [lo] + inner),
+        (False, True, inner + [hi]),
+        (False, False, inner),
+    ]
+    for lo_inc, hi_inc, expected in cases:
+        got = [
+            r.key
+            for r in range_lookup(dict_df, lo, hi, lo_inc, hi_inc).collect()
+        ]
+        assert got == expected, (lo_inc, hi_inc)
+
+
+def test_blank_keys_dropped(spark):
+    df = spark.createDataFrame([("a",), ("",), ("  ",), ("b",)], "key string")
+    assert {r.key for r in build_dict(df, "key").collect()} == {"a", "b"}
+
+
+def test_fuzzy_join_complete_and_exact(spark, words):
+    qs = ["hair", "loli", "stch", "中国"]
+    left = spark.createDataFrame([(q,) for q in qs], "q string")
+    right = spark.createDataFrame([(w,) for w in words], "key string")
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_join(left, right, "q", "key", k=2).collect()
+    }
+    exp = {
+        (q, w, levenshtein(q, w))
+        for q in qs
+        for w in words
+        if levenshtein(q, w) <= 2
+    }
+    assert got == exp
+
+
+def test_fuzzy_self_pairs_exact(spark):
+    vocab = gen_dict_words(600)
+    df = spark.createDataFrame([(w,) for w in vocab], "key string")
+    got = {
+        (r.key_a, r.key_b): r.dist
+        for r in fuzzy_self_pairs(df, "key", k=2, damerau=True).collect()
+    }
+    exp = {
+        (a, b): osa(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if osa(a, b) <= 2 and a < b
+    }
+    assert got == exp

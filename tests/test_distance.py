@@ -1,0 +1,91 @@
+"""Differential tests of the distance kernels (mirrors the reference's
+randomized differential cache tests, cache_unittest.cpp:41-96)."""
+
+import itertools
+import random
+
+import pytest
+
+from orchid_fst_spark.functions.distance import (
+    batch_levenshtein,
+    batch_levenshtein_py,
+    damerau_levenshtein,
+    levenshtein,
+    osa,
+)
+from orchid_fst_spark.functions.similarity import jaro, jaro_winkler
+
+
+def _rand_pairs(n, seed, alpha="abcdef", maxlen=12):
+    rng = random.Random(seed)
+    return [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen))),
+            "".join(rng.choice(alpha + "g") for _ in range(rng.randint(0, maxlen))),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_known_values():
+    assert levenshtein("hair", "hare") == 2
+    assert levenshtein("kitten", "sitting") == 3
+    assert osa("ca", "abc") == 3  # restricted: no overlapping edits
+    assert damerau_levenshtein("ca", "abc") == 2  # unrestricted
+    assert osa("crate", "trace") == 2  # two substitutions, no transposition needed
+    assert osa("ab", "ba") == 1
+    assert levenshtein("ab", "ba") == 2
+
+
+def test_unicode_char_granularity():
+    # one CJK char = one edit (reference utf8 semantics, utf8_util.cpp:78-90)
+    assert levenshtein("中国", "中国人") == 1
+    assert levenshtein("中国", "美国") == 1
+    assert osa("北京", "京北") == 1
+
+
+def test_batch_kernel_matches_oracle():
+    pairs = _rand_pairs(5000, 42)
+    left = [a for a, _ in pairs]
+    right = [b for _, b in pairs]
+    for trans in (False, True):
+        for clamp in (None, 1, 2):
+            got = batch_levenshtein(left, right, clamp=clamp, transpositions=trans)
+            exp = batch_levenshtein_py(left, right, clamp=clamp, transpositions=trans)
+            assert (got == exp).all()
+
+
+def test_osa_vs_true_damerau_relationship():
+    for a, b in _rand_pairs(2000, 7):
+        dl = damerau_levenshtein(a, b)
+        o = osa(a, b)
+        lev = levenshtein(a, b)
+        assert dl <= o <= lev
+
+
+def test_jaro_winkler_known():
+    assert jaro("martha", "marhta") == pytest.approx(0.9444444444444445)
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111)
+    assert jaro_winkler("", "") == 0.0
+    assert jaro_winkler("ab", "ba") == 0.0
+    # boost threshold 0.7: no prefix boost below it
+    assert jaro_winkler("abcdef", "abczzzzzz") == pytest.approx(0.611111111111111)
+
+
+def test_jaro_winkler_matches_duckdb():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for a, b in _rand_pairs(500, 99, alpha="abcde "):
+        jd, jwd = con.execute(
+            "select jaro_similarity(?,?), jaro_winkler_similarity(?,?)", [a, b, a, b]
+        ).fetchone()
+        assert jaro(a, b) == pytest.approx(jd, abs=1e-12)
+        assert jaro_winkler(a, b) == pytest.approx(jwd, abs=1e-12)
+
+
+def test_damerau_matches_duckdb():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for a, b in _rand_pairs(500, 13):
+        (exp,) = con.execute("select damerau_levenshtein(?,?)", [a, b]).fetchone()
+        assert damerau_levenshtein(a, b) == exp
