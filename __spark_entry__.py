@@ -1,38 +1,590 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship entity-resolution pipeline end-to-end on the
+sf0.001 tables.  ``queries``/``oracle_sql`` expose every SQL-expressible
+operator from SURVEY.md §2 (dictionary build + match/prefix/range/fuzzy
+lookups, fuzzy join, candidate pairs, connected components) plus the
+training-data-pipeline family (exact/fingerprint/n-gram/MinHash-LSH/
+SimHash dedup, cosine ANN, language-ID / quality / token stats) for the
+DuckDB cross-check.  Non-SQL-expressible ops (OSA distance — DuckDB has
+no restricted-Damerau; hyperplane LSH; binary decode plumbing) are
+exposed without oracles (rows-only check).
+
+Float discipline: every oracle-checked output column is an integer,
+string, or boolean; similarity thresholds are integer-exact comparisons
+(inter * den >= num * union) and rank boundaries were verified to have
+>= 5e-5 margins, so cross-engine float noise cannot flip a row.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from orchid_fst_spark.er import resolve
+from orchid_fst_spark.functions.text import (
+    BPE_RE,
+    PUNCT_CLASS,
+    STOPWORDS,
+    token_count,
+)
+from orchid_fst_spark.functions.normalize import tokens
+from orchid_fst_spark.functions.vectorized import osa_distance, true_damerau_distance
+from orchid_fst_spark.operators import (
+    build_dict,
+    fuzzy_join,
+    fuzzy_lookup,
+    fuzzy_self_pairs,
+    match_lookup,
+    prefix_lookup,
+    range_lookup,
+)
+from orchid_fst_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from orchid_fst_spark.operators.multimodal import decode_images
+from orchid_fst_spark.operators.similarity import (
+    cosine_lsh_pairs,
+    cosine_threshold_pairs,
+    cosine_topk,
+)
+from orchid_fst_spark.er.clustering import connected_components
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token dictionary over documents.text with occurrence counts —
+    the engine's 'sorted string dictionary' stand-in (map mode)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("key"))
+        .filter(F.col("key") != "")
+    )
+    return toks.groupBy("key").agg(F.count("*").alias("value"))
+
+
+# shared SQL fragments (DuckDB) — twins of the builders above
+_SQL_DICT = r"""
+dict AS (
+  SELECT tok AS key, count(*)::BIGINT AS value
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+)
+"""
+
+_SQL_TOKS = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l
+  FROM documents
+)
+"""
+
+_SQL_SHINGLES = (
+    _SQL_TOKS
+    + r""",
+sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM toks, unnest(generate_series(1, len(l)-2)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+)
+
+
+def _pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Common-Crawl-shaped pages table derived from the
+    driver's documents table (url/warc_ts/html/text/lang)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.regexp_replace(F.substring("text", 1, 30), " ", "-"),
+            F.lit("?id="),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full record-linkage pipeline (normalize -> deletion-
+    signature blocking -> banded-DP verify -> score -> connected
+    components) over a pages table derived from sf0.001 documents."""
+    pages = _pages_from_docs(spark, "/root/testdata/sf0.001")
+    return resolve(pages, k=2, damerau=True)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- dictionary build + lookups (B1-B7, Q2-Q5, E4-E6) ---
+    q["dict_build"] = lambda spark, sf: _dict(spark, sf)
+    q["dict_match"] = lambda spark, sf: match_lookup(_dict(spark, sf), "table")
+    q["dict_prefix"] = lambda spark, sf: prefix_lookup(_dict(spark, sf), "st")
+    q["dict_range_ge_lt"] = lambda spark, sf: range_lookup(
+        _dict(spark, sf), "p", "s", True, False
+    )
+    q["dict_range_gt_le"] = lambda spark, sf: range_lookup(
+        _dict(spark, sf), "part", "table", False, True
+    )
 
+    # --- fuzzy lookups (Q6, Q7, Q8, E7, E8) ---
+    def _with_lev_dist(df):
+        return df.withColumn(
+            "dist", F.levenshtein(F.col("key"), F.lit("scan")).cast("long")
+        )
+
+    q["fuzzy_lev_k2"] = lambda spark, sf: _with_lev_dist(
+        fuzzy_lookup(_dict(spark, sf), "scan", 2, impl="builtin")
+    )
+    q["fuzzy_lev_k2_dfa"] = lambda spark, sf: _with_lev_dist(
+        fuzzy_lookup(_dict(spark, sf), "scan", 2, impl="dfa")
+    )
+    q["fuzzy_damerau_k2"] = lambda spark, sf: (
+        _dict(spark, sf)
+        .withColumn(
+            "dist", true_damerau_distance(F.col("key"), F.lit("scan")).cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    q["fuzzy_prefix_pinned"] = lambda spark, sf: _with_lev_dist(
+        fuzzy_lookup(_dict(spark, sf), "scan", 2, prefix_len=2, impl="builtin")
+    )
+    q["fuzzy_hit_count"] = lambda spark, sf: fuzzy_lookup(
+        _dict(spark, sf), "scan", 2, impl="builtin"
+    ).agg(F.count("*").alias("hits"))
+    # OSA (restricted Damerau) — reference-parity semantics; DuckDB has no
+    # OSA function, so no oracle (rows-only check); exactness is covered
+    # by the pure-Python differential suite in tests/.
+    q["fuzzy_osa_k2"] = lambda spark, sf: (
+        _dict(spark, sf)
+        .withColumn("dist", osa_distance(F.col("key"), F.lit("scan")).cast("long"))
+        .filter(F.col("dist") <= 2)
+    )
+
+    # --- fuzzy join + ER candidate pairs + clustering (E7 -> ER ops) ---
+    def _part_tokens(spark, sf):
+        return (
+            spark.read.parquet(f"{sf}/part.parquet")
+            .select(F.explode(F.split(F.trim("p_name"), r"\s+")).alias("q"))
+            .filter(F.col("q") != "")
+            .distinct()
+        )
+
+    q["fuzzy_join_parts"] = lambda spark, sf: (
+        fuzzy_join(_part_tokens(spark, sf), _dict(spark, sf), "q", "key", k=1)
+        .select(
+            F.col("key_a").alias("q"),
+            F.col("key_b").alias("key"),
+            F.col("dist"),
+        )
+    )
+    q["candidate_pairs_k2"] = lambda spark, sf: fuzzy_self_pairs(
+        _dict(spark, sf), "key", k=2, damerau=False
+    )
+
+    def _er_components(spark, sf):
+        d = _dict(spark, sf)
+        edges = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        comps = connected_components(edges, src="key_a", dst="key_b")
+        return (
+            d.select(F.col("key").alias("node"))
+            .join(comps, "node", "left")
+            .withColumn("component", F.coalesce("component", "node"))
+        )
+
+    q["er_components"] = _er_components
+    q["er_cluster_sizes"] = lambda spark, sf: (
+        _er_components(spark, sf)
+        .groupBy("component")
+        .agg(F.count("*").alias("n"))
+    )
+
+    # --- dedup family over documents ---
+    q["dedup_exact"] = lambda spark, sf: exact_dedup(
+        _docs(spark, sf), "doc_id", "text"
+    )
+    q["dedup_fingerprint"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.array_distinct(tokens(F.lower(F.col("text"))))),
+                    " ",
+                )
+            ).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
+    )
+    q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_pairs(
+        _docs(spark, sf), "doc_id", "text", n=3, threshold_num=1, threshold_den=50
+    )
+    q["minhash_lsh_pairs"] = lambda spark, sf: minhash_lsh_pairs(
+        _docs(spark, sf),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=8,
+        bands=4,
+        threshold_num=1,
+        threshold_den=100,
+    )
+    q["simhash_docs"] = lambda spark, sf: simhash(_docs(spark, sf), "doc_id", "text")
+    q["simhash_pairs"] = lambda spark, sf: simhash_pairs(
+        _docs(spark, sf), "doc_id", "text", max_hamming=10
+    )
+
+    # --- similarity search over embeddings ---
+    q["ann_topk"] = lambda spark, sf: (
+        cosine_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+                F.col("vec_id") < 20
+            ),
+            "vec_id",
+            "embedding",
+            "vec_id",
+            "embedding",
+            k=3,
+        ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )
+    q["cosine_near_pairs"] = lambda spark, sf: (
+        cosine_threshold_pairs(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            "vec_id",
+            "embedding",
+            0.4,
+        ).select("id_a", "id_b")
+    )
+    # hyperplane-LSH ANN — seeded planes live outside SQL; rows-only check
+    q["cosine_lsh_pairs"] = lambda spark, sf: cosine_lsh_pairs(
+        spark.read.parquet(f"{sf}/embeddings.parquet"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        dim=64,
+    ).select("id_a", "id_b")
+
+    # --- text analysis over documents ---
+    q["token_stats"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+    def _lang_counts(spark, sf):
+        docs = _docs(spark, sf)
+        toks = tokens(F.lower(F.col("text")))
+        ratios = {}
+        for lg, words in STOPWORDS.items():
+            hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+            ratios[lg] = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(
+                F.lit(0.0)
+            )
+        best_lang, best_ratio = F.lit("und"), F.lit(0.0)
+        for lg in sorted(STOPWORDS):
+            r = ratios[lg]
+            better = r > best_ratio
+            best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
+            best_ratio = F.when(better, r).otherwise(best_ratio)
+        return (
+            docs.select(best_lang.alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["lang_id_counts"] = _lang_counts
+
+    def _quality_bands(spark, sf):
+        docs = _docs(spark, sf)
+        c = F.col("text")
+        n = F.length(c)
+        ntok = token_count(c)
+        mean_tok = F.when(ntok > 0, n / ntok).otherwise(F.lit(0.0))
+        punct = F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+        pr = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+        len_ok = F.when((n >= 50) & (n <= 10000), 2).otherwise(1)
+        punct_ok = F.when(pr < 0.2, 2).otherwise(1)
+        tok_ok = F.when((mean_tok >= 3) & (mean_tok <= 12), 2).otherwise(1)
+        return (
+            docs.select((len_ok + punct_ok + tok_ok).cast("long").alias("q6"))
+            .groupBy("q6")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["quality_bands"] = _quality_bands
+
+    # --- multimodal plumbing (binary columns; deterministic fake codec) ---
+    q["decode_images"] = lambda spark, sf: decode_images(
+        _docs(spark, sf).select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id",
+        "payload",
+    ).select("id", "width", "height", "format")
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["dict_build"] = f"WITH {_SQL_DICT} SELECT key, value FROM dict"
+    o["dict_match"] = f"WITH {_SQL_DICT} SELECT key, value FROM dict WHERE key = 'table'"
+    o["dict_prefix"] = f"WITH {_SQL_DICT} SELECT key, value FROM dict WHERE key LIKE 'st%'"
+    o["dict_range_ge_lt"] = (
+        f"WITH {_SQL_DICT} SELECT key, value FROM dict WHERE key >= 'p' AND key < 's'"
+    )
+    o["dict_range_gt_le"] = (
+        f"WITH {_SQL_DICT} SELECT key, value FROM dict WHERE key > 'part' AND key <= 'table'"
+    )
+
+    o["fuzzy_lev_k2"] = f"""WITH {_SQL_DICT}
+SELECT key, value, levenshtein(key, 'scan')::BIGINT AS dist
+FROM dict WHERE levenshtein(key, 'scan') <= 2"""
+    o["fuzzy_lev_k2_dfa"] = o["fuzzy_lev_k2"]
+    o["fuzzy_damerau_k2"] = f"""WITH {_SQL_DICT}
+SELECT key, value, damerau_levenshtein(key, 'scan')::BIGINT AS dist
+FROM dict WHERE damerau_levenshtein(key, 'scan') <= 2"""
+    o["fuzzy_prefix_pinned"] = f"""WITH {_SQL_DICT}
+SELECT key, value, levenshtein(key, 'scan')::BIGINT AS dist
+FROM dict WHERE key LIKE 'sc%' AND levenshtein(key, 'scan') <= 2"""
+    o["fuzzy_hit_count"] = f"""WITH {_SQL_DICT}
+SELECT count(*)::BIGINT AS hits FROM dict WHERE levenshtein(key, 'scan') <= 2"""
+
+    o["fuzzy_join_parts"] = f"""WITH {_SQL_DICT},
+qs AS (
+  SELECT DISTINCT tok AS q
+  FROM (SELECT unnest(string_split_regex(trim(p_name), '\\s+')) AS tok FROM part)
+  WHERE tok <> ''
+)
+SELECT q, key, levenshtein(q, key)::BIGINT AS dist
+FROM qs, dict WHERE levenshtein(q, key) <= 1"""
+
+    o["candidate_pairs_k2"] = f"""WITH {_SQL_DICT}
+SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
+FROM dict a, dict b
+WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2"""
+
+    _er_core = f"""{_SQL_DICT},
+edges AS (
+  SELECT a.key AS src, b.key AS dst FROM dict a, dict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION SELECT dst, src FROM edges
+  UNION SELECT key, key FROM dict
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)"""
+    o["er_components"] = f"WITH RECURSIVE {_er_core} SELECT node, component FROM comp"
+    o["er_cluster_sizes"] = (
+        f"WITH RECURSIVE {_er_core} "
+        "SELECT component, count(*)::BIGINT AS n FROM comp GROUP BY component"
+    )
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)"""
+    o["dedup_fingerprint"] = r"""
+WITH fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')
+         )), ' ')) AS fp
+  FROM documents
+)
+SELECT fp, min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_docs FROM fps GROUP BY fp"""
+
+    o["ngram_jaccard_pairs"] = f"""WITH {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter::BIGINT AS inter,
+       (sa.n + sb.n - inter)::BIGINT AS "union"
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 50 >= 1 * (sa.n + sb.n - inter)"""
+
+    _mh_cols = ", ".join(
+        f"min(md5('{s}|' || sh.s)) AS mh{s}" for s in range(8)
+    )
+    _band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}|' || mh{2*b} || '#' || mh{2*b+1} AS bucket FROM mh"
+        for b in range(4)
+    )
+    o["minhash_lsh_pairs"] = f"""WITH {_SQL_SHINGLES},
+mh AS (SELECT sh.doc_id, {_mh_cols} FROM sh GROUP BY sh.doc_id),
+bands AS ({_band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, inter::BIGINT AS inter,
+       (sa.n + sb.n - inter)::BIGINT AS "union"
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 100 >= 1 * (sa.n + sb.n - inter)"""
+
+    _sql_simhash = r"""
+tk AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+votes AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, unnest(generate_series(0, 59)) AS b(i)
+  GROUP BY doc_id, b.i
+),
+sig AS (
+  SELECT doc_id AS id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+    o["simhash_docs"] = f"WITH {_sql_simhash} SELECT id, simhash FROM sig"
+    o["simhash_pairs"] = f"""WITH {_sql_simhash},
+bands AS (
+  SELECT id, simhash,
+         b.i::VARCHAR || '|' || ((simhash >> (b.i * 15)) & 32767)::VARCHAR AS bucket
+  FROM sig, unnest(generate_series(0, 3)) AS b(i)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 10"""
+
+    _sql_embX = """
+x AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id)"""
+    o["ann_topk"] = f"""WITH {_sql_embX},
+q AS (SELECT * FROM x WHERE vec_id < 20),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v * c.v) AS dot
+  FROM q JOIN x c ON q.i = c.i AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT q_id, n_id, dot / (nq.nrm * nc.nrm) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id
+),
+ranked AS (
+  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+  FROM scored
+)
+SELECT q_id, n_id, rnk::BIGINT AS rank FROM ranked WHERE rnk <= 3"""
+    o["cosine_near_pairs"] = f"""WITH {_sql_embX},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b
+FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4"""
+
+    o["token_stats"] = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe
+FROM documents"""
+
+    _stop_lists = {
+        lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in STOPWORDS.items()
+    }
+    _ratio = {
+        lg: (
+            "CASE WHEN len(l) > 0 THEN "
+            f"len(list_filter(l, x -> x IN ({_stop_lists[lg]})))::DOUBLE / len(l) "
+            "ELSE 0.0 END"
+        )
+        for lg in STOPWORDS
+    }
+    o["lang_id_counts"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, {_ratio['de']} AS r_de, {_ratio['en']} AS r_en,
+         {_ratio['es']} AS r_es, {_ratio['fr']} AS r_fr
+  FROM toks
+),
+pred AS (
+  SELECT CASE
+    WHEN r_de > 0 AND r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+    WHEN r_en > 0 AND r_en >= r_es AND r_en >= r_fr THEN 'en'
+    WHEN r_es > 0 AND r_es >= r_fr THEN 'es'
+    WHEN r_fr > 0 THEN 'fr'
+    ELSE 'und' END AS lang_pred
+  FROM ratios
+)
+SELECT lang_pred, count(*)::BIGINT AS n FROM pred GROUP BY lang_pred"""
+
+    o["quality_bands"] = r"""
+WITH m AS (
+  SELECT length(text) AS n,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS ntok,
+         length(regexp_replace(text, '[^.,;:!?()-]', '', 'g')) AS punct
+  FROM documents
+),
+b AS (
+  SELECT (CASE WHEN n >= 50 AND n <= 10000 THEN 2 ELSE 1 END
+        + CASE WHEN (CASE WHEN n > 0 THEN punct::DOUBLE / n ELSE 0.0 END) < 0.2 THEN 2 ELSE 1 END
+        + CASE WHEN (CASE WHEN ntok > 0 THEN n::DOUBLE / ntok ELSE 0.0 END) >= 3
+                AND (CASE WHEN ntok > 0 THEN n::DOUBLE / ntok ELSE 0.0 END) <= 12 THEN 2 ELSE 1 END
+          )::BIGINT AS q6
+  FROM m
+)
+SELECT q6, count(*)::BIGINT AS n FROM b GROUP BY q6"""
+
+    return o

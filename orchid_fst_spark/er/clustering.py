@@ -1,0 +1,121 @@
+"""Transitive clustering: connected components over the match-edge list.
+
+Alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public literature, see
+PAPERS.md): pure DataFrame groupBy/join rounds, converges in
+O(log n) rounds even for pathological chain graphs (hash-min label
+propagation needs O(diameter)).  Each round is one shuffle on node id;
+intermediate frames are checkpointed (localCheckpoint or parquet) to
+truncate lineage so the iteration count never bloats the plan.
+
+Node ids are kept as their natural strings (urls / norm_keys) and
+compared lexicographically — no id re-mapping pass, deterministic
+cluster representatives (min key in the component), no 64-bit hash
+collision risk at 10^12 nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient every edge small -> large, drop self loops, dedup."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Return (node, component) with component = lexicographic min node
+    id reachable — deterministic, iteration-order independent.
+
+    Implementation: alternate large-star (every neighbor > v links to
+    v's minimum neighborhood node) and small-star (neighbors <= v link to
+    the minimum), checking convergence via the edge-set change count.
+    """
+    spark = edges.sparkSession
+    e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def _persist(df: DataFrame, name: str, i: int) -> DataFrame:
+        if checkpoint_dir:
+            path = f"{checkpoint_dir}/cc_{name}_{i}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    e = _persist(e, "edges", 0)
+
+    def _fp(df: DataFrame):
+        # edge-set fingerprint: count + order-insensitive xor of row
+        # hashes — one aggregation job per iteration instead of two
+        # exceptAll passes (xor never overflows under ANSI mode; edges are
+        # distinct so xor cancellation cannot hide a change of the same
+        # cardinality except by 64-bit collision; max_iter is the backstop)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    fp_prev = _fp(e)
+
+    for i in range(1, max_iter + 1):
+        # -- large-star --------------------------------------------------
+        # neighborhood of v including v; m = min; link every neighbor > v to m
+        nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+        mins = mins.withColumn("m", F.least("src", "m"))
+        large = (
+            nbrs.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("m").alias("src"), F.col("dst").alias("dst"))
+        )
+        e1 = _canonical(large)
+        # -- small-star --------------------------------------------------
+        # for each v: neighbors <= v (plus v) all link to the minimum
+        directed = e1  # already small -> large as (src < dst)
+        nbr_small = directed.select(
+            F.col("dst").alias("v"), F.col("src").alias("u")
+        )
+        mins2 = nbr_small.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            nbr_small.join(mins2, "v")
+            .select(F.col("m").alias("src"), F.col("u").alias("dst"))
+            .union(mins2.select(F.col("m").alias("src"), F.col("v").alias("dst")))
+        )
+        e2 = _canonical(small)
+        e2 = _persist(e2, "edges", i)
+
+        fp_new = _fp(e2)
+        e = e2
+        if fp_new == fp_prev:
+            break
+        fp_prev = fp_new
+
+    # after convergence every edge is (root, member)
+    comp = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    roots = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    singletons = nodes.join(
+        comp.select("node").union(roots.select("node")).distinct(), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return comp.union(roots).union(singletons).groupBy("node").agg(
+        F.min("component").alias("component")
+    )

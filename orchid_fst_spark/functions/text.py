@@ -56,10 +56,15 @@ def lang_id(col) -> Column:
     return best_lang
 
 
+# punctuation class shared with the DuckDB oracle SQL (kept quote-free so
+# the SQL literal needs no escaping) — change both or neither
+PUNCT_CLASS = "[^.,;:!?()-]"
+
+
 def punct_ratio(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
-    p = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    p = F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
     return F.when(n > 0, p / n).otherwise(F.lit(0.0))
 
 

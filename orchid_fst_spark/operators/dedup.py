@@ -1,0 +1,217 @@
+"""Deduplication operator family for training-data pipelines.
+
+All similarity math that feeds a correctness gate is integer-exact:
+near-dup decisions compare ``inter * D >= N * union`` (integers) instead
+of float Jaccard, and MinHash uses md5 hex strings (identical in Spark
+and DuckDB) so the LSH candidate set is engine-independent and fully
+oracle-checkable.
+
+Scale notes (100 TB): every op here is explode -> hash-shuffle ->
+aggregate / equi-join; no cross joins, no driver collection.  MinHash
+bands turn the quadratic near-dup problem into an equi-join whose fan-out
+is bounded by band-bucket sizes; exact-Jaccard verification touches only
+candidate pairs.  SimHash uses 4x16-bit band buckets (pigeonhole: any
+pair within Hamming distance 3 of a 64-bit signature agrees on >= 1
+band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.normalize import tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, rep_id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("rep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingle_df(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, sh).  Pure Catalyst:
+    split -> sequence -> transform -> explode."""
+    toks = tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard >= num/den.
+    Returns (id_a, id_b, inter, union) — integer-exact.
+
+    Plan: shingles -> self equi-join on shingle -> count intersections ->
+    join per-doc shingle counts -> integer threshold filter.  The only
+    shuffle keys are the shingle and the id pair; hot shingles are the
+    skew risk and AQE skew-join covers them."""
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("union"))
+        .select("id_a", "id_b", "inter", "union")
+    )
+    return out
+
+
+def _minhash_col(seed: int) -> Column:
+    """One MinHash 'permutation': min over md5('{seed}|' || shingle).
+    md5 hex strings are identical across Spark and DuckDB, making the
+    signature engine-independent."""
+    return F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh")))).alias(f"mh{seed}")
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) MinHash signature from a (id, sh) shingle set."""
+    return sh.groupBy("id").agg(*[_minhash_col(s) for s in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    shingles -> 8 md5-minhashes -> 4 bands of 2 -> band-bucket equi-join
+    for candidates -> exact integer Jaccard verify.  Deterministic: same
+    candidates in any engine computing the same md5 minhashes, so the
+    final output equals the oracle's despite LSH being 'approximate'."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+    band_cols = [
+        F.concat_ws("#", *[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sig_b = sig.select("id", *band_cols)
+    # candidates: docs sharing at least one band bucket
+    stacked = sig_b.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = stacked.select(F.col("id").alias("id_a"), "bucket")
+    b = stacked.select(F.col("id").alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    # exact verify on candidates only
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("union"))
+        .select("id_a", "id_b", "inter", "union")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc, pure Catalyst: per-token md5 -> 64-bit int
+    (first 15 hex chars, i.e. 60 usable bits, to stay in signed-long
+    range) -> per-bit +/-1 vote -> sign bits packed into a long."""
+    usable = min(bits, 60)
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = toks.select("id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(usable)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(usable):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long")
+        sig = term if sig is None else (sig + term)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming (<= 3):
+    4 bands of 15 bits; any pair within distance 3 collides on >= 1 band
+    (pigeonhole), so candidates come from a band equi-join, then exact
+    Hamming via bit_count(xor)."""
+    sig = simhash(df, id_col, text_col).cache()
+    bandw = 15
+    stacked = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    F.shiftright(F.col("simhash"), b * bandw)
+                    .bitwiseAND(F.lit((1 << bandw) - 1))
+                    .cast("string"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bucket"),
+    )
+    a = stacked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
+    b = stacked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

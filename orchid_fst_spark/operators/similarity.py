@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k / threshold pairs with the dot product
+as a Catalyst higher-order-function expression (zip_with + aggregate —
+JVM, codegen, no Python).  Scale path: random-hyperplane LSH bucketing
+(signed projections -> band equi-join) so candidate generation is linear,
+with exact cosine re-verification on candidates only.
+
+At 100 TB the brute-force variant exists for small query sets (broadcast
+the queries, scan the corpus once); all-pairs work always goes through
+the LSH path."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_threshold_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with cosine >= threshold (brute-force; for bounded
+    inputs / correctness oracles).  Returns (id_a, id_b, cos)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k neighbors for each query vector: broadcast the
+    (small) query side, one scan of the corpus, per-query window top-k.
+    Deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: random-hyperplane signatures
+    (sign of projection) -> band equi-join -> exact cosine verify.
+    Recall < 1 by construction (LSH); the exact verify keeps precision 1.
+    """
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    schema = StructType(
+        [StructField("id", StringType()), StructField("bucket", StringType())]
+    )
+
+    def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf["vec"].to_numpy())
+            bits = (vecs @ planes.T) >= 0  # (n, n_planes)
+            ids, buckets = [], []
+            for row_id, brow in zip(pdf["id"].tolist(), bits):
+                for b in range(bands):
+                    band_bits = brow[b * r : (b + 1) * r]
+                    code = "".join("1" if x else "0" for x in band_bits)
+                    ids.append(row_id)
+                    buckets.append(f"{b}|{code}")
+            yield pd.DataFrame({"id": ids, "bucket": buckets})
+
+    src = emb.select(
+        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("vec")
+    )
+    stacked = src.mapInPandas(sig_gen, schema=schema)
+    a = stacked.select(F.col("id").alias("id_a"), "bucket")
+    b = stacked.select(F.col("id").alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = src.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = src.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
