@@ -79,28 +79,47 @@ def _pages(spark, sf_dir: str):
     return out
 
 
-def bench_er(spark, sf_dir: str) -> dict:
+def bench_er(spark, sf_dir: str, trials: int | None = None) -> dict:
     """Flagship: full resolve() on the synthesized pages; reports
     wall time and candidate-pairs/sec (the BASELINE.json throughput
-    metric)."""
+    metric).
+
+    One untimed warm-up pass runs first (JIT + codegen + python-worker
+    spin-up are per-JVM one-time costs, not operator throughput), then
+    the candidate stage is timed ``trials`` times and the median taken —
+    the sandbox VM shows heavy CPU-steal noise (2-3x swings between
+    identical runs), so a single sample is meaningless."""
+    import statistics
+
     from orchid_fst_spark.er import resolve
     from orchid_fst_spark.er.blocking import candidate_pairs, normalize_pages
 
-    pages = _pages(spark, sf_dir)
-    t0 = time.time()
-    n_pairs = candidate_pairs(
-        normalize_pages(pages).select("url", "norm_key"), k=2, damerau=True
-    ).count()
-    t_pairs = time.time() - t0
+    trials = trials or int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    pages = _pages(spark, sf_dir).cache()
+    pages.count()
+    norm = normalize_pages(pages).select("url", "norm_key")
+
+    # warm-up (untimed): same plan shape, full data
+    n_pairs = candidate_pairs(norm, k=2, damerau=True).count()
+
+    times = []
+    for _ in range(trials):
+        t0 = time.time()
+        candidate_pairs(norm, k=2, damerau=True).count()
+        times.append(time.time() - t0)
+    t_pairs = statistics.median(times)
+
     t1 = time.time()
     clusters = resolve(pages, k=2, damerau=True)
     n_rows = clusters.count()
     t_resolve = time.time() - t1
+    pages.unpersist()
     return {
         "pages": n_rows,
         "candidate_pairs": n_pairs,
         "pairs_per_sec": round(n_pairs / t_pairs, 1) if t_pairs else None,
         "candidate_sec": round(t_pairs, 3),
+        "candidate_sec_all_trials": [round(t, 3) for t in times],
         "resolve_sec": round(t_resolve, 3),
     }
 

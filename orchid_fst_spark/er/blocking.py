@@ -25,9 +25,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..automata.trie import deletion_variants
 from ..functions.distance import batch_levenshtein
 from ..functions.normalize import HOST_RE, norm_key
+from ..operators.dictionary import (
+    _variants_df,
+    grouped_self_candidates,
+    variant_sigs,
+)
 
 # path (title) part of a URL: everything between host and ?/#
 PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+/([^?#]*)"
@@ -72,46 +76,51 @@ def candidate_pairs(
     (key_a, key_b, dist) over *keys*; join back to urls downstream so the
     quadratic work happens on distinct keys, not urls.
     """
-    keys = normalized.select(F.col("norm_key").alias("key")).distinct()
+    spark = normalized.sparkSession
+    par = spark.sparkContext.defaultParallelism * 2
 
-    sig_schema = StructType(
-        [StructField("key", StringType()), StructField("sig", StringType())]
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ks: list[str] = []
-            sigs: list[str] = []
-            for s in pdf["key"].tolist():
-                if not s:
-                    continue
-                for v in deletion_variants(s, k, max_len):
-                    ks.append(s)
-                    sigs.append(v)
-            yield pd.DataFrame({"key": ks, "sig": sigs})
-
-    variants = keys.mapInPandas(gen, schema=sig_schema)
-
-    # skew guard: drop signatures hotter than the cap (observable, not
-    # silent).  The hot-signature list is tiny, so it broadcasts and the
-    # filter is a map-side anti-join — no extra shuffle of the variants.
-    hot_sigs = (
-        variants.groupBy("sig")
-        .agg(F.count("*").alias("sig_n"))
-        .filter(F.col("sig_n") > sig_cap)
-        .select("sig")
-    )
-    variants = variants.join(F.broadcast(hot_sigs), "sig", "left_anti")
-
-    a = variants.select(F.col("key").alias("key_a"), "sig")
-    b = variants.select(F.col("key").alias("key_b"), "sig")
-    cand = (
-        a.join(b, "sig")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+    # all heavy shuffles move 8-byte ids, not key strings: keys get an
+    # xxhash64 id (collisions at realistic key counts are ~2^-64·n²/2 and
+    # only ever produce extra verify work after the id->key join-back,
+    # never a wrong pair, since pairs are DP-verified on the strings)
+    keys = (
+        normalized.select(F.col("norm_key").alias("key"))
+        .filter(F.length("norm_key") > 0)
         .distinct()
+        .repartition(par)
+    )
+    keymap = keys.select("key", F.xxhash64("key").alias("kid"))
+    variants = variant_sigs(keymap, "key", k, max_len).select(
+        F.col("kid").alias("key"), "sig"
+    )
+
+    # single-shuffle candidate generation: groupBy(sig) + in-group pair
+    # explode (see grouped_self_candidates) over (long sig, long id) rows,
+    # skew-capped groups, one dedup shuffle, id->key join-back (Catalyst
+    # broadcasts the small keymap side), then the vectorized DP verify.
+    cand_ids = grouped_self_candidates(variants, sig_cap)
+    # explicit broadcast: without the hint Catalyst can pick sort-merge
+    # here (keymap size is unknown pre-AQE), which re-evaluates the whole
+    # variant+grouping lineage once per join — 3x the work.  At cluster
+    # scale with a keymap too large to broadcast, checkpoint cand_ids and
+    # let AQE pick the strategy instead.
+    cand = (
+        cand_ids.join(
+            F.broadcast(
+                keymap.select(F.col("kid").alias("key_a"), F.col("key").alias("ka"))
+            ),
+            "key_a",
+        )
+        .join(
+            F.broadcast(
+                keymap.select(F.col("kid").alias("key_b"), F.col("key").alias("kb"))
+            ),
+            "key_b",
+        )
+        .select(
+            F.least("ka", "kb").alias("key_a"), F.greatest("ka", "kb").alias("key_b")
+        )
+        .repartition(par)
     )
 
     out_schema = StructType(
@@ -143,27 +152,8 @@ def blocking_metrics(normalized: DataFrame, k: int = 2, max_len: int = 96) -> Da
     """Per-signature block-size stats (keys per signature) — the skew
     observability table (mirrors the reference sorter's line counters,
     large_file_sorter.h:139-141)."""
-    keys = normalized.select(F.col("norm_key").alias("key")).distinct()
-
-    sig_schema = StructType(
-        [StructField("key", StringType()), StructField("sig", StringType())]
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ks, sigs = [], []
-            for s in pdf["key"].tolist():
-                if not s:
-                    continue
-                for v in deletion_variants(s, k, max_len):
-                    ks.append(s)
-                    sigs.append(v)
-            yield pd.DataFrame({"key": ks, "sig": sigs})
-
     return (
-        keys.mapInPandas(gen, schema=sig_schema)
+        _variants_df(normalized, "norm_key", k, max_len)
         .groupBy("sig")
         .agg(F.count("*").alias("block_size"))
         .agg(

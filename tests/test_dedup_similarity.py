@@ -1,0 +1,198 @@
+"""Dedup family + similarity search + sort policy + multimodal plumbing
+tests, with trusted pure-Python oracles computed on the driver."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orchid_fst_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from orchid_fst_spark.operators.multimodal import decode_images, sample_frames
+from orchid_fst_spark.operators.similarity import (
+    cosine_lsh_pairs,
+    cosine_threshold_pairs,
+    cosine_topk,
+)
+from orchid_fst_spark.operators.sort import sort_metrics, sorted_lines
+from orchid_fst_spark.sources.fixtures import gen_sort_lines
+
+DOCS = [
+    (0, "the cat sat on the mat by the door"),
+    (1, "the cat sat on the mat by the floor"),
+    (2, "the cat sat on the mat by the door"),  # exact dup of 0
+    (3, "completely different words entirely here now"),
+    (4, "the dog sat on the mat by the door"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _shingles(text, n=3):
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(spark, docs_df):
+    rows = {r.rep_id: r.n_dups for r in exact_dedup(docs_df, "doc_id", "text").collect()}
+    assert rows[0] == 2  # docs 0 and 2
+    assert rows[1] == 1 and rows[3] == 1 and rows[4] == 1
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    got = {
+        (r.id_a, r.id_b): (r.inter, r["union"])
+        for r in ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", n=3, threshold_num=1, threshold_den=100
+        ).collect()
+    }
+    for i, (ia, ta) in enumerate(DOCS):
+        for ib, tb in DOCS[i + 1 :]:
+            sa, sb = _shingles(ta), _shingles(tb)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * 100 >= union:
+                assert got[(ia, ib)] == (inter, union), (ia, ib)
+            else:
+                assert (ia, ib) not in got
+
+
+def test_minhash_candidates_subset_of_exact(spark, docs_df):
+    exact = {
+        (r.id_a, r.id_b): (r.inter, r["union"])
+        for r in ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", n=3, threshold_num=1, threshold_den=100
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): (r.inter, r["union"])
+        for r in minhash_lsh_pairs(
+            docs_df, "doc_id", "text", n=3, threshold_num=1, threshold_den=100
+        ).collect()
+    }
+    # LSH output must be a subset of exact with identical values, and must
+    # find the exact-duplicate pair (identical signatures collide surely)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    assert (0, 2) in lsh
+
+
+def test_simhash_deterministic_and_pairs(spark, docs_df):
+    sig = {r.id: r.simhash for r in simhash(docs_df, "doc_id", "text").collect()}
+    assert sig[0] == sig[2]  # identical docs -> identical simhash
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs_df, "doc_id", "text", max_hamming=60).collect()
+    }
+    assert pairs.get((0, 2)) == 0
+    # hamming values consistent with signatures
+    for (a, b), h in pairs.items():
+        assert bin(sig[a] ^ sig[b]).count("1") == h
+
+
+EMB = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)], 0) for i in range(30)]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(
+        EMB, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def _np_cos():
+    V = np.array([e[1] for e in EMB], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return Vn @ Vn.T
+
+
+def test_cosine_threshold_pairs(spark, emb_df):
+    S = _np_cos()
+    got = {(r.id_a, r.id_b) for r in cosine_threshold_pairs(emb_df, "vec_id", "embedding", 0.8).collect()}
+    exp = {
+        (i, j)
+        for i in range(len(EMB))
+        for j in range(i + 1, len(EMB))
+        if S[i, j] >= 0.8
+    }
+    assert got == exp
+
+
+def test_cosine_topk(spark, emb_df):
+    S = _np_cos()
+    qdf = emb_df.filter(F.col("vec_id") < 3)
+    got = {}
+    for r in cosine_topk(emb_df, qdf, "vec_id", "embedding", "vec_id", "embedding", k=2).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for q in range(3):
+        order = sorted(
+            (j for j in range(len(EMB)) if j != q),
+            key=lambda j: (-S[q, j], j),
+        )[:2]
+        assert [n for _, n in sorted(got[q])] == order
+
+
+def test_cosine_lsh_recall_and_precision(spark, emb_df):
+    S = _np_cos()
+    got = {(r.id_a, r.id_b) for r in cosine_lsh_pairs(emb_df, "vec_id", "embedding", 0.8, dim=8).collect()}
+    exp = {
+        tuple(sorted((str(i), str(j))))  # operator orders ids as strings
+        for i in range(len(EMB))
+        for j in range(i + 1, len(EMB))
+        if S[i, j] >= 0.8
+    }
+    assert got <= exp  # exact verify -> precision 1
+    if exp:
+        assert len(got) / len(exp) >= 0.5  # LSH recall sanity
+
+
+def test_sorted_lines_policies(spark):
+    lines = gen_sort_lines(n=243)
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    kept = [r.line for r in sorted_lines(df, keep_blank=True).collect()]
+    dropped = [r.line for r in sorted_lines(df, keep_blank=False).collect()]
+    exp_kept = sorted(lines, key=lambda l: (l.strip(), l))
+    exp_dropped = sorted((l for l in lines if l.strip()), key=lambda l: (l.strip(), l))
+    assert kept == exp_kept
+    assert dropped == exp_dropped
+    m = sort_metrics(df).collect()[0]
+    n_blank = sum(1 for l in lines if not l.strip())
+    assert m.input_lines == 243
+    assert m.blank_lines == n_blank
+    assert m.output_lines == 243 - n_blank
+
+
+def test_decode_images_plumbing(spark, docs_df):
+    src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = decode_images(src, "doc_id", "payload").collect()
+    assert len(rows) == len(DOCS)
+    by_id = {r.id: r for r in rows}
+    # deterministic fake decode matches the driver-side stand-in
+    for did, text in DOCS:
+        d = hashlib.sha256(text.encode()).digest()
+        assert by_id[did].width == 16 + d[0] % 240
+        assert by_id[did].height == 16 + d[1] % 240
+        assert len(by_id[did].feature) == 8
+        assert abs(sum(x * x for x in by_id[did].feature) - 1.0) < 1e-5
+
+
+def test_decode_images_real_codec_raises(spark, docs_df):
+    src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        decode_images(src, "doc_id", "payload", decoder="real").collect()
+
+
+def test_sample_frames_fanout(spark, docs_df):
+    src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = sample_frames(src, "doc_id", "payload", every_n=5).collect()
+    assert len(rows) >= len(DOCS)  # one-to-many fan-out
+    assert all(r.frame_idx % 5 == 0 for r in rows)
