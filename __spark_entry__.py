@@ -48,6 +48,8 @@ from orchid_fst_spark.operators.dedup import (
     simhash_pairs,
 )
 from orchid_fst_spark.operators.multimodal import decode_images
+from orchid_fst_spark.operators.sort import sorted_lines as _sorted_lines_op
+from orchid_fst_spark.er.blocking import candidate_pairs
 from orchid_fst_spark.operators.similarity import (
     cosine_lsh_pairs,
     cosine_threshold_pairs,
@@ -204,6 +206,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["candidate_pairs_k2"] = lambda spark, sf: fuzzy_self_pairs(
         _dict(spark, sf), "key", k=2, damerau=False
     )
+    # same semantics via the PassJoin segment blocking path (the 100 TB
+    # candidate generator) — cross-checked against the identical oracle
+    q["candidate_pairs_passjoin"] = lambda spark, sf: candidate_pairs(
+        _dict(spark, sf).select(
+            F.col("key").alias("norm_key"), F.col("key").alias("url")
+        ),
+        k=2,
+        damerau=False,
+        algo="passjoin",
+    )
+
+    def _sorted_lines_ranked(spark, sf):
+        from pyspark.sql import Window
+
+        lines = (
+            spark.read.parquet(f"{sf}/part.parquet")
+            .select(F.col("p_name").alias("line"))
+        )
+        trimmed = F.regexp_replace("line", r"^[ \t\r\n]+|[ \t\r\n]+$", "")
+        w = Window.orderBy(trimmed, F.col("line"))
+        return _sorted_lines_op(lines).withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+
+    q["sort_lines_ranked"] = _sorted_lines_ranked
 
     def _er_components(spark, sf):
         d = _dict(spark, sf)
@@ -393,6 +420,16 @@ FROM qs, dict WHERE levenshtein(q, key) <= 1"""
 SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
 FROM dict a, dict b
 WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2"""
+    o["candidate_pairs_passjoin"] = o["candidate_pairs_k2"]
+    o["sort_lines_ranked"] = r"""
+SELECT p_name AS line,
+       row_number() OVER (
+         ORDER BY regexp_replace(p_name, '^[ 	
+]+|[ 	
+]+$', '', 'g'),
+                  p_name
+       )::BIGINT AS rank
+FROM part"""
 
     _er_core = f"""{_SQL_DICT},
 edges AS (

@@ -78,6 +78,52 @@ def trie_dfa_matches(trie: Trie, dfa: LevenshteinDFA, with_values: bool = False)
     return out
 
 
+def minimize(trie: Trie, cache_budget_bytes: int | None = None):
+    """Suffix-sharing minimization of a built trie into a DAG (the
+    reference's FreezeNode dedup, fst.cpp:96-115: identical frozen nodes
+    are reused via a node-signature map).  With an unbounded map the
+    result is the minimal acyclic automaton; with a byte-budgeted LRU map
+    (``cache_budget_bytes``, the analog of FstBuildNodeMapType's LRU,
+    fst.h:197-206) memory stays bounded and the result is *approximately*
+    minimal — smaller budget => fewer shared suffixes (README.md:53-55).
+
+    Returns (root_id, nodes, n_unique) where ``nodes[id]`` is a dict
+    {char: child_id, "": value-or-None-if-terminal-marker-absent...};
+    terminal info is carried in the signature so equivalence is exact.
+    """
+    from ..util.caches import LRUCache
+
+    sig_map = LRUCache(cache_budget_bytes) if cache_budget_bytes else {}
+    nodes: list = []
+
+    def freeze(node: dict):
+        term = "" in node
+        items = tuple(
+            (ch, freeze(node[ch])) for ch in sorted(k for k in node if k)
+        )
+        sig = (term, node.get(""), items)
+        key = repr(sig)
+        if isinstance(sig_map, dict):
+            hit = sig_map.get(key)
+        else:
+            hit = sig_map.get(key)
+        if hit is not None:
+            return hit
+        nid = len(nodes)
+        frozen = dict(items)
+        if term:
+            frozen[""] = node.get("")
+        nodes.append(frozen)
+        if isinstance(sig_map, dict):
+            sig_map[key] = nid
+        else:
+            sig_map.put(key, nid)
+        return nid
+
+    root = freeze(trie.root)
+    return root, nodes, len(nodes)
+
+
 def deletion_variants(s: str, k: int, max_len: int = 64) -> list[str]:
     """All distinct strings obtained by deleting up to ``k`` code points
     from ``s`` (including ``s`` itself).  Long keys are truncated to

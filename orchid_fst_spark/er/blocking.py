@@ -29,9 +29,11 @@ from ..functions.distance import batch_levenshtein
 from ..functions.normalize import HOST_RE, norm_key
 from ..operators.dictionary import (
     _variants_df,
+    _verified_pairs,
     grouped_self_candidates,
     variant_sigs,
 )
+from ..operators.passjoin import passjoin_self_candidates
 
 # path (title) part of a URL: everything between host and ?/#
 PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+/([^?#]*)"
@@ -63,16 +65,30 @@ def candidate_pairs(
     max_len: int = 96,
     sig_cap: int = 1000,
     damerau: bool = True,
+    algo: str = "passjoin",
+    sig_scheme: str = "full",
+    sig_window: int = 16,
 ) -> DataFrame:
     """Candidate url pairs whose norm_keys are within edit distance k.
 
-    Plan: distinct keys -> explode deletion signatures (mapInPandas) ->
-    self equi-join on signature (shuffle; AQE skew-join) -> distinct key
-    pairs -> vectorized banded-DP verify -> join urls back.
+    Plan: distinct keys -> signature explode (JVM-side) -> equi-join /
+    in-group pair explode -> distinct key pairs -> vectorized banded-DP
+    verify -> join urls back.
+
+    ``algo`` picks the blocking signature family (both exact for k<=2):
+      'passjoin'  segment/pigeonhole blocking (operators/passjoin):
+                  ~40 signature rows per key *independent of key
+                  length* — the default and the scheme that survives
+                  10^12 long web keys.
+      'deletes'   deletion-neighborhood signatures
+                  (dictionary.variant_sigs, ``sig_scheme``/'window'
+                  ``sig_window`` control full vs windowed deletes):
+                  O(len²) rows/key but the tightest precision; right
+                  for short keys (word dictionaries).
 
     ``sig_cap`` drops signatures shared by more than cap keys (a
     degenerate block would contribute O(cap²) pairs); dropped mass is
-    observable via ``blocking_metrics``.  Returns
+    observable via ``blocking_metrics``/``passjoin_metrics``.  Returns
     (key_a, key_b, dist) over *keys*; join back to urls downstream so the
     quadratic work happens on distinct keys, not urls.
     """
@@ -83,69 +99,48 @@ def candidate_pairs(
     # xxhash64 id (collisions at realistic key counts are ~2^-64·n²/2 and
     # only ever produce extra verify work after the id->key join-back,
     # never a wrong pair, since pairs are DP-verified on the strings)
+    # distinct() already hash-distributes on key — no extra repartition
     keys = (
         normalized.select(F.col("norm_key").alias("key"))
         .filter(F.length("norm_key") > 0)
         .distinct()
-        .repartition(par)
     )
     keymap = keys.select("key", F.xxhash64("key").alias("kid"))
-    variants = variant_sigs(keymap, "key", k, max_len).select(
-        F.col("kid").alias("key"), "sig"
-    )
 
-    # single-shuffle candidate generation: groupBy(sig) + in-group pair
-    # explode (see grouped_self_candidates) over (long sig, long id) rows,
-    # skew-capped groups, one dedup shuffle, id->key join-back (Catalyst
-    # broadcasts the small keymap side), then the vectorized DP verify.
-    cand_ids = grouped_self_candidates(variants, sig_cap)
-    # explicit broadcast: without the hint Catalyst can pick sort-merge
-    # here (keymap size is unknown pre-AQE), which re-evaluates the whole
-    # variant+grouping lineage once per join — 3x the work.  At cluster
-    # scale with a keymap too large to broadcast, checkpoint cand_ids and
-    # let AQE pick the strategy instead.
+    if algo == "passjoin":
+        cand_ids = passjoin_self_candidates(
+            keymap, k=k, max_len=max_len, sig_cap=sig_cap
+        )
+    elif algo == "deletes":
+        variants = variant_sigs(
+            keymap, "key", k, max_len, scheme=sig_scheme, window=sig_window
+        ).select(F.col("kid").alias("key"), "sig")
+        # single-shuffle candidate generation: groupBy(sig) + in-group
+        # pair explode over (long sig, long id) rows, skew-capped groups
+        cand_ids = grouped_self_candidates(variants, sig_cap)
+    else:
+        raise ValueError(f"unknown blocking algo: {algo}")
+    # id -> key join-back.  No broadcast hint: building a broadcast of a
+    # large keymap is a *serial* driver cost that caps scaling (measured:
+    # ~2x wall on a 1M-key run); AQE picks broadcast when the keymap is
+    # genuinely small and a parallel shuffle join otherwise.
     cand = (
         cand_ids.join(
-            F.broadcast(
-                keymap.select(F.col("kid").alias("key_a"), F.col("key").alias("ka"))
-            ),
+            keymap.select(F.col("kid").alias("key_a"), F.col("key").alias("ka")),
             "key_a",
         )
         .join(
-            F.broadcast(
-                keymap.select(F.col("kid").alias("key_b"), F.col("key").alias("kb"))
-            ),
+            keymap.select(F.col("kid").alias("key_b"), F.col("key").alias("kb")),
             "key_b",
         )
         .select(
             F.least("ka", "kb").alias("key_a"), F.greatest("ka", "kb").alias("key_b")
         )
-        .repartition(par)
     )
 
-    out_schema = StructType(
-        [
-            StructField("key_a", StringType()),
-            StructField("key_b", StringType()),
-            StructField("dist", LongType()),
-        ]
-    )
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            d = batch_levenshtein(
-                pdf["key_a"].tolist(),
-                pdf["key_b"].tolist(),
-                clamp=k,
-                transpositions=damerau,
-            )
-            res = pdf[["key_a", "key_b"]].copy()
-            res["dist"] = d
-            yield res[res["dist"] <= k]
-
-    return cand.mapInPandas(verify, schema=out_schema)
+    # exact verify: JVM banded Levenshtein (plain k, or 2k prefilter +
+    # vectorized OSA for damerau) — see dictionary._verified_pairs
+    return _verified_pairs(cand, k, damerau)
 
 
 def blocking_metrics(normalized: DataFrame, k: int = 2, max_len: int = 96) -> DataFrame:

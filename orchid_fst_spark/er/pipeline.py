@@ -95,6 +95,9 @@ def resolve(
     use_html_title: bool = False,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    algo: str = "passjoin",
+    sig_scheme: str = "full",
+    sig_window: int = 16,
 ) -> DataFrame:
     """Cluster pages whose normalized host+title keys are within edit
     distance k.  Returns (url, norm_key, cluster_id) — ``text`` never
@@ -110,9 +113,11 @@ def resolve(
     pairs = ck.run(
         "candidate_pairs",
         lambda: candidate_pairs(
-            normalized, k=k, max_len=max_len, sig_cap=sig_cap, damerau=damerau
+            normalized, k=k, max_len=max_len, sig_cap=sig_cap, damerau=damerau,
+            algo=algo, sig_scheme=sig_scheme, sig_window=sig_window,
         ),
-        {"k": k, "damerau": damerau, "sig_cap": sig_cap, "max_len": max_len},
+        {"k": k, "damerau": damerau, "sig_cap": sig_cap, "max_len": max_len,
+         "algo": algo, "sig_scheme": sig_scheme, "sig_window": sig_window},
     )
 
     edges = ck.run(

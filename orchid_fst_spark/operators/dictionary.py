@@ -193,7 +193,14 @@ def fuzzy_enumerate_trie(
 # fuzzy join / self-pairs — the scale path (candidate generation)
 # ---------------------------------------------------------------------------
 
-def _variants_df(df: DataFrame, key_col: str, k: int, max_len: int) -> DataFrame:
+def _variants_df(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    max_len: int,
+    scheme: str = "full",
+    window: int = 16,
+) -> DataFrame:
     """(key, sig: long) deletion-signature frame — fully JVM-side.
 
     Built as a UNION of three flat explode+project stages (0, 1, 2
@@ -211,57 +218,124 @@ def _variants_df(df: DataFrame, key_col: str, k: int, max_len: int) -> DataFrame
         .distinct()
         .repartition(par)
     )
-    return variant_sigs(src, "key", k, max_len)
+    return variant_sigs(src, "key", k, max_len, scheme=scheme, window=window)
 
 
-def variant_sigs(src: DataFrame, key_col: str, k: int, max_len: int) -> DataFrame:
+def variant_sigs(
+    src: DataFrame,
+    key_col: str,
+    k: int,
+    max_len: int,
+    scheme: str = "full",
+    window: int = 16,
+) -> DataFrame:
     """Append deletion signatures: output = all ``src`` columns plus
     ``sig`` (long), one row per (row, variant).  ``key_col`` may be any
     column (string key or precomputed id is carried through untouched;
-    signatures hash the truncated key)."""
+    signatures hash the truncated key).
+
+    scheme='full': deletes of <=k chars of the whole (truncated) key —
+    O(len²) signatures per key at k=2.  Best precision; right for short
+    keys (word dictionaries).
+
+    scheme='window': deletes of <=k chars of the first ``window`` chars
+    PLUS deletes of <=k chars of the last ``window`` chars (salted so the
+    two windows never cross-match).  O(window²) signatures per key
+    regardless of key length — the scheme that survives 100 TB of long
+    URL keys.  Complete for k<=2: in any alignment with <=k edits, each
+    edit removes at most one char of a window's common subsequence
+    (substitution/deletion directly, insertion via boundary shift), so
+    LCS(s_window, t_window) >= window-k and both windows reach a common
+    string with <=k deletions — i.e. two keys within distance k always
+    share a window signature.  Coarser than 'full' (keys agreeing on a
+    window collide), so pair precision is lower; the exact DP verify
+    downstream restores correctness and ``sig_cap`` bounds hot windows.
+    """
     if k > 2:
         raise ValueError("deletion signatures support k <= 2")
+    if scheme not in ("full", "window"):
+        raise ValueError(f"unknown signature scheme: {scheme}")
     cols = src.columns
-    t = src.selectExpr(*cols, f"substring({key_col}, 1, {max_len}) AS _kt")
-    parts = [t.selectExpr(*cols, "xxhash64(_kt) AS sig")]
-    if k >= 1:
-        parts.append(
-            t.selectExpr(
-                *cols,
-                "_kt",
-                "explode(slice(sequence(1, greatest(length(_kt), 1)), 1, length(_kt))) AS i",
-            ).selectExpr(
-                *cols,
-                "xxhash64(concat(substring(_kt, 1, i-1), "
-                "substring(_kt, i+1, length(_kt)))) AS sig",
+
+    def _delete_parts(base: DataFrame, expr: str, salt: int) -> list[DataFrame]:
+        """Sigs for <=k deletions of the string expression ``expr``
+        (evaluated once into _w); salted hash keeps windows disjoint."""
+        t = base.selectExpr(*cols, f"{expr} AS _w")
+        parts = [t.selectExpr(*cols, f"xxhash64(_w, {salt}) AS sig")]
+        if k >= 1:
+            parts.append(
+                t.selectExpr(
+                    *cols,
+                    "_w",
+                    "explode(slice(sequence(1, greatest(length(_w), 1)), 1, length(_w))) AS i",
+                ).selectExpr(
+                    *cols,
+                    "xxhash64(concat(substring(_w, 1, i-1), "
+                    f"substring(_w, i+1, length(_w))), {salt}) AS sig",
+                )
             )
+        if k >= 2:
+            parts.append(
+                t.selectExpr(
+                    *cols,
+                    "_w",
+                    "explode(slice(sequence(1, greatest(length(_w) - 1, 1)), 1, "
+                    "greatest(length(_w) - 1, 0))) AS i",
+                )
+                .selectExpr(*cols, "_w", "i", "explode(sequence(i+1, length(_w))) AS j")
+                .selectExpr(
+                    *cols,
+                    "xxhash64(concat(substring(_w, 1, i-1), "
+                    "substring(_w, i+1, j-i-1), "
+                    f"substring(_w, j+1, length(_w))), {salt}) AS sig",
+                )
+            )
+        return parts
+
+    base = src.selectExpr(*cols, f"substring({key_col}, 1, {max_len}) AS _kt")
+    base_cols = cols + ["_kt"]
+    saved_cols, cols = cols, base_cols
+    if scheme == "full":
+        parts = _delete_parts(base, "_kt", 0)
+    else:
+        w = window
+        parts = _delete_parts(base, f"substring(_kt, 1, {w})", 1)
+        # suffix window only when it differs from the prefix window
+        tail = base.filter(f"length(_kt) > {w}")
+        parts += _delete_parts(
+            tail, f"substring(_kt, length(_kt) - {w} + 1, {w})", 2
         )
-    if k >= 2:
-        parts.append(
-            t.selectExpr(
-                *cols,
-                "_kt",
-                "explode(slice(sequence(1, greatest(length(_kt) - 1, 1)), 1, "
-                "greatest(length(_kt) - 1, 0))) AS i",
-            )
-            .selectExpr(*cols, "_kt", "i", "explode(sequence(i+1, length(_kt))) AS j")
-            .selectExpr(
-                *cols,
-                "xxhash64(concat(substring(_kt, 1, i-1), "
-                "substring(_kt, i+1, j-i-1), "
-                "substring(_kt, j+1, length(_kt)))) AS sig",
-            )
-        )
-    out = parts[0]
+    cols = saved_cols
+    out = parts[0].select(*cols, "sig")
     for p in parts[1:]:
-        out = out.unionAll(p)
+        out = out.unionAll(p.select(*cols, "sig"))
     return out
 
 
 def _verified_pairs(
     cand: DataFrame, k: int, damerau: bool, left: str = "key_a", right: str = "key_b"
 ) -> DataFrame:
-    """Exact banded DP verify on candidate pairs (vectorized numpy kernel)."""
+    """Exact verify on candidate pairs.
+
+    Plain Levenshtein: entirely JVM — the built-in banded
+    ``F.levenshtein(a, b, k)`` (returns -1 above the threshold) IS the
+    exact distance; no Python at all.
+
+    OSA (damerau): a transposition costs at most 2 plain edits, so
+    ``osa <= k  =>  lev <= 2k``; a JVM banded ``lev <= 2k`` prefilter
+    eliminates the bulk of false candidates (hot blocks of similar
+    titles) at codegen speed before the vectorized numpy OSA verify —
+    Python only ever sees near-pairs.
+    """
+    a, b = F.col(left), F.col(right)
+    if not damerau:
+        d = F.levenshtein(a, b, k)
+        return (
+            cand.select(left, right, d.cast(LongType()).alias("dist"))
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= k))
+        )
+
+    cand = cand.filter(F.levenshtein(a, b, 2 * k) >= 0)
 
     out_schema = StructType(
         [
@@ -276,14 +350,15 @@ def _verified_pairs(
             if pdf.empty:
                 continue
             d = batch_levenshtein(
-                pdf[left].tolist(), pdf[right].tolist(), clamp=k, transpositions=damerau
+                pdf[left].tolist(), pdf[right].tolist(), clamp=k, transpositions=True
             )
             res = pdf[[left, right]].copy()
             res["dist"] = d
             yield res[res["dist"] <= k]
 
-    par = cand.sparkSession.sparkContext.defaultParallelism * 2
-    return cand.repartition(par).mapInPandas(verify, schema=out_schema)
+    # no repartition: the upstream join/filter already distributes the
+    # surviving near-pairs; an extra exchange is one more full shuffle
+    return cand.mapInPandas(verify, schema=out_schema)
 
 
 def fuzzy_join(
@@ -294,13 +369,19 @@ def fuzzy_join(
     k: int = 2,
     damerau: bool = False,
     max_len: int = 64,
+    scheme: str = "full",
+    window: int = 16,
 ) -> DataFrame:
     """All (left, right) key pairs within edit distance k.  Plan shape:
     explode deletion signatures both sides -> equi-join on signature
     (shuffle on sig; AQE handles skewed signatures) -> distinct pairs ->
     vectorized DP verify.  Returns (key_a, key_b, dist)."""
-    lv = _variants_df(left_df, left_key, k, max_len).withColumnRenamed("key", "key_a")
-    rv = _variants_df(right_df, right_key, k, max_len).withColumnRenamed("key", "key_b")
+    lv = _variants_df(
+        left_df, left_key, k, max_len, scheme=scheme, window=window
+    ).withColumnRenamed("key", "key_a")
+    rv = _variants_df(
+        right_df, right_key, k, max_len, scheme=scheme, window=window
+    ).withColumnRenamed("key", "key_b")
     cand = lv.join(rv, "sig").select("key_a", "key_b").distinct()
     return _verified_pairs(cand, k, damerau)
 
@@ -345,9 +426,11 @@ def fuzzy_self_pairs(
     damerau: bool = False,
     max_len: int = 64,
     sig_cap: int = 1000,
+    scheme: str = "full",
+    window: int = 16,
 ) -> DataFrame:
     """Distinct unordered key pairs (a < b) within edit distance k — the
     ER blocking candidate generator over one table."""
-    v = _variants_df(df, key_col, k, max_len)
+    v = _variants_df(df, key_col, k, max_len, scheme=scheme, window=window)
     cand = grouped_self_candidates(v, sig_cap)
     return _verified_pairs(cand, k, damerau)

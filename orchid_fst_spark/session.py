@@ -28,6 +28,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: The engine's scale-relevant tuning — identical for local-mode tests
+#: and a spark-submit cluster deployment, so plans carry over unchanged.
+ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # don't hold task slots idle waiting for data locality — right for
+    # local mode and for NVMe/disaggregated-storage clusters alike
+    "spark.locality.wait": "0s",
+}
+
+
+def apply_engine_conf(builder, shuffle_partitions: int | None = None):
+    """Apply the engine tuning to any SparkSession.Builder — used both by
+    ``get_spark`` (local mode) and by spark-submit entry scripts, where
+    master/memory/executors come from the submit command line."""
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    return builder
+
+
 def get_spark(
     app_name: str = "orchid_fst_spark",
     cores: int | str | None = None,
@@ -43,17 +71,12 @@ def get_spark(
         shuffle_partitions = max(2 * ncores, 8)
     if driver_memory is None:
         driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    b = apply_engine_conf(
+        SparkSession.builder.master(master).appName(app_name),
+        shuffle_partitions=shuffle_partitions,
+    )
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", driver_memory)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        b.config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")

@@ -1,0 +1,167 @@
+"""Structured Streaming ingest for the pages table.
+
+The reference is batch-only (its closest notion of streaming is the
+incremental sorted-key FST build, fst.h:16-22 — keys stream in, nodes
+freeze as the frontier moves).  At web scale, pages arrive continuously
+(new WARC drops), so the engine adds an incremental path:
+
+- ``read_pages_stream``: file-source stream over a parquet directory
+  with the canonical pages schema — new files are discovered per
+  micro-batch, the streaming analog of "keys arriving in order".
+- ``stream_dedup``: exact URL dedup with an event-time watermark on
+  ``warc_ts`` (state is bounded: a url seen again after the watermark
+  lapses is treated as a re-crawl, matching crawl semantics).
+- ``incremental_er``: foreachBatch incremental blocking — each
+  micro-batch's *new* keys are fuzzy-joined (deletion-signature join,
+  operators/dictionary.fuzzy_join) against the accumulated key store,
+  plus among themselves, and the new match edges are appended.  Work per
+  batch is O(new x matched-signatures), never a recompute of all pairs;
+  clusters are derived from the accumulated edge log on demand with the
+  same batch connected-components operator, so streaming and batch
+  pipelines share one clustering semantics.
+
+Everything here is the stock Structured Streaming engine: checkpointed
+offsets + idempotent parquet appends give exactly-once per micro-batch,
+which is the streaming extension of the batch checkpoint/resume story
+(er/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dictionary import fuzzy_join, fuzzy_self_pairs
+from ..er.blocking import normalize_pages
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of pages parquet dropped into ``path``."""
+    r = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def stream_dedup(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact-dedup a pages stream on url within the watermark window.
+
+    State stays bounded by the watermark (Spark drops per-key state once
+    event time passes it) — the stream never accumulates unbounded url
+    state the way a naive dropDuplicates would."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def incremental_er(
+    pages_stream: DataFrame,
+    state_dir: str,
+    k: int = 2,
+    damerau: bool = True,
+    sig_cap: int = 1000,
+    max_len: int = 96,
+    watermark: str = "1 hour",
+    checkpoint_dir: str | None = None,
+):
+    """Start the incremental ER stream; returns the StreamingQuery.
+
+    Per micro-batch (exactly-once via the streaming checkpoint):
+      1. normalize the batch's pages -> (url, norm_key); append to
+         ``state_dir/keys``.
+      2. candidate edges = fuzzy_join(new keys, previously-seen keys)
+         ∪ fuzzy_self_pairs(new keys); exact-DP verified; append to
+         ``state_dir/edges``.
+
+    Derive clusters at any time with ``clusters_from_state``.
+    """
+    keys_path = os.path.join(state_dir, "keys")
+    edges_path = os.path.join(state_dir, "edges")
+    ckpt = checkpoint_dir or os.path.join(state_dir, "_stream_ckpt")
+
+    deduped = stream_dedup(pages_stream, watermark)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_keys = (
+            normalize_pages(batch_df)
+            .select("url", "norm_key")
+            .filter(F.length("norm_key") > 0)
+        )
+        new_keys.persist()
+        try:
+            new_k = new_keys.select("norm_key").distinct()
+            try:
+                old_k = spark.read.parquet(keys_path).select("norm_key").distinct()
+            except Exception:  # first batch: no key store yet
+                old_k = None
+
+            within = fuzzy_self_pairs(
+                new_k, "norm_key", k=k, damerau=damerau,
+                max_len=max_len, sig_cap=sig_cap,
+            )
+            if old_k is not None:
+                cross = fuzzy_join(
+                    new_k, old_k, "norm_key", "norm_key",
+                    k=k, damerau=damerau, max_len=max_len,
+                ).filter(F.col("key_a") != F.col("key_b"))
+                edges = within.unionAll(
+                    cross.select(
+                        F.least("key_a", "key_b").alias("key_a"),
+                        F.greatest("key_a", "key_b").alias("key_b"),
+                        "dist",
+                    )
+                ).distinct()
+            else:
+                edges = within
+            edges.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(edges_path)
+            new_keys.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(keys_path)
+        finally:
+            new_keys.unpersist()
+
+    return (
+        deduped.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def clusters_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(url, norm_key, cluster_id) from the accumulated stream state —
+    same connected-components semantics as the batch resolve()."""
+    from ..er.clustering import connected_components
+
+    keys = spark.read.parquet(os.path.join(state_dir, "keys"))
+    try:
+        edges = (
+            spark.read.parquet(os.path.join(state_dir, "edges"))
+            .select("key_a", "key_b")
+            .distinct()
+        )
+    except Exception:
+        edges = None
+    if edges is None or edges.isEmpty():
+        return keys.select(
+            "url", "norm_key", F.col("norm_key").alias("cluster_id")
+        )
+    comps = connected_components(edges, src="key_a", dst="key_b")
+    return (
+        keys.join(
+            comps.withColumnRenamed("node", "norm_key").withColumnRenamed(
+                "component", "cluster_id"
+            ),
+            "norm_key",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", "norm_key"))
+        .select("url", "norm_key", "cluster_id")
+    )

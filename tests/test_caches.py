@@ -1,0 +1,130 @@
+"""Randomized differential tests for the byte-budgeted LRU/LFU caches
+(mirrors the reference's cache_unittest.cpp:41-152 pattern: one op
+stream driven into the cache and a trusted model, stats/contents
+compared) and for trie suffix-sharing minimization under a bounded
+node map (fst.cpp:96-115, fst.h:197-206)."""
+
+import random
+
+from orchid_fst_spark.automata.trie import Trie, minimize
+from orchid_fst_spark.util.caches import LFUCache, LRUCache
+
+
+class ModelLRU:
+    """Trusted O(n) list-based LRU model."""
+
+    def __init__(self, budget):
+        self.budget = budget
+        self.items = []  # (key, value, cost), oldest first
+
+    @staticmethod
+    def _cost(k, v):
+        return len(k) + len(v)
+
+    def get(self, key):
+        for i, (k, v, c) in enumerate(self.items):
+            if k == key:
+                self.items.append(self.items.pop(i))
+                return v
+        return None
+
+    def put(self, key, value):
+        for i, (k, _v, _c) in enumerate(self.items):
+            if k == key:
+                self.items.pop(i)
+                break
+        self.items.append((key, value, self._cost(key, value)))
+        while sum(c for _, _, c in self.items) > self.budget and len(self.items) > 1:
+            self.items.pop(0)
+
+    def keys(self):
+        return {k for k, _, _ in self.items}
+
+
+def test_lru_differential_randomized():
+    rng = random.Random(42)
+    cache, model = LRUCache(200), ModelLRU(200)
+    hits = misses = 0
+    for _ in range(20000):
+        key = f"k{rng.randrange(60)}"
+        if rng.random() < 0.5:
+            val = "v" * rng.randrange(1, 12)
+            cache.put(key, val)
+            model.put(key, val)
+        else:
+            got = cache.get(key)
+            want = model.get(key)
+            assert got == want, key
+            if want is None:
+                misses += 1
+            else:
+                hits += 1
+    assert set(cache.data) == model.keys()
+    assert cache.hits == hits and cache.misses == misses
+    assert 0.0 < cache.hit_ratio() < 1.0
+    assert cache.size_bytes <= 200 + 20  # at most one oversize resident entry
+
+
+def test_lfu_policy_and_budget():
+    c = LFUCache(40)
+    c.put("hot", "xxxx")
+    for _ in range(10):
+        assert c.get("hot") == "xxxx"
+    # fill past budget with cold entries: "hot" must survive, cold evict
+    for i in range(10):
+        c.put(f"cold{i:02d}", "yyyyyy")
+    assert c.get("hot") == "xxxx"
+    assert c.size_bytes <= 40 + 14
+    # ties broken by recency: oldest least-frequent goes first
+    c2 = LFUCache(30)
+    c2.put("a", "11111")
+    c2.put("b", "22222")
+    c2.put("c", "33333")  # a,b,c freq=1 each, 18 bytes
+    c2.get("a")
+    c2.put("d", "4" * 20)  # forces eviction of b then c (freq 1, oldest first)
+    assert "b" not in c2.data and "c" not in c2.data
+    assert "a" in c2.data and "d" in c2.data
+
+
+def _enumerate(nodes, nid, prefix, out):
+    node = nodes[nid]
+    if "" in node:
+        out.append("".join(prefix))
+    for ch in sorted(k for k in node if k):
+        prefix.append(ch)
+        _enumerate(nodes, node[ch], prefix, out)
+        prefix.pop()
+
+
+def test_minimize_preserves_keys_and_shares_suffixes():
+    words = sorted(
+        {"tap", "taps", "top", "tops", "stop", "stops", "strap", "straps"}
+    )
+    t = Trie.from_sorted(words)
+    root, nodes, n = minimize(t)
+    got = []
+    _enumerate(nodes, root, [], got)
+    assert got == words
+    # trie has one node per distinct prefix; minimization must share the
+    # common "s"-plural suffix structure
+    n_trie_nodes = len({w[:i] for w in words for i in range(len(w) + 1)})
+    assert n < n_trie_nodes
+
+
+def test_minimize_bounded_cache_still_correct():
+    rng = random.Random(7)
+    words = sorted({
+        "".join(rng.choice("abcd") for _ in range(rng.randrange(3, 9)))
+        for _ in range(300)
+    })
+    t = Trie.from_sorted(words)
+    _, _, n_min = minimize(t)
+    for budget in (64, 512, 4096):
+        root, nodes, n_b = minimize(Trie.from_sorted(words), budget)
+        got = []
+        _enumerate(nodes, root, [], got)
+        assert got == words, budget  # semantics never depend on budget
+        assert n_b >= n_min  # smaller map => same-or-less sharing
+    # generous budget converges to minimal
+    _, _, n_big = minimize(Trie.from_sorted(words), 10**7)
+    assert n_big == n_min

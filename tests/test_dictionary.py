@@ -134,3 +134,47 @@ def test_fuzzy_self_pairs_exact(spark):
         if osa(a, b) <= 2 and a < b
     }
     assert got == exp
+
+
+def test_fuzzy_self_pairs_window_scheme_complete(spark):
+    # windowed deletes (prefix+suffix window) must find EXACTLY the same
+    # pairs as full-key deletes — complete for k<=2 by the LCS argument in
+    # variant_sigs' docstring; small window stresses boundary shifts
+    vocab = gen_dict_words(400)
+    df = spark.createDataFrame([(w,) for w in vocab], "key string")
+    exp = {
+        (a, b): osa(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if osa(a, b) <= 2 and a < b
+    }
+    for window in (4, 6, 16):
+        got = {
+            (r.key_a, r.key_b): r.dist
+            for r in fuzzy_self_pairs(
+                df, "key", k=2, damerau=True, scheme="window", window=window
+            ).collect()
+        }
+        assert got == exp, window
+
+
+def test_candidate_pairs_passjoin_complete(spark):
+    # segment/pigeonhole blocking finds exactly the DP ground truth,
+    # including mixed/short key lengths and the short band
+    from orchid_fst_spark.er.blocking import candidate_pairs
+
+    vocab = sorted(gen_dict_words(400) + ["a", "ab", "abc", "abcd", "b", "xy"])
+    df = spark.createDataFrame([(w,) for w in vocab], "norm_key string").withColumn(
+        "url", F.col("norm_key")
+    )
+    exp = {
+        (a, b): osa(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if osa(a, b) <= 2
+    }
+    got = {
+        (r.key_a, r.key_b): r.dist
+        for r in candidate_pairs(df, k=2, damerau=True, algo="passjoin").collect()
+    }
+    assert got == exp

@@ -105,8 +105,16 @@ def test_blocking_metrics(spark, pages_and_truth):
 
 
 def test_sig_cap_observable_recall_loss(spark, pages_and_truth):
-    # cap=1 drops every shared signature -> no candidate pairs survive
     pages, truth = pages_and_truth
-    pred = resolve(pages, k=2, sig_cap=1)
+    # deletes scheme: cap=1 drops every shared signature -> recall 0
+    pred = resolve(pages, k=2, sig_cap=1, algo="deletes")
     m = pairwise_f1(pred, truth)
     assert m["recall"] == 0.0
+    # passjoin: cap=1 drops every multi-key index group; only pairs with
+    # a singleton index group (unequal lengths) can survive -> recall
+    # strictly below the uncapped run, never silently complete
+    pred_pj = resolve(pages, k=2, sig_cap=1, algo="passjoin")
+    full = resolve(pages, k=2, algo="passjoin")
+    m_pj = pairwise_f1(pred_pj, truth)
+    m_full = pairwise_f1(full, truth)
+    assert m_pj["recall"] < m_full["recall"]

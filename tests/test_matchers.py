@@ -1,0 +1,78 @@
+"""Composable matcher combinators (reference automaton.h:138-304) —
+JVM-path and Python-path parity against brute-force evaluation."""
+
+import pytest
+
+from orchid_fst_spark.automata.matchers import (
+    Always,
+    Fuzzy,
+    GreaterThan,
+    LessThan,
+    Not,
+    Prefix,
+    StartsWith,
+    Str,
+    match,
+)
+from orchid_fst_spark.functions.distance import levenshtein, osa
+from orchid_fst_spark.sources.fixtures import gen_dict_words
+
+
+@pytest.fixture(scope="module")
+def words():
+    return gen_dict_words(800)
+
+
+@pytest.fixture(scope="module")
+def dict_df(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "key string").cache()
+
+
+def _run(dict_df, m):
+    return [r.key for r in match(dict_df, m).collect()]
+
+
+def test_leaves_jvm(spark, dict_df, words):
+    sw = sorted(words)
+    assert _run(dict_df, Always()) == sw
+    assert _run(dict_df, Str(words[5])) == [words[5]]
+    assert _run(dict_df, Prefix("st")) == [w for w in sw if w.startswith("st")]
+    lo = sw[100]
+    assert _run(dict_df, GreaterThan(lo, inclusive=False)) == [
+        w for w in sw if w > lo
+    ]
+    assert _run(dict_df, LessThan(lo)) == [w for w in sw if w <= lo]
+
+
+def test_fuzzy_composition_jvm(spark, dict_df, words):
+    # fuzzy ∩ prefix = the reference's samePrefixLen (fst.cpp:541-551)
+    m = Fuzzy("hair", 2) & Prefix("ha")
+    exp = sorted(
+        w for w in words if levenshtein(w, "hair") <= 2 and w.startswith("ha")
+    )
+    assert m.jvm_ok
+    assert _run(dict_df, m) == exp
+
+
+def test_union_not_python_path(spark, dict_df, words):
+    # OSA leaf forces the Python path for the whole tree
+    m = (Fuzzy("hair", 1, damerau=True) | Str(words[3])) & ~Prefix("zzz")
+    assert not m.jvm_ok
+    exp = sorted(
+        w
+        for w in words
+        if (osa(w, "hair") <= 1 or w == words[3]) and not w.startswith("zzz")
+    )
+    assert _run(dict_df, m) == exp
+
+
+def test_startswith(spark, dict_df, words):
+    # "some prefix of the key matches" — here: key starts with something
+    # within distance 1 of 'sta'
+    m = StartsWith(Fuzzy("sta", 1))
+    exp = sorted(
+        w
+        for w in words
+        if any(levenshtein(w[:i], "sta") <= 1 for i in range(len(w) + 1))
+    )
+    assert _run(dict_df, m) == exp

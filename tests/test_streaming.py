@@ -1,0 +1,94 @@
+"""Streaming ingest: watermark dedup + incremental ER equivalence.
+
+The invariant that matters: feeding pages in as two streamed micro-
+batches yields the SAME clustering as one batch resolve() over the full
+input — incremental blocking loses no edges across the batch boundary.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orchid_fst_spark.er import resolve
+from orchid_fst_spark.streaming import incremental_er, read_pages_stream
+from orchid_fst_spark.streaming.ingest import clusters_from_state
+
+
+def _mk_pages(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                url,
+                __import__("datetime").datetime(2024, 1, 1, 0, 0, sec),
+                text.encode(),
+                text,
+                "en",
+            )
+            for sec, (url, text) in enumerate(rows)
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+ROWS = [
+    # cluster 1: three variants of one title (1 del / 1 swap)
+    ("https://a.example.com/green-plastic-table?id=1", "green plastic table"),
+    ("https://a.example.com/gren-plastic-table?id=2", "green plastic table"),
+    ("https://a.example.com/rgeen-plastic-table?id=3", "green plastic table"),
+    # cluster 2: two variants
+    ("https://b.example.com/shiny-steel-widget?id=4", "shiny steel widget"),
+    ("https://b.example.com/shiny-stel-widget?id=5", "shiny steel widget"),
+    # singletons
+    ("https://c.example.com/totally-unrelated-doc?id=6", "totally unrelated doc"),
+    ("https://d.example.com/another-lonely-page?id=7", "another lonely page"),
+]
+
+
+def test_incremental_er_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+
+    all_pages = _mk_pages(spark, ROWS)
+
+    # batch ground truth
+    batch = {
+        (r.url, r.cluster_id)
+        for r in resolve(all_pages, k=2, damerau=True).collect()
+    }
+
+    # stream the same rows in two drops; split crosses both clusters so
+    # cross-batch edges are exercised
+    _mk_pages(spark, ROWS[:3]).write.mode("overwrite").parquet(
+        os.path.join(src, "drop1")
+    )
+    stream = read_pages_stream(spark, src + "/*")
+    assert stream.isStreaming
+    q = incremental_er(stream, state, k=2, damerau=True)
+    q.awaitTermination(120)
+
+    _mk_pages(spark, ROWS[3:]).write.mode("overwrite").parquet(
+        os.path.join(src, "drop2")
+    )
+    q2 = incremental_er(read_pages_stream(spark, src + "/*"), state, k=2, damerau=True)
+    q2.awaitTermination(120)
+
+    got = {
+        (r.url, r.cluster_id)
+        for r in clusters_from_state(spark, state).collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_urls(spark, tmp_path):
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    rows = ROWS[:2] + ROWS[:1]  # duplicate url within one drop
+    _mk_pages(spark, rows).write.mode("overwrite").parquet(os.path.join(src, "d1"))
+    q = incremental_er(read_pages_stream(spark, src + "/*"), state)
+    q.awaitTermination(120)
+    keys = spark.read.parquet(os.path.join(state, "keys"))
+    # the duplicated url survives exactly once
+    assert keys.groupBy("url").count().agg(F.max("count")).collect()[0][0] == 1
