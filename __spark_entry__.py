@@ -164,8 +164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_lev_k2_dfa"] = lambda spark, sf: _with_lev_dist(
         fuzzy_lookup(_dict(spark, sf), "scan", 2, impl="dfa")
     )
+    # JVM banded prefilter: dl <= 2 implies lev <= 4 (a transposition
+    # costs at most 2 plain edits), so the pandas-UDF distance only runs
+    # on the tiny surviving neighborhood
     q["fuzzy_damerau_k2"] = lambda spark, sf: (
         _dict(spark, sf)
+        .filter(F.levenshtein(F.col("key"), F.lit("scan"), 4) >= 0)
         .withColumn(
             "dist", true_damerau_distance(F.col("key"), F.lit("scan")).cast("long")
         )
@@ -182,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the pure-Python differential suite in tests/.
     q["fuzzy_osa_k2"] = lambda spark, sf: (
         _dict(spark, sf)
+        .filter(F.levenshtein(F.col("key"), F.lit("scan"), 4) >= 0)
         .withColumn("dist", osa_distance(F.col("key"), F.lit("scan")).cast("long"))
         .filter(F.col("dist") <= 2)
     )

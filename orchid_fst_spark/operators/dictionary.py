@@ -369,13 +369,39 @@ def fuzzy_join(
     k: int = 2,
     damerau: bool = False,
     max_len: int = 64,
+    algo: str = "deletes",
     scheme: str = "full",
     window: int = 16,
+    sig_cap: int = 1000,
 ) -> DataFrame:
-    """All (left, right) key pairs within edit distance k.  Plan shape:
-    explode deletion signatures both sides -> equi-join on signature
-    (shuffle on sig; AQE handles skewed signatures) -> distinct pairs ->
-    vectorized DP verify.  Returns (key_a, key_b, dist)."""
+    """All (left, right) key pairs within edit distance k.  Returns
+    (key_a, key_b, dist).
+
+    algo='deletes' (default; short keys): explode deletion signatures
+    both sides -> equi-join on signature -> distinct pairs -> verify.
+    algo='passjoin' (long keys / streaming increments): segment blocking
+    both directions (operators/passjoin.passjoin_join_candidates) —
+    O(1) signature rows per key."""
+    if algo == "passjoin":
+        from .passjoin import passjoin_join_candidates
+
+        lk = (
+            left_df.select(F.col(left_key).alias("key"))
+            .filter(F.col(left_key).isNotNull())
+            .distinct()
+            .withColumn("kid", F.col("key"))
+        )
+        rk = (
+            right_df.select(F.col(right_key).alias("key"))
+            .filter(F.col(right_key).isNotNull())
+            .distinct()
+            .withColumn("kid", F.col("key"))
+        )
+        cand = passjoin_join_candidates(lk, rk, k=k, max_len=max_len, sig_cap=sig_cap)
+        cand = cand.select(
+            F.col("kid_l").alias("key_a"), F.col("kid_r").alias("key_b")
+        )
+        return _verified_pairs(cand, k, damerau)
     lv = _variants_df(
         left_df, left_key, k, max_len, scheme=scheme, window=window
     ).withColumnRenamed("key", "key_a")
@@ -428,9 +454,22 @@ def fuzzy_self_pairs(
     sig_cap: int = 1000,
     scheme: str = "full",
     window: int = 16,
+    algo: str = "deletes",
 ) -> DataFrame:
     """Distinct unordered key pairs (a < b) within edit distance k — the
-    ER blocking candidate generator over one table."""
+    ER blocking candidate generator over one table.  algo='passjoin'
+    switches to segment blocking (O(1) signatures per key; long keys)."""
+    if algo == "passjoin":
+        from .passjoin import passjoin_self_candidates
+
+        keyed = (
+            df.select(F.col(key_col).alias("key"))
+            .filter(F.col(key_col).isNotNull())
+            .distinct()
+            .withColumn("kid", F.col("key"))
+        )
+        cand = passjoin_self_candidates(keyed, k=k, max_len=max_len, sig_cap=sig_cap)
+        return _verified_pairs(cand, k, damerau)
     v = _variants_df(df, key_col, k, max_len, scheme=scheme, window=window)
     cand = grouped_self_candidates(v, sig_cap)
     return _verified_pairs(cand, k, damerau)

@@ -57,9 +57,13 @@ def _seg_exprs(l2: str) -> tuple[str, ...]:
 
 def passjoin_index(keyed: DataFrame, k: int, max_len: int) -> DataFrame:
     """(key-id, l, sig) index entries: the 3 segments of each key (plus
-    the short band).  ``keyed`` must have columns (key string, kid)."""
-    if k != 2:
-        raise ValueError("segment blocking is derived for k = 2")
+    the short band).  ``keyed`` must have columns (key string, kid).
+
+    Blocking is always built for k=2 (the 3-segment pigeonhole); callers
+    with k=1 verify at 1 — k=2 candidates are a superset, so
+    completeness holds for any k <= 2."""
+    if not 1 <= k <= 2:
+        raise ValueError("segment blocking supports k <= 2")
     t = keyed.selectExpr(
         "kid", f"substring(key, 1, {max_len}) AS _kt"
     ).selectExpr("kid", "_kt", "length(_kt) AS l")
@@ -83,9 +87,10 @@ def passjoin_index(keyed: DataFrame, k: int, max_len: int) -> DataFrame:
 
 def passjoin_probe(keyed: DataFrame, k: int, max_len: int) -> DataFrame:
     """(key-id, sig) probe entries: for partner lengths l in [m-k, m] and
-    each segment, the substrings within the +-k start window."""
-    if k != 2:
-        raise ValueError("segment blocking is derived for k = 2")
+    each segment, the substrings within the position-aware start window."""
+    if not 1 <= k <= 2:
+        raise ValueError("segment blocking supports k <= 2")
+    k = 2  # block at k=2 always; verify narrows to the requested k
     t = keyed.selectExpr(
         "kid", f"substring(key, 1, {max_len}) AS _kt"
     ).selectExpr("kid", "_kt", "length(_kt) AS m")
@@ -179,3 +184,41 @@ def passjoin_metrics(keyed: DataFrame, k: int = 2, max_len: int = 96) -> DataFra
             F.avg("block_size").alias("avg_block"),
         )
     )
+
+
+def passjoin_join_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 2,
+    max_len: int = 96,
+    sig_cap: int = 1000,
+) -> DataFrame:
+    """Two-table variant: distinct candidate pairs (kid_l, kid_r) between
+    two keyed frames (columns key, kid).  For any pair within distance k
+    the *shorter* key's unedited segment must match a substring of the
+    longer one, so both directions are joined: left-indexed x
+    right-probed plus right-indexed x left-probed.  Hot index signatures
+    capped per direction as in the self-join."""
+    def _capped_index(keyed: DataFrame) -> DataFrame:
+        idx = passjoin_index(keyed, k, max_len)
+        hot = (
+            idx.groupBy("sig")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > sig_cap)
+            .select("sig")
+        )
+        return idx.join(F.broadcast(hot), "sig", "left_anti")
+
+    il, pl = _capped_index(left), passjoin_probe(left, k, max_len)
+    ir, pr = _capped_index(right), passjoin_probe(right, k, max_len)
+    d1 = (
+        il.select("sig", F.col("kid").alias("kid_l"))
+        .join(pr.select("sig", F.col("kid").alias("kid_r")), "sig")
+        .select("kid_l", "kid_r")
+    )
+    d2 = (
+        ir.select("sig", F.col("kid").alias("kid_r"))
+        .join(pl.select("sig", F.col("kid").alias("kid_l")), "sig")
+        .select("kid_l", "kid_r")
+    )
+    return d1.unionAll(d2).distinct()

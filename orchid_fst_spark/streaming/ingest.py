@@ -102,12 +102,14 @@ def incremental_er(
 
             within = fuzzy_self_pairs(
                 new_k, "norm_key", k=k, damerau=damerau,
-                max_len=max_len, sig_cap=sig_cap,
+                max_len=max_len, sig_cap=sig_cap, algo="passjoin",
             )
             if old_k is not None:
+                # segment blocking: O(1) signature rows per key — the
+                # increment stays cheap as the accumulated store grows
                 cross = fuzzy_join(
                     new_k, old_k, "norm_key", "norm_key",
-                    k=k, damerau=damerau, max_len=max_len,
+                    k=k, damerau=damerau, max_len=max_len, algo="passjoin",
                 ).filter(F.col("key_a") != F.col("key_b"))
                 edges = within.unionAll(
                     cross.select(

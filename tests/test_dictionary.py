@@ -178,3 +178,39 @@ def test_candidate_pairs_passjoin_complete(spark):
         for r in candidate_pairs(df, k=2, damerau=True, algo="passjoin").collect()
     }
     assert got == exp
+
+
+def test_fuzzy_join_passjoin_parity(spark, words):
+    # two-table segment blocking finds exactly what the deletes path finds
+    qs = ["hair", "loli", "stch", "中国", "ab"]
+    left = spark.createDataFrame([(q,) for q in qs], "q string")
+    right = spark.createDataFrame([(w,) for w in words], "key string")
+    exp = {
+        (q, w, levenshtein(q, w))
+        for q in qs
+        for w in words
+        if levenshtein(q, w) <= 2
+    }
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_join(left, right, "q", "key", k=2, algo="passjoin").collect()
+    }
+    assert got == exp
+
+
+def test_fuzzy_self_pairs_passjoin_parity(spark):
+    vocab = sorted(gen_dict_words(400))
+    df = spark.createDataFrame([(w,) for w in vocab], "key string")
+    exp = {
+        (a, b): osa(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if osa(a, b) <= 2
+    }
+    got = {
+        (r.key_a, r.key_b): r.dist
+        for r in fuzzy_self_pairs(
+            df, "key", k=2, damerau=True, algo="passjoin"
+        ).collect()
+    }
+    assert got == exp
