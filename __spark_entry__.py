@@ -47,7 +47,12 @@ from orchid_fst_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from orchid_fst_spark.operators.multimodal import decode_images
+from orchid_fst_spark.operators.multimodal import (
+    decode_images,
+    extract_audio_features,
+    resize_images,
+    sample_frames,
+)
 from orchid_fst_spark.operators.sort import sorted_lines as _sorted_lines_op
 from orchid_fst_spark.er.blocking import candidate_pairs
 from orchid_fst_spark.operators.similarity import (
@@ -372,12 +377,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_bands"] = _quality_bands
 
-    # --- multimodal plumbing (binary columns; deterministic fake codec) ---
+    # --- multimodal plumbing (binary columns; deterministic fake codec;
+    # rows-only checks — the codec stand-ins live outside SQL) ---
+    def _bin_docs(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+
     q["decode_images"] = lambda spark, sf: decode_images(
-        _docs(spark, sf).select("doc_id", F.encode("text", "utf-8").alias("payload")),
-        "doc_id",
-        "payload",
+        _bin_docs(spark, sf), "doc_id", "payload"
     ).select("id", "width", "height", "format")
+    q["audio_features"] = lambda spark, sf: extract_audio_features(
+        _bin_docs(spark, sf), "doc_id", "payload"
+    ).select("id", "sample_rate", F.col("duration_ms").cast("long").alias("duration_ms"))
+    q["video_frames"] = lambda spark, sf: sample_frames(
+        _bin_docs(spark, sf), "doc_id", "payload", every_n=5
+    ).select("id", "frame_idx", "frame_hash")
+    q["resize_images"] = lambda spark, sf: resize_images(
+        _bin_docs(spark, sf), "doc_id", "payload", 64, 48
+    ).select("id", "width", "height", F.length("payload").cast("long").alias("n_bytes"))
 
     return q
 

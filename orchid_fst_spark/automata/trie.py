@@ -141,3 +141,22 @@ def deletion_variants(s: str, k: int, max_len: int = 64) -> list[str]:
         for i, j in combinations(range(n), 2):
             out.add(s[:i] + s[i + 1 : j] + s[j + 1 :])
     return list(out)
+
+
+def to_dot(root_id, nodes) -> str:
+    """Graphviz rendering of a (minimized) trie DAG — the debug sink the
+    reference ships as FstReader::DotDraw (fst.cpp:336-411).  Terminal
+    nodes are doublecircle; edges are labeled with their character (and
+    the value on terminal markers in map mode)."""
+    lines = ["digraph fst {", "  rankdir=LR;", '  node [shape=circle];']
+    for nid, node in enumerate(nodes):
+        if "" in node:
+            val = node[""]
+            label = f"{nid}" if val is None else f"{nid}/{val}"
+            lines.append(f'  n{nid} [shape=doublecircle, label="{label}"];')
+    for nid, node in enumerate(nodes):
+        for ch in sorted(kk for kk in node if kk):
+            lines.append(f'  n{nid} -> n{node[ch]} [label="{ch}"];')
+    lines.append(f'  start [shape=point]; start -> n{root_id};')
+    lines.append("}")
+    return "\n".join(lines)

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -121,3 +122,100 @@ def sample_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return src.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("mfcc", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, bin_col: str, decoder: str = "fake", n_mfcc: int = 8
+) -> DataFrame:
+    """Audio binary column -> (sample_rate, duration, MFCC-shaped feature
+    vector).  Same contract as decode_images: the Arrow plumbing is real,
+    the codec is a deterministic stand-in ('real' raises where a
+    librosa/ffmpeg call would go)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, srs, durs, mfccs = [], [], [], []
+            for pid, payload in zip(pdf["id"].tolist(), pdf["payload"].tolist()):
+                raw = bytes(payload or b"")
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "audio codec not available; plug librosa/ffmpeg here"
+                    )
+                d = hashlib.sha256(raw).digest()
+                ids.append(pid)
+                srs.append((8000, 16000, 22050, 44100)[d[2] % 4])
+                durs.append(100 + len(raw))
+                v = np.frombuffer(d[: n_mfcc * 4], dtype=np.uint32).astype(np.float64)
+                nrm = np.linalg.norm(v)
+                mfccs.append(((v / nrm) if nrm else v).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"id": ids, "sample_rate": srs, "duration_ms": durs, "mfcc": mfccs}
+            )
+
+    return src.mapInPandas(gen, schema=AUDIO_META_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    target_w: int,
+    target_h: int,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image resize plumbing: binary in -> binary out at the target
+    geometry.  The fake codec re-encodes deterministically (digest-seeded
+    payload of size proportional to the target area) so downstream
+    batch-shape/size behavior is realistic; 'real' raises where the
+    Pillow resample call would go."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, outs = [], []
+            for pid, payload in zip(pdf["id"].tolist(), pdf["payload"].tolist()):
+                raw = bytes(payload or b"")
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "image codec not available; plug Pillow here"
+                    )
+                seed = hashlib.sha256(raw).digest()
+                size = max(16, (target_w * target_h) // 64)
+                body = (seed * (size // len(seed) + 1))[:size]
+                ids.append(pid)
+                outs.append(body)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": outs,
+                    "width": [target_w] * len(ids),
+                    "height": [target_h] * len(ids),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=RESIZE_SCHEMA)

@@ -128,3 +128,19 @@ def test_minimize_bounded_cache_still_correct():
     # generous budget converges to minimal
     _, _, n_big = minimize(Trie.from_sorted(words), 10**7)
     assert n_big == n_min
+
+
+def test_to_dot_renders_minimized_dag():
+    from orchid_fst_spark.automata.trie import to_dot
+
+    words = ["tap", "taps", "top", "tops"]
+    root, nodes, _ = minimize(Trie.from_sorted(words))
+    dot = to_dot(root, nodes)
+    assert dot.startswith("digraph fst {") and dot.endswith("}")
+    # 4 terminal words but shared suffix structure -> fewer doublecircles
+    # than words is allowed; every edge label is a single char
+    import re
+
+    labels = re.findall(r'-> n\d+ \[label="(.)"\]', dot)
+    assert labels and set(labels) <= set("tapso")
+    assert f"start -> n{root}" in dot

@@ -196,3 +196,34 @@ def test_sample_frames_fanout(spark, docs_df):
     rows = sample_frames(src, "doc_id", "payload", every_n=5).collect()
     assert len(rows) >= len(DOCS)  # one-to-many fan-out
     assert all(r.frame_idx % 5 == 0 for r in rows)
+
+
+def test_audio_and_resize_plumbing(spark):
+    from orchid_fst_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    au = extract_audio_features(docs, "doc_id", "payload").collect()
+    assert len(au) == 50
+    assert all(r.sample_rate in (8000, 16000, 22050, 44100) for r in au)
+    assert all(len(r.mfcc) == 8 for r in au)
+    # determinism: same payload -> same features
+    au2 = extract_audio_features(docs, "doc_id", "payload").collect()
+    assert {(r.id, r.sample_rate) for r in au} == {(r.id, r.sample_rate) for r in au2}
+
+    rs = resize_images(docs, "doc_id", "payload", 64, 48).collect()
+    assert len(rs) == 50
+    assert all((r.width, r.height) == (64, 48) for r in rs)
+    assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) >= 16 for r in rs)
+
+    fr = sample_frames(docs, "doc_id", "payload", every_n=5)
+    # fan-out: more frame rows than input rows is expected shape
+    assert fr.count() >= 50
