@@ -4,17 +4,25 @@ The reference's fuzzy query with a pinned prefix (``samePrefixLen``,
 fst.cpp:530-553) *is* a blocking key: only keys sharing the prefix are
 compared.  At web scale a single prefix block is both too coarse (hot
 hosts) and too brittle (typos in the first chars escape the block), so
-the default candidate generator here is the deletion-neighborhood
-signature join (operators/dictionary.fuzzy_self_pairs): every key within
-edit distance k <= 2 of another key shares at least one signature, the
-join is a plain shuffle on the signature, and AQE's skew-join handles hot
-signatures.  A per-signature frequency cap bounds the quadratic blow-up
-of degenerate blocks (the skew story the reference never needed,
-SURVEY.md §7.4) — capped signatures are counted in the metrics so recall
-loss is observable, never silent.
+the default candidate generator is segment/pigeonhole blocking
+(operators/passjoin): every key within edit distance k <= 2 of another
+shares one exactly-matching segment, found by a plain equi-join on O(1)
+signature rows per key; deletion-neighborhood signatures
+(operators/dictionary.variant_sigs) remain as the high-precision option
+for short keys.
 
-All plan-side logic is Catalyst expressions; Python only inside the
-Arrow-batched signature/verify UDFs.
+Skew design (the story the reference never needed, SURVEY.md §7.4):
+explicit per-signature frequency caps bound the quadratic blow-up of
+degenerate blocks and are *observable* via the metrics tables, never
+silent; AQE's skew-join splits oversized-but-legitimate join partitions
+at runtime.  Salting is deliberately NOT used for candidate generation —
+salting a hot signature group would require cross-salt-bucket joins to
+stay complete (defeating the point); capping + AQE is the correct
+mechanism when in-group pair completeness matters.
+
+All plan-side logic is Catalyst expressions; Python appears only in the
+Arrow-batched OSA verify over near-pairs that survive the JVM banded
+Levenshtein prefilter.
 """
 
 from __future__ import annotations
