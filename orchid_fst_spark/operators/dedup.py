@@ -59,15 +59,19 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, inter, union) — integer-exact.
 
     Plan: shingles -> self equi-join on shingle -> count intersections ->
-    join per-doc shingle counts -> integer threshold filter.  The only
-    shuffle keys are the shingle and the id pair; hot shingles are the
-    skew risk and AQE skew-join covers them."""
-    sh = shingle_df(df, id_col, text_col, n).cache()
+    join per-doc shingle counts -> integer threshold filter.  The join
+    key is the 64-bit shingle hash, not the string — ~3x less shuffle at
+    identical results (a 64-bit collision would need ~2^32 distinct
+    shingles per partition-pair to matter); hot shingles are the skew
+    risk and AQE skew-join covers them."""
+    sh = shingle_df(df, id_col, text_col, n).select(
+        "id", F.xxhash64("sh").alias("shh")
+    ).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
+    a = sh.select(F.col("id").alias("id_a"), "shh")
+    b = sh.select(F.col("id").alias("id_b"), "shh")
     inter = (
-        a.join(b, "sh")
+        a.join(b, "shh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
@@ -136,12 +140,13 @@ def minhash_lsh_pairs(
         a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    # exact verify on candidates only
+    # exact verify on candidates only (hashed shingles: smaller shuffle)
+    shh = sh.select("id", F.xxhash64("sh").alias("shh"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("id").alias("id_a"), "sh")
-    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    sa = shh.select(F.col("id").alias("id_a"), "shh")
+    sb = shh.select(F.col("id").alias("id_b"), "shh")
     inter = (
-        cand.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        cand.join(sa, "id_a").join(sb, ["id_b", "shh"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     )
     return (
