@@ -61,6 +61,11 @@ from orchid_fst_spark.operators.similarity import (
     cosine_topk,
 )
 from orchid_fst_spark.er.clustering import connected_components
+from orchid_fst_spark.streaming.windows import (
+    extract_event_props,
+    sessionize,
+    windowed_event_counts,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +382,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_bands"] = _quality_bands
 
+    # --- event-time windowed ops over the events table ---
+    def _events(spark, sf):
+        return spark.read.parquet(f"{sf}/events.parquet")
+
+    q["events_hourly_counts"] = lambda spark, sf: windowed_event_counts(
+        _events(spark, sf), window="1 hour"
+    )
+    q["events_sessions"] = lambda spark, sf: sessionize(_events(spark, sf), 30)
+    q["events_props"] = lambda spark, sf: extract_event_props(_events(spark, sf), "k")
+
     # --- multimodal plumbing (binary columns; deterministic fake codec;
     # rows-only checks — the codec stand-ins live outside SQL) ---
     def _bin_docs(spark, sf):
@@ -475,6 +490,32 @@ comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)"""
         f"WITH RECURSIVE {_er_core} "
         "SELECT component, count(*)::BIGINT AS n FROM comp GROUP BY component"
     )
+
+    o["events_hourly_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2"""
+    o["events_sessions"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       min(event_id)::BIGINT AS first_event_id,
+       max(event_id)::BIGINT AS last_event_id
+FROM s GROUP BY user_id, session_seq"""
+    o["events_props"] = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events"""
 
     o["dedup_exact"] = """
 SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_dups

@@ -3,5 +3,13 @@ from .ingest import (
     read_pages_stream,
     stream_dedup,
 )
+from .windows import extract_event_props, sessionize, windowed_event_counts
 
-__all__ = ["incremental_er", "read_pages_stream", "stream_dedup"]
+__all__ = [
+    "incremental_er",
+    "read_pages_stream",
+    "stream_dedup",
+    "extract_event_props",
+    "sessionize",
+    "windowed_event_counts",
+]
