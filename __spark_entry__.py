@@ -283,7 +283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
     )
     q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_pairs(
-        _docs(spark, sf), "doc_id", "text", n=3, threshold_num=1, threshold_den=50
+        _docs(spark, sf),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_num=1,
+        threshold_den=50,
+        df_cap=5000,
     )
     q["minhash_lsh_pairs"] = lambda spark, sf: minhash_lsh_pairs(
         _docs(spark, sf),
@@ -530,10 +536,15 @@ WITH fps AS (
 )
 SELECT fp, min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_docs FROM fps GROUP BY fp"""
 
+    # df_cap=5000 mirrored from the Spark entry: shingles with document
+    # frequency above the cap are excluded from the intersection join;
+    # union denominators stay uncapped (same semantics both engines)
     o["ngram_jaccard_pairs"] = f"""WITH {_SQL_SHINGLES},
+dfq AS (SELECT s, count(*) AS sh_df FROM sh GROUP BY s),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s) WHERE sh_df <= 5000),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b, inter::BIGINT AS inter,
@@ -587,18 +598,16 @@ sig AS (
   FROM votes GROUP BY doc_id
 )"""
     o["simhash_docs"] = f"WITH {_sql_simhash} SELECT id, simhash FROM sig"
-    o["simhash_pairs"] = f"""WITH {_sql_simhash},
-bands AS (
-  SELECT id, simhash,
-         b.i::VARCHAR || '|' || ((simhash >> (b.i * 15)) & 32767)::VARCHAR AS bucket
-  FROM sig, unnest(generate_series(0, 3)) AS b(i)
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
-  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.id < b.id
-)
-SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 10"""
+    # brute-force oracle on purpose: the Spark side's banded candidate
+    # generation is pigeonhole-complete for the asked radius (bands =
+    # max_hamming + 1), so its output must EQUAL the all-pairs truth —
+    # the oracle no longer mirrors the banding, it independently checks
+    # completeness every run
+    o["simhash_pairs"] = f"""WITH {_sql_simhash}
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10"""
 
     _sql_embX = """
 x AS (

@@ -100,9 +100,6 @@ def candidate_pairs(
     (key_a, key_b, dist) over *keys*; join back to urls downstream so the
     quadratic work happens on distinct keys, not urls.
     """
-    spark = normalized.sparkSession
-    par = spark.sparkContext.defaultParallelism * 2
-
     # all heavy shuffles move 8-byte ids, not key strings: keys get an
     # xxhash64 id (collisions at realistic key counts are ~2^-64·n²/2 and
     # only ever produce extra verify work after the id->key join-back,

@@ -10,9 +10,10 @@ Scale notes (100 TB): every op here is explode -> hash-shuffle ->
 aggregate / equi-join; no cross joins, no driver collection.  MinHash
 bands turn the quadratic near-dup problem into an equi-join whose fan-out
 is bounded by band-bucket sizes; exact-Jaccard verification touches only
-candidate pairs.  SimHash uses 4x16-bit band buckets (pigeonhole: any
-pair within Hamming distance 3 of a 64-bit signature agrees on >= 1
-band).
+candidate pairs.  SimHash bands are derived from the asked Hamming
+radius (max_hamming + 1 disjoint bands over the 60-bit signature —
+pigeonhole-complete for that radius).  Hot-shingle document-frequency
+caps bound the one remaining O(df²) join (ngram_jaccard_pairs.df_cap).
 """
 
 from __future__ import annotations
@@ -54,22 +55,45 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 10,
+    df_cap: int = 5000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard >= num/den.
-    Returns (id_a, id_b, inter, union) — integer-exact.
+    Returns (id_a, id_b, inter, union) — integer counts, exact up to
+    64-bit shingle-hash collisions (two distinct shingles colliding in
+    xxhash64 could overcount ``inter``; at realistic per-doc shingle
+    counts the probability is ~2^-64·n², negligible but not zero).
 
-    Plan: shingles -> self equi-join on shingle -> count intersections ->
-    join per-doc shingle counts -> integer threshold filter.  The join
-    key is the 64-bit shingle hash, not the string — ~3x less shuffle at
-    identical results (a 64-bit collision would need ~2^32 distinct
-    shingles per partition-pair to matter); hot shingles are the skew
-    risk and AQE skew-join covers them."""
+    Plan: shingles -> hot-shingle df cap -> self equi-join on shingle ->
+    count intersections -> join per-doc shingle counts -> integer
+    threshold filter.  The join key is the 64-bit shingle hash, not the
+    string — ~3x less shuffle at identical results; hot shingles are the
+    skew risk: AQE skew-join splits oversized partitions but cannot
+    reduce join *row count*, so a corpus-common shingle (boilerplate
+    like a license footer 3-gram) shared by df documents would emit
+    O(df²) rows regardless.  ``df_cap`` therefore drops shingles whose
+    document frequency exceeds the cap *before* the join (the same
+    discipline as sig_cap in the ER blocking, operators/passjoin.py) —
+    an observable recall trade (``ngram_shingle_metrics`` reports the
+    dropped mass, never silent).  Capped semantics: a hot shingle still
+    counts toward each doc's size but never toward the intersection
+    (union = na + nb - capped_inter), i.e. the score is the conservative
+    lower bound of true Jaccard — pairs held together exclusively by
+    boilerplate fall below threshold, which is exactly the near-dup
+    signal a web corpus wants to ignore."""
     sh = shingle_df(df, id_col, text_col, n).select(
         "id", F.xxhash64("sh").alias("shh")
     ).cache()
+    # union denominators from UNCAPPED sizes (true Jaccard for survivors)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shh")
-    b = sh.select(F.col("id").alias("id_b"), "shh")
+    hot = (
+        sh.groupBy("shh")
+        .agg(F.count("*").alias("sh_df"))
+        .filter(F.col("sh_df") > df_cap)
+        .select("shh")
+    )
+    shc = sh.join(F.broadcast(hot), "shh", "left_anti")
+    a = shc.select(F.col("id").alias("id_a"), "shh")
+    b = shc.select(F.col("id").alias("id_b"), "shh")
     inter = (
         a.join(b, "shh")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -84,6 +108,35 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "inter", "union")
     )
     return out
+
+
+def ngram_shingle_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, df_cap: int = 5000
+) -> DataFrame:
+    """Observability for the ``df_cap`` recall trade in
+    ``ngram_jaccard_pairs``: one row with the shingle-frequency profile
+    and exactly how much mass the cap removes from the join
+    (n_shingles, max_df, n_hot_shingles, dropped_rows, join_rows_upper_
+    bound without vs with the cap — the O(df²) blow-up made visible)."""
+    sh = shingle_df(df, id_col, text_col, n).select(
+        "id", F.xxhash64("sh").alias("shh")
+    )
+    freq = sh.groupBy("shh").agg(F.count("*").alias("sh_df"))
+    pairs = F.col("sh_df") * (F.col("sh_df") - 1) / 2
+    return freq.agg(
+        F.count("*").alias("n_shingles"),
+        F.max("sh_df").alias("max_df"),
+        F.sum(F.when(F.col("sh_df") > df_cap, 1).otherwise(0)).alias(
+            "n_hot_shingles"
+        ),
+        F.sum(F.when(F.col("sh_df") > df_cap, F.col("sh_df")).otherwise(0)).alias(
+            "dropped_rows"
+        ),
+        F.sum(pairs).cast("long").alias("join_rows_uncapped"),
+        F.sum(F.when(F.col("sh_df") <= df_cap, pairs).otherwise(0))
+        .cast("long")
+        .alias("join_rows_capped"),
+    )
 
 
 def _minhash_col(seed: int) -> Column:
@@ -184,15 +237,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return agg.select("id", sig.alias("simhash"))
 
 
+def _band_layout(usable: int, bands: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) of ``bands`` disjoint bands covering
+    ``usable`` bits; leading bands absorb the remainder (+1 bit)."""
+    base, rem = divmod(usable, bands)
+    out, off = [], 0
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming (<= 3):
-    4 bands of 15 bits; any pair within distance 3 collides on >= 1 band
-    (pigeonhole), so candidates come from a band equi-join, then exact
-    Hamming via bit_count(xor)."""
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Band count is derived from the asked radius: ``max_hamming + 1``
+    disjoint bands over the 60 usable signature bits (pigeonhole — at
+    most ``max_hamming`` differing bits can touch at most ``max_hamming``
+    bands, so some band is bit-identical and the band equi-join finds
+    EVERY pair within the radius; exact ``bit_count(xor)`` then filters
+    false candidates).  An explicit ``bands`` override must still honor
+    ``bands > max_hamming`` — a smaller band count silently loses recall,
+    so it raises instead.  Wider radii mean narrower bands and larger
+    candidate buckets: the equi-join fan-out grows as 2^-width per band,
+    which is the honest cost of a complete large-radius search (radius
+    <= 3 keeps the classic 4x15-bit layout)."""
+    usable = 60
+    if bands is None:
+        bands = max_hamming + 1
+    if not max_hamming < bands <= usable:
+        raise ValueError(
+            f"need max_hamming < bands <= {usable} for pigeonhole "
+            f"completeness (got max_hamming={max_hamming}, bands={bands})"
+        )
     sig = simhash(df, id_col, text_col).cache()
-    bandw = 15
     stacked = sig.select(
         "id",
         "simhash",
@@ -201,11 +286,11 @@ def simhash_pairs(
                 F.concat_ws(
                     "|",
                     F.lit(str(b)),
-                    F.shiftright(F.col("simhash"), b * bandw)
-                    .bitwiseAND(F.lit((1 << bandw) - 1))
+                    F.shiftright(F.col("simhash"), off)
+                    .bitwiseAND(F.lit((1 << w) - 1))
                     .cast("string"),
                 )
-                for b in range(4)
+                for b, (off, w) in enumerate(_band_layout(usable, bands))
             ])
         ).alias("bucket"),
     )

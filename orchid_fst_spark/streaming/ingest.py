@@ -20,9 +20,13 @@ freeze as the frontier moves).  At web scale, pages arrive continuously
   same batch connected-components operator, so streaming and batch
   pipelines share one clustering semantics.
 
-Everything here is the stock Structured Streaming engine: checkpointed
-offsets + idempotent parquet appends give exactly-once per micro-batch,
-which is the streaming extension of the batch checkpoint/resume story
+Everything here is the stock Structured Streaming engine.  foreachBatch
+alone is at-least-once (a retried batch would re-run its writes); the
+state writes are made idempotent by writing each micro-batch to a
+deterministic ``batch_id=N`` subdirectory with overwrite — a retry
+replaces its own partial output instead of appending a duplicate — which
+upgrades the end-to-end guarantee to effectively-once per micro-batch,
+the streaming extension of the batch checkpoint/resume story
 (er/pipeline.py).
 """
 
@@ -70,12 +74,14 @@ def incremental_er(
 ):
     """Start the incremental ER stream; returns the StreamingQuery.
 
-    Per micro-batch (exactly-once via the streaming checkpoint):
-      1. normalize the batch's pages -> (url, norm_key); append to
-         ``state_dir/keys``.
+    Per micro-batch (idempotent per-batch overwrite — a foreachBatch
+    retry rewrites the same ``batch_id=N`` directory, so no duplicate
+    state survives a partial failure):
+      1. normalize the batch's pages -> (url, norm_key); write to
+         ``state_dir/keys/batch_id=N``.
       2. candidate edges = fuzzy_join(new keys, previously-seen keys)
-         ∪ fuzzy_self_pairs(new keys); exact-DP verified; append to
-         ``state_dir/edges``.
+         ∪ fuzzy_self_pairs(new keys); exact-DP verified; write to
+         ``state_dir/edges/batch_id=N``.
 
     Derive clusters at any time with ``clusters_from_state``.
     """
@@ -120,12 +126,15 @@ def incremental_er(
                 ).distinct()
             else:
                 edges = within
-            edges.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(edges_path)
-            new_keys.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(keys_path)
+            # deterministic per-batch directories (partition-discovery
+            # layout: readers of edges_path/keys_path see batch_id as a
+            # column); overwrite makes a retried batch idempotent
+            edges.write.mode("overwrite").parquet(
+                os.path.join(edges_path, f"batch_id={batch_id}")
+            )
+            new_keys.write.mode("overwrite").parquet(
+                os.path.join(keys_path, f"batch_id={batch_id}")
+            )
         finally:
             new_keys.unpersist()
 

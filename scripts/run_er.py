@@ -78,7 +78,13 @@ def main(argv: list[str] | None = None) -> None:
         resume=args.resume,
     )
     write_table(clusters, args.output, args.format)
-    n = spark.read.parquet(args.output).count() if args.format != "iceberg" else clusters.count()
+    # effective format: --format auto with an iceberg: output means iceberg
+    # (mirror write_table's prefix resolution so readback doesn't try to
+    # spark.read.parquet("iceberg:...") after a successful Iceberg write)
+    fmt = args.format
+    if fmt == "auto" and args.output.startswith("iceberg:"):
+        fmt = "iceberg"
+    n = spark.read.parquet(args.output).count() if fmt != "iceberg" else clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(
         json.dumps(

@@ -66,6 +66,67 @@ def test_ngram_jaccard_exact(spark, docs_df):
                 assert (ia, ib) not in got
 
 
+def test_ngram_hot_shingle_cap(spark):
+    """A corpus-common boilerplate shingle must be droppable (df_cap)
+    before the O(df²) self-join, with the drop observable in metrics and
+    union denominators kept from the uncapped sizes."""
+    from orchid_fst_spark.operators.dedup import ngram_shingle_metrics
+
+    boiler = "all rights reserved"
+    docs = [(i, f"unique token {i} alpha beta x{i} " + boiler) for i in range(12)]
+    docs += [
+        (100, "the quick brown fox jumps over dogs " + boiler),
+        (101, "the quick brown fox jumps over cats " + boiler),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = {i: _shingles(t) for i, t in docs}
+    freq = {}
+    for s in sh.values():
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    hot = {g for g, c in freq.items() if c > 5}
+    assert hot == {boiler}
+
+    def truth(cap_hot):
+        out = {}
+        ids = sorted(sh)
+        for x, a in enumerate(ids):
+            for b in ids[x + 1 :]:
+                sa, sb = sh[a], sh[b]
+                # capped semantics: a hot shingle counts toward sizes but
+                # never toward the intersection (conservative Jaccard)
+                inter_set = (sa & sb) - (hot if cap_hot else set())
+                inter = len(inter_set)
+                union = len(sa) + len(sb) - inter
+                if inter * 100 >= union:
+                    out[(a, b)] = (inter, union)
+        return out
+
+    capped = {
+        (r.id_a, r.id_b): (r.inter, r["union"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold_num=1, threshold_den=100, df_cap=5
+        ).collect()
+    }
+    assert capped == truth(True)
+    assert list(capped) == [(100, 101)]  # boilerplate-only pairs gone
+
+    uncapped = {
+        (r.id_a, r.id_b): (r.inter, r["union"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold_num=1, threshold_den=100, df_cap=10**6
+        ).collect()
+    }
+    assert uncapped == truth(False)
+    assert len(uncapped) == 12 * 11 // 2 + 12 * 2 + 1  # every pair shares boiler
+
+    m = ngram_shingle_metrics(df, "doc_id", "text", n=3, df_cap=5).collect()[0]
+    assert m.n_hot_shingles == 1
+    assert m.dropped_rows == 14
+    assert m.join_rows_uncapped - m.join_rows_capped == 14 * 13 // 2
+
+
 def test_minhash_candidates_subset_of_exact(spark, docs_df):
     exact = {
         (r.id_a, r.id_b): (r.inter, r["union"])
@@ -91,12 +152,41 @@ def test_simhash_deterministic_and_pairs(spark, docs_df):
     assert sig[0] == sig[2]  # identical docs -> identical simhash
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in simhash_pairs(docs_df, "doc_id", "text", max_hamming=60).collect()
+        for r in simhash_pairs(docs_df, "doc_id", "text", max_hamming=20).collect()
     }
     assert pairs.get((0, 2)) == 0
     # hamming values consistent with signatures
     for (a, b), h in pairs.items():
         assert bin(sig[a] ^ sig[b]).count("1") == h
+
+
+def test_simhash_pairs_brute_force_parity(spark):
+    """Banding derived from the radius must be COMPLETE: for every asked
+    max_hamming, the banded join's output equals the all-pairs truth
+    computed from the signatures (pattern of the blocking parity tests in
+    test_dictionary.py)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    sig = {r.id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(sig)
+    for h in (3, 10, 17):
+        exp = {
+            (a, b): bin(sig[a] ^ sig[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sig[a] ^ sig[b]).count("1") <= h
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(docs, "doc_id", "text", max_hamming=h).collect()
+        }
+        assert got == exp, f"max_hamming={h}"
+
+
+def test_simhash_pairs_rejects_lossy_banding(spark, docs_df):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs_df, "doc_id", "text", max_hamming=10, bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs_df, "doc_id", "text", max_hamming=60)
 
 
 EMB = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)], 0) for i in range(30)]
