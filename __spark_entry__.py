@@ -53,7 +53,6 @@ from orchid_fst_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
-from orchid_fst_spark.operators.sort import sorted_lines as _sorted_lines_op
 from orchid_fst_spark.er.blocking import candidate_pairs
 from orchid_fst_spark.operators.similarity import (
     cosine_lsh_pairs,
@@ -221,6 +220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["candidate_pairs_k2"] = lambda spark, sf: fuzzy_self_pairs(
         _dict(spark, sf), "key", k=2, damerau=False
     )
+    # k=3: 4-segment pigeonhole blocking (passjoin generalization) vs a
+    # brute-force lev<=3 oracle
+    q["candidate_pairs_k3"] = lambda spark, sf: fuzzy_self_pairs(
+        _dict(spark, sf), "key", k=3, damerau=False, algo="passjoin"
+    )
     # same semantics via the PassJoin segment blocking path (the 100 TB
     # candidate generator) — cross-checked against the identical oracle
     q["candidate_pairs_passjoin"] = lambda spark, sf: candidate_pairs(
@@ -233,17 +237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def _sorted_lines_ranked(spark, sf):
-        from pyspark.sql import Window
+        from orchid_fst_spark.operators.sort import ranked_lines
 
         lines = (
             spark.read.parquet(f"{sf}/part.parquet")
             .select(F.col("p_name").alias("line"))
         )
-        trimmed = F.regexp_replace("line", r"^[ \t\r\n]+|[ \t\r\n]+$", "")
-        w = Window.orderBy(trimmed, F.col("line"))
-        return _sorted_lines_op(lines).withColumn(
-            "rank", F.row_number().over(w).cast("long")
-        )
+        # two-pass distributed rank — no single-partition window exchange
+        return ranked_lines(lines)
 
     q["sort_lines_ranked"] = _sorted_lines_ranked
 
@@ -465,6 +466,10 @@ SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
 FROM dict a, dict b
 WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2"""
     o["candidate_pairs_passjoin"] = o["candidate_pairs_k2"]
+    o["candidate_pairs_k3"] = f"""WITH {_SQL_DICT}
+SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
+FROM dict a, dict b
+WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 3"""
     o["sort_lines_ranked"] = r"""
 SELECT p_name AS line,
        row_number() OVER (

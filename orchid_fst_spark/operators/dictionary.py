@@ -378,37 +378,68 @@ def fuzzy_join(
     (key_a, key_b, dist).
 
     algo='deletes' (default; short keys): explode deletion signatures
-    both sides -> equi-join on signature -> distinct pairs -> verify.
-    algo='passjoin' (long keys / streaming increments): segment blocking
-    both directions (operators/passjoin.passjoin_join_candidates) —
-    O(1) signature rows per key."""
+    both sides -> hot-sig cap -> equi-join on signature -> distinct
+    pairs -> verify.  algo='passjoin' (long keys / streaming
+    increments): segment blocking both directions
+    (operators/passjoin.passjoin_join_candidates) — O(1) signature rows
+    per key.  Both paths shuffle 8-byte xxhash64 key ids, never the key
+    strings (the strings rejoin only for the final verify), and both cap
+    hot signatures at ``sig_cap`` per side — a degenerate signature
+    (e.g. the empty-string delete of 1-char keys, or a crawl-dominating
+    segment) would otherwise blow up the equi-join O(nl·nr)."""
+    lk = (
+        left_df.select(F.col(left_key).alias("key"))
+        .filter(F.col(left_key).isNotNull())
+        .distinct()
+        .withColumn("kid", F.xxhash64("key"))
+    )
+    rk = (
+        right_df.select(F.col(right_key).alias("key"))
+        .filter(F.col(right_key).isNotNull())
+        .distinct()
+        .withColumn("kid", F.xxhash64("key"))
+    )
     if algo == "passjoin":
         from .passjoin import passjoin_join_candidates
 
-        lk = (
-            left_df.select(F.col(left_key).alias("key"))
-            .filter(F.col(left_key).isNotNull())
+        cand_ids = passjoin_join_candidates(
+            lk, rk, k=k, max_len=max_len, sig_cap=sig_cap
+        )
+    else:
+        lv = variant_sigs(
+            lk.select("kid", "key"), "key", k, max_len, scheme=scheme, window=window
+        ).select(F.col("kid").alias("kid_l"), "sig")
+        rv = variant_sigs(
+            rk.select("kid", "key"), "key", k, max_len, scheme=scheme, window=window
+        ).select(F.col("kid").alias("kid_r"), "sig")
+        # per-side hot-signature cap (observable recall trade, mirror of
+        # the passjoin/self-pairs caps): a sig carried by > sig_cap keys
+        # on either side is dropped before the join
+        hot = (
+            lv.groupBy("sig").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > sig_cap)
+            .select("sig")
+            .unionAll(
+                rv.groupBy("sig").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > sig_cap)
+                .select("sig")
+            )
             .distinct()
-            .withColumn("kid", F.col("key"))
         )
-        rk = (
-            right_df.select(F.col(right_key).alias("key"))
-            .filter(F.col(right_key).isNotNull())
-            .distinct()
-            .withColumn("kid", F.col("key"))
+        lv = lv.join(F.broadcast(hot), "sig", "left_anti")
+        rv = rv.join(F.broadcast(hot), "sig", "left_anti")
+        cand_ids = lv.join(rv, "sig").select("kid_l", "kid_r").distinct()
+    cand = (
+        cand_ids.join(
+            lk.select(F.col("kid").alias("kid_l"), F.col("key").alias("key_a")),
+            "kid_l",
         )
-        cand = passjoin_join_candidates(lk, rk, k=k, max_len=max_len, sig_cap=sig_cap)
-        cand = cand.select(
-            F.col("kid_l").alias("key_a"), F.col("kid_r").alias("key_b")
+        .join(
+            rk.select(F.col("kid").alias("kid_r"), F.col("key").alias("key_b")),
+            "kid_r",
         )
-        return _verified_pairs(cand, k, damerau)
-    lv = _variants_df(
-        left_df, left_key, k, max_len, scheme=scheme, window=window
-    ).withColumnRenamed("key", "key_a")
-    rv = _variants_df(
-        right_df, right_key, k, max_len, scheme=scheme, window=window
-    ).withColumnRenamed("key", "key_b")
-    cand = lv.join(rv, "sig").select("key_a", "key_b").distinct()
+        .select("key_a", "key_b")
+    )
     return _verified_pairs(cand, k, damerau)
 
 
@@ -458,17 +489,37 @@ def fuzzy_self_pairs(
 ) -> DataFrame:
     """Distinct unordered key pairs (a < b) within edit distance k — the
     ER blocking candidate generator over one table.  algo='passjoin'
-    switches to segment blocking (O(1) signatures per key; long keys)."""
+    switches to segment blocking (O(1) signatures per key; long keys);
+    its blocking shuffles carry 8-byte xxhash64 ids, not key strings
+    (long web keys would make every shuffle ~10x heavier; a hash
+    collision only ever costs an extra DP verify after the id->key
+    join-back, never a wrong pair)."""
     if algo == "passjoin":
         from .passjoin import passjoin_self_candidates
 
-        keyed = (
+        keymap = (
             df.select(F.col(key_col).alias("key"))
             .filter(F.col(key_col).isNotNull())
             .distinct()
-            .withColumn("kid", F.col("key"))
+            .withColumn("kid", F.xxhash64("key"))
         )
-        cand = passjoin_self_candidates(keyed, k=k, max_len=max_len, sig_cap=sig_cap)
+        cand_ids = passjoin_self_candidates(
+            keymap, k=k, max_len=max_len, sig_cap=sig_cap
+        )
+        cand = (
+            cand_ids.join(
+                keymap.select(F.col("kid").alias("key_a"), F.col("key").alias("ka")),
+                "key_a",
+            )
+            .join(
+                keymap.select(F.col("kid").alias("key_b"), F.col("key").alias("kb")),
+                "key_b",
+            )
+            .select(
+                F.least("ka", "kb").alias("key_a"),
+                F.greatest("ka", "kb").alias("key_b"),
+            )
+        )
         return _verified_pairs(cand, k, damerau)
     v = _variants_df(df, key_col, k, max_len, scheme=scheme, window=window)
     cand = grouped_self_candidates(v, sig_cap)

@@ -4,109 +4,124 @@ The deletion-neighborhood scheme (dictionary.variant_sigs) emits
 O(len²) signatures per key at k=2 — ~1,300 rows for a 50-char web key,
 which is the shuffle that dies first at 10^12 keys.  This module
 implements the segment/pigeonhole alternative (the PassJoin family,
-Li/Deng/Feng, VLDB 2011 — public algorithm, re-derived here):
+Li/Deng/Feng, VLDB 2011 — public algorithm, re-derived here),
+generalized to any k (pigeonhole with n = k+1 segments; the engine
+exposes k <= 3, matching the useful range of the reference CLI's
+``-d`` option, fst_cmd.cpp:103-111, beyond which segments degenerate):
 
-  Split every key into k+1 = 3 contiguous segments (even partition).
-  For a pair (s, t) with ed(s, t) <= k and len(s) <= len(t), assign each
-  edit to the segment of s it touches (substitutions/deletions mark a
-  char, insertions the segment whose span they fall in).  With <= k
-  edits over k+1 segments, some segment has none — so it maps
-  *contiguously and unedited* into t, starting within +-k of its
-  position in s (net shift of preceding edits).  Hence an exact
-  equi-join finds every pair:
+  Split every key into n = k+1 contiguous segments (even partition,
+  remainder chars to the trailing segments).  For a pair (s, t) with
+  ed(s, t) <= k and len(s) <= len(t), assign each edit to the segment of
+  s it touches (substitutions/deletions mark a char, insertions the
+  segment whose span they fall in).  With <= k edits over k+1 segments,
+  some segment has none — so it maps *contiguously and unedited* into t,
+  starting within a bounded shift of its position in s (net shift of
+  preceding edits).  Hence an exact equi-join finds every pair:
 
-    index side:  each key of length l emits its 3 segments
-                 (i, l, content) — 3 rows/key.
+    index side:  each key of length l emits its n segments
+                 (i, l, content) — n rows/key.
     probe side:  each key of length m emits, for every partner length
                  l in [m-k, m] and segment i, the substrings of
-                 length len_i(l) starting within +-k of p_i(l)
-                 — <= 3*3*5 = 45 rows/key at k=2, independent of len.
+                 length len_i(l) starting within the shift window of
+                 p_i(l) — O(n·k²) rows/key, independent of len.
 
-  Keys shorter than 3 chars can't carry 3 segments; they fall into a
-  single "short band" bucket (their partners all have length <= 4, also
+  Keys shorter than n chars can't carry n segments; they fall into a
+  single "short band" bucket (their partners are all short too, also
   banded).  Hot signatures — e.g. the segment that equals a shared URL
   host prefix — are counted and capped on the index side (sig_cap), an
   *observable* recall trade like the deletes path; a true pair loses
   candidacy only if all of its unedited segments are hot.
 
-All of this is Catalyst expressions (stack/explode/substring/xxhash64)
+All of this is Catalyst expressions (explode/substring/xxhash64)
 -> one equi-join -> distinct -> the shared vectorized DP verify.  ~40
-signature rows per key vs ~1,300: the 100 TB shuffle story.
+signature rows per key at k=2 vs ~1,300: the 100 TB shuffle story.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_SHORT_MAX = 4  # keys of length <= 4 go to the brute-force short band
+MAX_K = 3  # beyond k=3 segment blocking degenerates (segments of ~1 char)
 
 
-def _seg_exprs(l2: str) -> tuple[str, ...]:
-    """SQL fragments (len1,len2,len3,p1,p2,p3) of the even 3-partition of
-    a string of length ``l2`` (1-indexed positions; remainder chars go to
-    the trailing segments so lengths differ by at most 1)."""
-    base = f"({l2} DIV 3)"
-    len1 = base
-    len2 = f"({base} + IF({l2} % 3 = 2, 1, 0))"
-    len3 = f"({base} + IF({l2} % 3 >= 1, 1, 0))"
-    p1 = "1"
-    p2 = f"(1 + {len1})"
-    p3 = f"(1 + {len1} + {len2})"
-    return len1, len2, len3, p1, p2, p3
+def _nseg(k: int) -> int:
+    """Segments to block with.  Blocking is always built at k >= 2 (the
+    3-segment pigeonhole); callers with k=1 verify at 1 — k=2 candidates
+    are a superset, so completeness holds for any requested k."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"segment blocking supports k <= {MAX_K}")
+    return max(k, 2) + 1
+
+
+def _short_max(n: int) -> int:
+    """Keys of length <= n+1 also go to the brute-force short band (keys
+    shorter than n can't carry n segments; the one-char margin keeps
+    near-minimum-length blocks out of degenerate 1-char-segment land)."""
+    return n + 1
+
+
+def _seg_structs(n: int, l2: str) -> str:
+    """SQL array<struct(i,p,sl)> of the even n-partition of a string of
+    length ``l2`` (1-indexed positions; the trailing ``l2 % n`` segments
+    absorb the remainder, one extra char each).  For segment i in 1..n:
+      sl_i = (l DIV n) + (1 if l % n > n - i else 0)
+      p_i  = 1 + (i-1)*(l DIV n) + max(0, (l % n) - (n - i + 1) + ... )
+           = 1 + (i-1)*(l DIV n) + greatest(0, (i - 1 - n) + l % n)
+    (the greatest() term counts how many of the preceding segments were
+    extended)."""
+    structs = []
+    for i in range(1, n + 1):
+        sl = f"(({l2}) DIV {n}) + IF(({l2}) % {n} > {n - i}, 1, 0)"
+        p = (
+            f"1 + {i - 1} * (({l2}) DIV {n}) "
+            f"+ greatest(0, {i - 1 - n} + ({l2}) % {n})"
+        )
+        structs.append(f"named_struct('i', {i}, 'p', {p}, 'sl', {sl})")
+    return "array(" + ", ".join(structs) + ")"
 
 
 def passjoin_index(keyed: DataFrame, k: int, max_len: int) -> DataFrame:
-    """(key-id, l, sig) index entries: the 3 segments of each key (plus
-    the short band).  ``keyed`` must have columns (key string, kid).
-
-    Blocking is always built for k=2 (the 3-segment pigeonhole); callers
-    with k=1 verify at 1 — k=2 candidates are a superset, so
-    completeness holds for any k <= 2."""
-    if not 1 <= k <= 2:
-        raise ValueError("segment blocking supports k <= 2")
+    """(key-id, l, sig) index entries: the n segments of each key (plus
+    the short band).  ``keyed`` must have columns (key string, kid)."""
+    n = _nseg(k)
     t = keyed.selectExpr(
         "kid", f"substring(key, 1, {max_len}) AS _kt"
     ).selectExpr("kid", "_kt", "length(_kt) AS l")
-    l1, l2_, l3, p1, p2, p3 = _seg_exprs("l")
-    segs = t.filter("l >= 3").selectExpr(
+    segs = t.filter(f"l >= {n}").selectExpr(
         "kid",
         "l",
-        f"""explode(array(
-            named_struct('i', 1, 'p', {p1}, 'sl', {l1}),
-            named_struct('i', 2, 'p', {p2}, 'sl', {l2_}),
-            named_struct('i', 3, 'p', {p3}, 'sl', {l3}))) AS s""",
+        f"explode({_seg_structs(n, 'l')}) AS s",
         "_kt",
     ).selectExpr(
         "kid", "l", "xxhash64(substring(_kt, s.p, s.sl), s.i, l, 7777) AS sig"
     )
-    short = t.filter(f"l <= {_SHORT_MAX}").selectExpr(
+    short = t.filter(f"l <= {_short_max(n)}").selectExpr(
         "kid", "l", "xxhash64('shortband', 7777) AS sig"
     )
     return segs.unionAll(short)
 
 
 def passjoin_probe(keyed: DataFrame, k: int, max_len: int) -> DataFrame:
-    """(key-id, sig) probe entries: for partner lengths l in [m-k, m] and
-    each segment, the substrings within the position-aware start window."""
-    if not 1 <= k <= 2:
-        raise ValueError("segment blocking supports k <= 2")
-    k = 2  # block at k=2 always; verify narrows to the requested k
+    """(key-id, sig) probe entries: for partner lengths l in [m-kb, m] and
+    each segment, the substrings within the position-aware start window
+    (kb = the blocking level, max(k, 2))."""
+    n = _nseg(k)
+    kb = n - 1  # blocking level: candidates complete for any verify k <= kb
     t = keyed.selectExpr(
         "kid", f"substring(key, 1, {max_len}) AS _kt"
     ).selectExpr("kid", "_kt", "length(_kt) AS m")
     by_len = t.selectExpr(
-        "kid", "_kt", "m", f"explode(sequence(greatest(m - {k}, 3), m)) AS l2"
+        "kid", "_kt", "m", f"explode(sequence(greatest(m - {kb}, {n}), m)) AS l2"
     ).selectExpr("kid", "_kt", "m", "l2", "(m - l2) AS d")
-    l1, l2_, l3, p1, p2, p3 = _seg_exprs("l2")
     # position-aware shift window: the net shift of an unedited segment
     # is (#insertions - #deletions) among the edits before it, bounded by
-    # the total ins/del budgets implied by e <= k and len-diff d =
-    # #ins - #del (so #del <= (k-d)/2, #ins <= (k+d)/2), and symmetrically
-    # by the suffix side (d - shift obeys the same bounds).  At k=2 this
-    # is [-1,1] / [0,1] / [0,2] for d = 0/1/2 — ~2x fewer probe rows than
-    # the naive [-k, k] window, same completeness.
-    sh_lo = f"greatest(-((({k}) - d) DIV 2), d - ((({k}) + d) DIV 2))"
-    sh_hi = f"least((({k}) + d) DIV 2, d + ((({k}) - d) DIV 2))"
+    # the total ins/del budgets implied by e <= kb and len-diff d =
+    # #ins - #del (so #del <= (kb-d)/2, #ins <= (kb+d)/2), and
+    # symmetrically by the suffix side (d - shift obeys the same bounds).
+    # At kb=2 this is [-1,1] / [0,1] / [0,2] for d = 0/1/2 — ~2x fewer
+    # probe rows than the naive [-kb, kb] window, same completeness.
+    sh_lo = f"greatest(-((({kb}) - d) DIV 2), d - ((({kb}) + d) DIV 2))"
+    sh_hi = f"least((({kb}) + d) DIV 2, d + ((({kb}) - d) DIV 2))"
     probes = (
         by_len.selectExpr(
             "kid",
@@ -114,10 +129,7 @@ def passjoin_probe(keyed: DataFrame, k: int, max_len: int) -> DataFrame:
             "m",
             "l2",
             "d",
-            f"""explode(array(
-                named_struct('i', 1, 'p', {p1}, 'sl', {l1}),
-                named_struct('i', 2, 'p', {p2}, 'sl', {l2_}),
-                named_struct('i', 3, 'p', {p3}, 'sl', {l3}))) AS s""",
+            f"explode({_seg_structs(n, 'l2')}) AS s",
         )
         .selectExpr(
             "kid",
@@ -139,7 +151,7 @@ def passjoin_probe(keyed: DataFrame, k: int, max_len: int) -> DataFrame:
         .filter("start >= 1 AND start + sl - 1 <= m")
         .selectExpr("kid", "xxhash64(substring(_kt, start, sl), i, l2, 7777) AS sig")
     )
-    short = t.filter(f"m <= {_SHORT_MAX} + {k}").selectExpr(
+    short = t.filter(f"m <= {_short_max(n)} + {kb}").selectExpr(
         "kid", "xxhash64('shortband', 7777) AS sig"
     )
     return probes.unionAll(short)

@@ -40,6 +40,68 @@ def sorted_lines(
     return df.orderBy("_k", tie).select(line_col)
 
 
+def ranked_lines(
+    lines: DataFrame,
+    line_col: str = "line",
+    keep_blank: bool = True,
+    seq_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sorted_lines`` plus a global 1-based ``rank`` column — without a
+    single-partition exchange.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` collapses everything
+    onto one task.  Here the rank is a two-pass computation that stays
+    fully parallel at any scale:
+
+      1. range-repartition on the sort key + sort within partitions
+         (globally sorted across ordered partitions — Spark's Exchange
+         rangepartitioning, the same plan a global orderBy produces);
+      2. one cheap counting job per partition (``spark_partition_id``
+         groupBy — n_partitions scalar rows to the driver);
+      3. rank = partition offset + local position, where the local
+         position comes from ``monotonically_increasing_id``'s low 33
+         bits (its layout is partition_id * 2^33 + row-index-in-
+         partition) — a pure projection, no further shuffle, no window.
+
+    Duplicate lines get distinct consecutive ranks in an arbitrary order
+    among themselves (same multiset of (line, rank) rows as any engine's
+    row_number over the same ordering).  The frame is cached between the
+    two passes so both observe one materialization."""
+    df = lines.withColumn("_k", _trimmed(F.col(line_col)))
+    if not keep_blank:
+        df = df.filter(F.length("_k") > 0)
+    tie = seq_col if seq_col else line_col
+    n = num_partitions or int(
+        lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    srt = (
+        df.repartitionByRange(n, F.col("_k"), F.col(tie))
+        .sortWithinPartitions("_k", tie)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in srt.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    spark = lines.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    local_pos = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        srt.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", (F.col("_off") + local_pos + 1).cast("long"))
+        .select(line_col, "rank")
+    )
+
+
 def sort_metrics(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """input/blank(abandoned)/output line counters (mirrors
     large_file_sorter.h:139-141)."""

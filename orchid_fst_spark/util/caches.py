@@ -72,52 +72,78 @@ class LRUCache(_StatsMixin):
 
 
 class LFUCache(_StatsMixin):
-    """Least-frequently-used with LRU tie-break (frequency-list scheme of
-    lfu_cache.h — here freq counters + an OrderedDict per access order,
-    same eviction policy, simpler bookkeeping)."""
+    """Least-frequently-used with LRU tie-break — the frequency-list
+    scheme of the reference's lfu_cache.h (each frequency owns an
+    access-ordered bucket of keys; a node moves to bucket f+1 on access;
+    ``_min_freq`` tracks the lowest non-empty bucket): every operation,
+    eviction included, is O(1).
+
+    The tie-break is identical to a global-recency scan: a key enters
+    bucket f exactly when it is accessed for the f-th time, so within a
+    bucket the insertion order IS last-access order, and the bucket head
+    is the least-recently-used among the minimum-frequency keys."""
 
     def __init__(self, budget_bytes: int) -> None:
         self.budget = budget_bytes
-        self.data: dict = {}
-        self.freq: dict = {}
-        self.order: OrderedDict = OrderedDict()  # recency among all keys
+        self.data: dict = {}  # key -> (value, cost)
+        self.freq: dict = {}  # key -> frequency
+        self.buckets: dict[int, OrderedDict] = {}  # freq -> keys in access order
+        self._min_freq = 0
+        self._min_rescans = 0  # observability for the amortized-O(1) claim
+        self.evictions = 0
         self.size_bytes = 0
         self.hits = 0
         self.misses = 0
-        self._tick = 0
 
     def __len__(self) -> int:
         return len(self.data)
 
+    def _touch(self, key) -> None:
+        """Move ``key`` from bucket f to bucket f+1 (O(1))."""
+        f = self.freq[key]
+        b = self.buckets[f]
+        del b[key]
+        if not b:
+            del self.buckets[f]
+            if self._min_freq == f:
+                self._min_freq = f + 1
+        self.freq[key] = f + 1
+        self.buckets.setdefault(f + 1, OrderedDict())[key] = None
+
     def get(self, key, default=None):
         if key in self.data:
             self.hits += 1
-            self.freq[key] += 1
-            self.order.move_to_end(key)
+            self._touch(key)
             return self.data[key][0]
         self.misses += 1
         return default
 
     def put(self, key, value) -> None:
+        c = _cost(key, value)
         if key in self.data:
             self.size_bytes -= self.data[key][1]
-            c = _cost(key, value)
             self.data[key] = (value, c)
             self.size_bytes += c
-            self.freq[key] += 1
-            self.order.move_to_end(key)
+            self._touch(key)
         else:
-            c = _cost(key, value)
             self.data[key] = (value, c)
             self.size_bytes += c
             self.freq[key] = 1
-            self.order[key] = None
+            self.buckets.setdefault(1, OrderedDict())[key] = None
+            self._min_freq = 1
         while self.size_bytes > self.budget and len(self.data) > 1:
-            # victim: lowest frequency; ties broken by least recency
-            # (self.order iterates oldest-first)
-            minf = min(self.freq.values())
-            victim = next(k2 for k2 in self.order if self.freq[k2] == minf)
+            # O(1) victim: head (least recent) of the lowest non-empty
+            # frequency bucket.  Re-deriving _min_freq only happens when
+            # the bucket it pointed at drained — amortized constant.
+            if self._min_freq not in self.buckets:
+                self._min_rescans += 1
+                self._min_freq = min(self.buckets)
+            b = self.buckets[self._min_freq]
+            victim = next(iter(b))
+            del b[victim]
+            if not b:
+                del self.buckets[self._min_freq]
             self.size_bytes -= self.data[victim][1]
             del self.data[victim]
             del self.freq[victim]
-            del self.order[victim]
+            self.evictions += 1

@@ -65,6 +65,63 @@ def test_lru_differential_randomized():
     assert cache.size_bytes <= 200 + 20  # at most one oversize resident entry
 
 
+class ModelLFU:
+    """Trusted O(n)-per-eviction LFU model: victim = min (freq, last
+    access tick)."""
+
+    def __init__(self, budget):
+        self.budget = budget
+        self.items = {}  # key -> [value, cost, freq, tick]
+        self.t = 0
+
+    def get(self, key):
+        self.t += 1
+        if key in self.items:
+            it = self.items[key]
+            it[2] += 1
+            it[3] = self.t
+            return it[0]
+        return None
+
+    def put(self, key, value):
+        self.t += 1
+        c = len(key) + len(value)
+        if key in self.items:
+            it = self.items[key]
+            it[0], it[1] = value, c
+            it[2] += 1
+            it[3] = self.t
+        else:
+            self.items[key] = [value, c, 1, self.t]
+        while (
+            sum(i[1] for i in self.items.values()) > self.budget
+            and len(self.items) > 1
+        ):
+            victim = min(
+                self.items, key=lambda k: (self.items[k][2], self.items[k][3])
+            )
+            del self.items[victim]
+
+
+def test_lfu_differential_randomized():
+    rng = random.Random(123)
+    cache, model = LFUCache(200), ModelLFU(200)
+    for _ in range(20000):
+        key = f"k{rng.randrange(60)}"
+        if rng.random() < 0.5:
+            val = "v" * rng.randrange(1, 12)
+            cache.put(key, val)
+            model.put(key, val)
+        else:
+            assert cache.get(key) == model.get(key), key
+    assert set(cache.data) == set(model.items)
+    # frequency-list eviction is amortized O(1): the only non-constant
+    # step (re-deriving the min bucket) can fire at most once per
+    # eviction, and under heavy churn it stays a small fraction
+    assert cache.evictions > 1000
+    assert cache._min_rescans <= cache.evictions
+
+
 def test_lfu_policy_and_budget():
     c = LFUCache(40)
     c.put("hot", "xxxx")

@@ -261,6 +261,22 @@ def test_sorted_lines_policies(spark):
     assert m.output_lines == 243 - n_blank
 
 
+def test_ranked_lines_two_pass(spark):
+    """Distributed rank matches a driver-side sort exactly (including
+    duplicate lines getting distinct consecutive ranks) and the plan has
+    no single-partition global-window exchange."""
+    from orchid_fst_spark.operators.sort import ranked_lines
+
+    lines = gen_sort_lines(n=243) + ["  dup line", "  dup line", "zz"]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    got = sorted((r.line, r.rank) for r in ranked_lines(df).collect())
+    exp_lines = sorted(lines, key=lambda l: (l.strip(), l))
+    exp = sorted((l, i + 1) for i, l in enumerate(exp_lines))
+    assert got == exp
+    plan = ranked_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_decode_images_plumbing(spark, docs_df):
     src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     rows = decode_images(src, "doc_id", "payload").collect()

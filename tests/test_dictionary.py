@@ -180,6 +180,44 @@ def test_candidate_pairs_passjoin_complete(spark):
     assert got == exp
 
 
+def test_fuzzy_self_pairs_passjoin_k3_parity(spark):
+    # k=3 segment blocking (4-segment pigeonhole) finds exactly the DP
+    # ground truth, mixed/short lengths included
+    vocab = sorted(set(gen_dict_words(250) + ["a", "ab", "abc", "abcd", "ba", "xyz"]))
+    df = spark.createDataFrame([(w,) for w in vocab], "key string")
+    exp = {
+        (a, b): levenshtein(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if levenshtein(a, b) <= 3
+    }
+    got = {
+        (r.key_a, r.key_b): r.dist
+        for r in fuzzy_self_pairs(
+            df, "key", k=3, damerau=False, algo="passjoin"
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_fuzzy_join_passjoin_k3_parity(spark, words):
+    qs = ["hair", "loli", "stch", "ab"]
+    sample = words[::25]
+    left = spark.createDataFrame([(q,) for q in qs], "q string")
+    right = spark.createDataFrame([(w,) for w in sample], "key string")
+    exp = {
+        (q, w, levenshtein(q, w))
+        for q in qs
+        for w in sample
+        if levenshtein(q, w) <= 3
+    }
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_join(left, right, "q", "key", k=3, algo="passjoin").collect()
+    }
+    assert got == exp
+
+
 def test_fuzzy_join_passjoin_parity(spark, words):
     # two-table segment blocking finds exactly what the deletes path finds
     qs = ["hair", "loli", "stch", "中国", "ab"]
