@@ -6,9 +6,12 @@ operator from SURVEY.md §2 (dictionary build + match/prefix/range/fuzzy
 lookups, fuzzy join, candidate pairs, connected components) plus the
 training-data-pipeline family (exact/fingerprint/n-gram/MinHash-LSH/
 SimHash dedup, cosine ANN, language-ID / quality / token stats) for the
-DuckDB cross-check.  Non-SQL-expressible ops (OSA distance — DuckDB has
-no restricted-Damerau; hyperplane LSH; binary decode plumbing) are
-exposed without oracles (rows-only check).
+DuckDB cross-check.  Every query is oracle-checked: ops DuckDB can't
+compute natively use either a precomputed DP-truth fixture (OSA — the
+trusted pure-Python DP, scripts/gen_fixtures.py), md5-derived
+parameters both engines reproduce exactly (hyperplane LSH), or
+deterministic-media round-trips whose ground truth is doc_id arithmetic
+(the BMP/PPM/WAV/PVID codecs in operators/multimodal.py).
 
 Float discipline: every oracle-checked output column is an integer,
 string, or boolean; similarity thresholds are integer-exact comparisons
@@ -50,6 +53,9 @@ from orchid_fst_spark.operators.dedup import (
 from orchid_fst_spark.operators.multimodal import (
     decode_images,
     extract_audio_features,
+    gen_audio_payloads,
+    gen_image_payloads,
+    gen_video_payloads,
     resize_images,
     sample_frames,
 )
@@ -190,15 +196,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_hit_count"] = lambda spark, sf: fuzzy_lookup(
         _dict(spark, sf), "scan", 2, impl="builtin"
     ).agg(F.count("*").alias("hits"))
-    # OSA (restricted Damerau) — reference-parity semantics; DuckDB has no
-    # OSA function, so no oracle (rows-only check); exactness is covered
-    # by the pure-Python differential suite in tests/.
+    # OSA (restricted Damerau) — reference-parity semantics; DuckDB has
+    # no OSA function, so the oracle joins the precomputed DP-truth
+    # fixture (scripts/gen_fixtures.py) while Spark computes OSA live.
     q["fuzzy_osa_k2"] = lambda spark, sf: (
         _dict(spark, sf)
         .filter(F.levenshtein(F.col("key"), F.lit("scan"), 4) >= 0)
         .withColumn("dist", osa_distance(F.col("key"), F.lit("scan")).cast("long"))
         .filter(F.col("dist") <= 2)
     )
+
+    # persisted build-once/query-many index (operators/index.py): the
+    # artifact is built (once per sf_dir) into a deterministic temp path,
+    # then the query runs off the pickled shard DAGs — same oracle as
+    # the live fuzzy lookup
+    def _index_fuzzy(spark, sf):
+        import hashlib as _hl
+        import os as _os
+
+        from orchid_fst_spark.operators.index import (
+            build_index,
+            index_fuzzy_lookup,
+            load_index,
+        )
+
+        path = f"/tmp/orchid_fst_index_{_hl.md5(sf.encode()).hexdigest()[:10]}"
+        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            build_index(_dict(spark, sf), path, n_shards=8)
+        return index_fuzzy_lookup(load_index(spark, path), "scan", 2).withColumn(
+            "dist", F.levenshtein(F.col("key"), F.lit("scan")).cast("long")
+        )
+
+    q["index_fuzzy_scan"] = _index_fuzzy
 
     # --- fuzzy join + ER candidate pairs + clustering (E7 -> ER ops) ---
     def _part_tokens(spark, sf):
@@ -329,7 +358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.4,
         ).select("id_a", "id_b")
     )
-    # hyperplane-LSH ANN — seeded planes live outside SQL; rows-only check
+    # hyperplane-LSH ANN — md5-derived planes (operators/similarity.py
+    # _md5_planes), so the DuckDB oracle reproduces the exact buckets and
+    # the whole candidate+verify pipeline is oracle-checked
     q["cosine_lsh_pairs"] = lambda spark, sf: cosine_lsh_pairs(
         spark.read.parquet(f"{sf}/embeddings.parquet"),
         "vec_id",
@@ -399,25 +430,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessions"] = lambda spark, sf: sessionize(_events(spark, sf), 30)
     q["events_props"] = lambda spark, sf: extract_event_props(_events(spark, sf), "k")
 
-    # --- multimodal plumbing (binary columns; deterministic fake codec;
-    # rows-only checks — the codec stand-ins live outside SQL) ---
-    def _bin_docs(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id", F.encode("text", "utf-8").alias("payload")
-        )
-
+    # --- multimodal: REAL stdlib codecs (BMP/PPM/WAV/PVID).  Payloads
+    # are deterministic media generated from doc_id; Spark recovers
+    # width/height/checksums/sample-rate by PARSING the bytes, while the
+    # DuckDB oracle recomputes the same truth from doc_id arithmetic —
+    # a full encode->decode round-trip check per run ---
     q["decode_images"] = lambda spark, sf: decode_images(
-        _bin_docs(spark, sf), "doc_id", "payload"
-    ).select("id", "width", "height", "format")
+        gen_image_payloads(_docs(spark, sf), "doc_id"), "id", "payload"
+    ).select(
+        "id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+        "pix_sum",
+    )
     q["audio_features"] = lambda spark, sf: extract_audio_features(
-        _bin_docs(spark, sf), "doc_id", "payload"
-    ).select("id", "sample_rate", F.col("duration_ms").cast("long").alias("duration_ms"))
+        gen_audio_payloads(_docs(spark, sf), "doc_id"), "id", "payload"
+    ).select(
+        "id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples",
+        "duration_ms",
+        "amp_sum",
+    )
     q["video_frames"] = lambda spark, sf: sample_frames(
-        _bin_docs(spark, sf), "doc_id", "payload", every_n=5
-    ).select("id", "frame_idx", "frame_hash")
+        gen_video_payloads(_docs(spark, sf), "doc_id"), "id", "payload", every_n=5
+    ).select(
+        "id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "pix_sum",
+    )
     q["resize_images"] = lambda spark, sf: resize_images(
-        _bin_docs(spark, sf), "doc_id", "payload", 64, 48
-    ).select("id", "width", "height", F.length("payload").cast("long").alias("n_bytes"))
+        gen_image_payloads(_docs(spark, sf), "doc_id"), "id", "payload", 16, 12
+    ).select(
+        "id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        "pix_sum",
+    )
 
     return q
 
@@ -443,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
 SELECT key, value, levenshtein(key, 'scan')::BIGINT AS dist
 FROM dict WHERE levenshtein(key, 'scan') <= 2"""
     o["fuzzy_lev_k2_dfa"] = o["fuzzy_lev_k2"]
+    o["index_fuzzy_scan"] = o["fuzzy_lev_k2"]
     o["fuzzy_damerau_k2"] = f"""WITH {_SQL_DICT}
 SELECT key, value, damerau_levenshtein(key, 'scan')::BIGINT AS dist
 FROM dict WHERE damerau_levenshtein(key, 'scan') <= 2"""
@@ -451,6 +505,14 @@ SELECT key, value, levenshtein(key, 'scan')::BIGINT AS dist
 FROM dict WHERE key LIKE 'sc%' AND levenshtein(key, 'scan') <= 2"""
     o["fuzzy_hit_count"] = f"""WITH {_SQL_DICT}
 SELECT count(*)::BIGINT AS hits FROM dict WHERE levenshtein(key, 'scan') <= 2"""
+    # DuckDB has no OSA/restricted-Damerau function; the oracle joins a
+    # precomputed DP-truth fixture (scripts/gen_fixtures.py — the pure-
+    # Python OSA DP that the randomized differential suite validates),
+    # while the Spark side computes OSA live.
+    o["fuzzy_osa_k2"] = f"""WITH {_SQL_DICT}
+SELECT d.key, d.value, t.dist
+FROM dict d
+JOIN read_parquet('/root/repo/fixtures/osa_scan_k2_sf001.parquet') t USING (key)"""
 
     o["fuzzy_join_parts"] = f"""WITH {_SQL_DICT},
 qs AS (
@@ -636,6 +698,42 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, n_id, rnk::BIGINT AS rank FROM ranked WHERE rnk <= 3"""
+    # md5-derived hyperplanes: component (j, i) = md5('42|j|i')[:8] as a
+    # centered 32-bit integer — bit-identical to _md5_planes, so the
+    # banded candidate set matches the Spark side's exactly, then the
+    # same exact-cosine verify
+    o["cosine_lsh_pairs"] = f"""WITH {_sql_embX},
+planes AS (
+  SELECT j.j AS j, i.i AS i,
+         (('0x' || substr(md5('42|' || j.j || '|' || i.i), 1, 8))::BIGINT
+          - 2147483648)::DOUBLE AS c
+  FROM unnest(generate_series(0, 15)) AS j(j),
+       unnest(generate_series(0, 63)) AS i(i)
+),
+proj AS (
+  SELECT x.vec_id, p.j, sum(x.v * p.c) AS dot
+  FROM x JOIN planes p ON p.i = x.i - 1
+  GROUP BY x.vec_id, p.j
+),
+codes AS (
+  SELECT vec_id, j // 4 AS band,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS code
+  FROM proj GROUP BY vec_id, j // 4
+),
+buckets AS (SELECT vec_id, band::VARCHAR || '|' || code AS bucket FROM codes),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+cdots AS (
+  SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dot
+  FROM cand c JOIN x a ON a.vec_id = c.id_a JOIN x b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b
+FROM cdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4"""
+
     o["cosine_near_pairs"] = f"""WITH {_sql_embX},
 dots AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
@@ -701,5 +799,50 @@ b AS (
   FROM m
 )
 SELECT q6, count(*)::BIGINT AS n FROM b GROUP BY q6"""
+
+    # --- multimodal round-trip oracles: the generators build real
+    # BMP/PPM/WAV/PVID bytes whose dimensions/pixels/samples are fixed
+    # arithmetic in doc_id (operators/multimodal.py); Spark PARSES the
+    # binary, the oracle recomputes the truth from doc_id directly.
+    o["decode_images"] = """
+WITH g AS (SELECT doc_id AS id, 4 + doc_id % 13 AS w, 4 + (doc_id*7) % 11 AS h
+           FROM documents)
+SELECT id, w::BIGINT AS width, h::BIGINT AS height,
+       CASE WHEN id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       (3 * (SELECT sum((id + 3*x.i + 7*y.i) % 256)
+             FROM unnest(generate_series(0, w-1)) AS x(i),
+                  unnest(generate_series(0, h-1)) AS y(i)))::BIGINT AS pix_sum
+FROM g"""
+    # resized output is 16x12 PPM: header 'P6\n16 12\n255\n' (13 bytes) +
+    # 3*16*12 body; nearest-neighbor source pixel of (x, y) is
+    # (x*w // 16, y*h // 12)
+    o["resize_images"] = """
+WITH g AS (SELECT doc_id AS id, 4 + doc_id % 13 AS w, 4 + (doc_id*7) % 11 AS h
+           FROM documents)
+SELECT id, 16::BIGINT AS width, 12::BIGINT AS height,
+       (13 + 3*16*12)::BIGINT AS n_bytes,
+       (3 * (SELECT sum((id + 3*((x.i * w) // 16) + 7*((y.i * h) // 12)) % 256)
+             FROM unnest(generate_series(0, 15)) AS x(i),
+                  unnest(generate_series(0, 11)) AS y(i)))::BIGINT AS pix_sum
+FROM g"""
+    o["audio_features"] = """
+WITH g AS (SELECT doc_id AS id,
+                  ([8000, 16000, 22050, 44100])[1 + doc_id % 4] AS sr,
+                  100 + doc_id % 401 AS ns
+           FROM documents)
+SELECT id, sr::BIGINT AS sample_rate, ns::BIGINT AS n_samples,
+       (ns * 1000 // sr)::BIGINT AS duration_ms,
+       (SELECT sum(abs(((id*31 + i.i*17) % 65536) - 32768))
+        FROM unnest(generate_series(0, ns-1)) AS i(i))::BIGINT AS amp_sum
+FROM g"""
+    o["video_frames"] = """
+WITH g AS (SELECT doc_id AS id, 1 + doc_id % 17 AS nf FROM documents),
+fr AS (SELECT id, f.i AS frame_idx FROM g,
+       unnest(generate_series(0, nf-1)) AS f(i) WHERE f.i % 5 = 0)
+SELECT id, frame_idx::BIGINT AS frame_idx, 8::BIGINT AS width, 6::BIGINT AS height,
+       (3 * (SELECT sum((id + frame_idx*13 + 3*x.i + 7*y.i) % 256)
+             FROM unnest(generate_series(0, 7)) AS x(i),
+                  unnest(generate_series(0, 5)) AS y(i)))::BIGINT AS pix_sum
+FROM fr"""
 
     return o

@@ -192,6 +192,61 @@ def bench_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_index(spark, n_words: int = 50000, n_queries: int = 10) -> dict:
+    """Build-once/query-many amortization: repeated fuzzy point lookups
+    against a persisted sharded-DAG index (operators/index.py) vs the
+    rebuild-per-query path (fuzzy_enumerate_trie re-sorts and re-builds
+    the per-partition trie on every call).  The index pays one build,
+    then each query is a pruned scan of pickled shards decoded through
+    the executor-side LRU."""
+    import shutil
+    import tempfile
+
+    from orchid_fst_spark.operators.dictionary import fuzzy_enumerate_trie
+    from orchid_fst_spark.operators.index import (
+        build_index,
+        index_fuzzy_lookup,
+        load_index,
+    )
+    from orchid_fst_spark.sources.fixtures import gen_dict_words
+
+    words = gen_dict_words(n_words)
+    d = spark.createDataFrame([(w,) for w in set(words)], "key string").cache()
+    d.count()
+    qs = sorted(set(words))[:: max(1, len(set(words)) // n_queries)][:n_queries]
+
+    path = tempfile.mkdtemp(prefix="bench_idx_") + "/index"
+    t0 = time.time()
+    build_index(d, path, n_shards=int(spark.sparkContext.defaultParallelism))
+    t_build = time.time() - t0
+    idx = load_index(spark, path).cache()
+    idx.count()
+
+    # untimed warm-up of both paths (codegen + python workers)
+    fuzzy_enumerate_trie(d, qs[0], 2).count()
+    index_fuzzy_lookup(idx, qs[0], 2).count()
+
+    t0 = time.time()
+    for q in qs:
+        fuzzy_enumerate_trie(d, q, 2).count()
+    t_rebuild = time.time() - t0
+    t0 = time.time()
+    for q in qs:
+        index_fuzzy_lookup(idx, q, 2).count()
+    t_indexed = time.time() - t0
+    d.unpersist()
+    idx.unpersist()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return {
+        "dict_keys": len(set(words)),
+        "n_queries": len(qs),
+        "build_sec": round(t_build, 3),
+        "rebuild_path_sec_per_query": round(t_rebuild / len(qs), 3),
+        "indexed_sec_per_query": round(t_indexed / len(qs), 3),
+        "amortized_speedup": round(t_rebuild / t_indexed, 2) if t_indexed else None,
+    }
+
+
 def run_single(cores: str, sf_dir: str, er_only: bool = False) -> dict:
     spark = _spark(cores, aqe=not er_only)
     try:
@@ -200,6 +255,7 @@ def run_single(cores: str, sf_dir: str, er_only: bool = False) -> dict:
         res = {"er_pipeline": er}
         if not er_only:
             res["queries"] = bench_queries(spark, sf_dir)
+            res["index"] = bench_index(spark)
         res["total_sec"] = round(time.time() - t0, 3)
         return res
     finally:
@@ -320,6 +376,7 @@ def main() -> None:
         "cores": CPUS,
         "candidate_pairs": res["er_pipeline"]["candidate_pairs"],
         "pairs_per_sec": res["er_pipeline"]["pairs_per_sec"],
+        "index_amortization": res.get("index"),
     }
     if scaling:
         payload["scaling"] = run_scaling(SF_DIR)

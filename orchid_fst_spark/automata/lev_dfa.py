@@ -59,6 +59,48 @@ class LevenshteinDFA:
                 return False
         return self.is_match[st]
 
+    def accepts_any_prefix(self, s: str) -> bool:
+        """True iff some prefix of ``s`` (incl. '' and s itself) is
+        accepted — ONE incremental walk, O(len(s)), instead of
+        re-running ``accepts`` per prefix (O(len²)); this is what the
+        reference's StartsWithAutomaton does with its match-seen flag
+        (automaton.h:235-297)."""
+        st: int | None = self.start
+        if self.is_match[st]:
+            return True
+        for ch in s:
+            st = self.step(st, ch)
+            if st is None:
+                return False
+            if self.is_match[st]:
+                return True
+        return False
+
+
+def dfa_mask_sorted(keys, dfa: "LevenshteinDFA") -> list[bool]:
+    """Acceptance mask for a SORTED key batch, reusing DFA states along
+    shared prefixes (the trie ∩ DFA walk without materializing a trie):
+    for each key only the suffix after the longest common prefix with
+    the previous key is stepped — on sorted dictionary batches this cuts
+    the per-key work from O(len) DFA restarts to O(suffix)."""
+    mask: list[bool] = []
+    prev = ""
+    # states[i] = DFA state after consuming prev[:i] (None = dead)
+    states: list[int | None] = [dfa.start]
+    for s in keys:
+        lcp = 0
+        m = min(len(prev), len(s))
+        while lcp < m and prev[lcp] == s[lcp]:
+            lcp += 1
+        del states[lcp + 1 :]
+        st = states[-1]
+        for ch in s[lcp:]:
+            st = dfa.step(st, ch) if st is not None else None
+            states.append(st)
+        mask.append(st is not None and dfa.is_match[st])
+        prev = s
+    return mask
+
 
 def _lev_next_row(row: tuple[int, ...], query: str, ch: str | None, cap: int):
     """One DP step: row over query positions 0..m, clamped at cap=k+1.

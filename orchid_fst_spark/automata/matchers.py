@@ -40,6 +40,24 @@ class Matcher:
     def accepts(self, s: str) -> bool:
         raise NotImplementedError
 
+    def accepts_any_prefix(self, s: str) -> bool:
+        """True iff some prefix of ``s`` (incl. '' and s) is accepted —
+        the StartsWith composition (automaton.h:235-297).  Leaves with a
+        cheaper closed form or an incremental automaton override this;
+        the fallback is the O(len²) prefix enumeration."""
+        return any(self.accepts(s[:i]) for i in range(len(s) + 1))
+
+    def startswith_col_predicate(self, c: Column):
+        """Catalyst predicate for 'some prefix of the key is accepted by
+        this matcher', or None when no closed form exists (the tree then
+        runs on the Python path)."""
+        return None
+
+    def startswith_jvm_ok(self) -> bool:
+        """Whether ``startswith_col_predicate`` has a closed form (pure
+        bookkeeping — no Column is built, so no JVM round-trip)."""
+        return False
+
     # combinators (reference automaton.h:138-232)
     def __and__(self, other: "Matcher") -> "Matcher":
         return Intersect(self, other)
@@ -61,6 +79,15 @@ class Always(Matcher):
     def accepts(self, s: str) -> bool:
         return True
 
+    def accepts_any_prefix(self, s: str) -> bool:
+        return True
+
+    def startswith_col_predicate(self, c: Column) -> Column:
+        return F.lit(True)
+
+    def startswith_jvm_ok(self) -> bool:
+        return True
+
 
 @dataclass
 class Str(Matcher):
@@ -74,6 +101,16 @@ class Str(Matcher):
     def accepts(self, s: str) -> bool:
         return s == self.query
 
+    def accepts_any_prefix(self, s: str) -> bool:
+        # the only prefix of s equal to query is s[:len(query)]
+        return s.startswith(self.query)
+
+    def startswith_col_predicate(self, c: Column) -> Column:
+        return c.startswith(self.query)
+
+    def startswith_jvm_ok(self) -> bool:
+        return True
+
 
 @dataclass
 class Prefix(Matcher):
@@ -86,6 +123,16 @@ class Prefix(Matcher):
 
     def accepts(self, s: str) -> bool:
         return s.startswith(self.prefix)
+
+    def accepts_any_prefix(self, s: str) -> bool:
+        # a prefix of s starting with self.prefix exists iff s does
+        return s.startswith(self.prefix)
+
+    def startswith_col_predicate(self, c: Column) -> Column:
+        return c.startswith(self.prefix)
+
+    def startswith_jvm_ok(self) -> bool:
+        return True
 
 
 @dataclass
@@ -101,6 +148,17 @@ class GreaterThan(Matcher):
     def accepts(self, s: str) -> bool:
         return s >= self.bound if self.inclusive else s > self.bound
 
+    def accepts_any_prefix(self, s: str) -> bool:
+        # prefixes of s are lexicographically increasing; the largest is
+        # s itself, so some prefix clears the lower bound iff s does
+        return self.accepts(s)
+
+    def startswith_col_predicate(self, c: Column) -> Column:
+        return self.col_predicate(c)
+
+    def startswith_jvm_ok(self) -> bool:
+        return True
+
 
 @dataclass
 class LessThan(Matcher):
@@ -114,6 +172,17 @@ class LessThan(Matcher):
 
     def accepts(self, s: str) -> bool:
         return s <= self.bound if self.inclusive else s < self.bound
+
+    def accepts_any_prefix(self, s: str) -> bool:
+        # the smallest prefix is '': '' <= bound always, '' < bound
+        # unless bound is itself empty
+        return True if self.inclusive else self.bound != ""
+
+    def startswith_col_predicate(self, c: Column) -> Column:
+        return F.lit(True if self.inclusive else self.bound != "")
+
+    def startswith_jvm_ok(self) -> bool:
+        return True
 
 
 class Fuzzy(Matcher):
@@ -135,6 +204,11 @@ class Fuzzy(Matcher):
 
     def accepts(self, s: str) -> bool:
         return self._dfa.accepts(s)
+
+    def accepts_any_prefix(self, s: str) -> bool:
+        # one incremental DFA walk with a match-seen flag — O(len), not
+        # O(len²) prefix re-evaluation
+        return self._dfa.accepts_any_prefix(s)
 
 
 @dataclass
@@ -172,6 +246,19 @@ class Union(Matcher):
     def accepts(self, s: str) -> bool:
         return self.left.accepts(s) or self.right.accepts(s)
 
+    def accepts_any_prefix(self, s: str) -> bool:
+        # StartsWith distributes over union: some prefix satisfies
+        # (a ∪ b) iff some prefix satisfies a or some prefix satisfies b
+        return self.left.accepts_any_prefix(s) or self.right.accepts_any_prefix(s)
+
+    def startswith_col_predicate(self, c: Column):
+        l = self.left.startswith_col_predicate(c)
+        r = self.right.startswith_col_predicate(c)
+        return (l | r) if l is not None and r is not None else None
+
+    def startswith_jvm_ok(self) -> bool:
+        return self.left.startswith_jvm_ok() and self.right.startswith_jvm_ok()
+
 
 @dataclass
 class Not(Matcher):
@@ -193,17 +280,32 @@ class Not(Matcher):
 @dataclass
 class StartsWith(Matcher):
     """StartsWithAutomaton (automaton.h:235-297): the inner matcher
-    accepts some prefix of the key.  Python path only (requires prefix
-    enumeration) except for inner matchers that are prefix-closed."""
+    accepts some prefix of the key.
+
+    JVM path whenever the inner tree has a closed form for
+    'some-prefix-accepted' (Str/Prefix -> ``startswith``; bounds ->
+    monotone prefix arguments; Always; unions thereof) — those compile
+    to ordinary Catalyst predicates with scan pushdown.  Inner automata
+    without a closed form (Fuzzy, Intersect, Not) run on the Python
+    path via ``accepts_any_prefix`` — a single incremental walk per key,
+    not per-prefix re-evaluation."""
 
     inner: Matcher
-    jvm_ok = False
+
+    @property
+    def jvm_ok(self) -> bool:  # type: ignore[override]
+        return self.inner.startswith_jvm_ok()
 
     def col_predicate(self, c: Column) -> Column:
-        raise NotImplementedError("StartsWith runs on the Python path")
+        p = self.inner.startswith_col_predicate(c)
+        if p is None:
+            raise NotImplementedError(
+                "this StartsWith composition runs on the Python path"
+            )
+        return p
 
     def accepts(self, s: str) -> bool:
-        return any(self.inner.accepts(s[:i]) for i in range(len(s) + 1))
+        return self.inner.accepts_any_prefix(s)
 
 
 def match(dict_df: DataFrame, matcher: Matcher, key_col: str = "key") -> DataFrame:

@@ -135,16 +135,20 @@ def fuzzy_lookup(
 
     dfa = compile_dfa(query, k, damerau)  # driver-side constant folding
     schema = out.schema
-    has_value = "value" in out.columns
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..automata.lev_dfa import dfa_mask_sorted
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            keys = pdf["key"]
-            mask = [
-                (s is not None) and dfa.accepts(s) for s in keys.tolist()
-            ]
+            # sort the batch and reuse DFA states along shared prefixes
+            # (the trie ∩ DFA walk without materializing a trie) — on
+            # dictionary batches this replaces per-key DFA restarts with
+            # per-suffix stepping; output order is restored by the final
+            # orderBy anyway
+            pdf = pdf[pdf["key"].notna()].sort_values("key")
+            mask = dfa_mask_sorted(pdf["key"].tolist(), dfa)
             yield pdf[mask]
 
     return out.mapInPandas(gen, schema=schema).orderBy("key")

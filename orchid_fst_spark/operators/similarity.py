@@ -92,6 +92,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def _md5_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Hyperplane coefficients derived from md5 — component (j, i) is
+    int(md5('{seed}|{j}|{i}')[:8], 16) - 2^31, a symmetric integer-
+    valued pseudo-random direction that ANY engine can recompute exactly
+    (DuckDB: ('0x' || substr(md5(...), 1, 8))::BIGINT - 2147483648), so
+    the LSH buckets themselves are oracle-checkable, not just the
+    verified output."""
+    import hashlib
+
+    m = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()
+            m[j, i] = float(int(h[:8], 16) - 2**31)
+    return m
+
+
 def cosine_lsh_pairs(
     emb: DataFrame,
     id_col: str,
@@ -101,17 +118,27 @@ def cosine_lsh_pairs(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    plane_scheme: str = "md5",
 ) -> DataFrame:
     """Approximate near-neighbor pairs: random-hyperplane signatures
     (sign of projection) -> band equi-join -> exact cosine verify.
     Recall < 1 by construction (LSH); the exact verify keeps precision 1.
-    """
+
+    plane_scheme='md5' (default) derives the hyperplanes from md5 of
+    (seed, plane, component) so an external SQL engine reproduces the
+    exact buckets; 'gaussian' uses a seeded N(0,1) matrix (statistically
+    identical behavior, not SQL-reproducible)."""
     assert n_planes % bands == 0
     r = n_planes // bands
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = (
+        _md5_planes(dim, n_planes, seed)
+        if plane_scheme == "md5"
+        else _hyperplanes(dim, n_planes, seed)
+    )
 
+    id_type = emb.schema[id_col].dataType
     schema = StructType(
-        [StructField("id", StringType()), StructField("bucket", StringType())]
+        [StructField("id", id_type), StructField("bucket", StringType())]
     )
 
     def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,9 +156,7 @@ def cosine_lsh_pairs(
                     buckets.append(f"{b}|{code}")
             yield pd.DataFrame({"id": ids, "bucket": buckets})
 
-    src = emb.select(
-        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("vec")
-    )
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     stacked = src.mapInPandas(sig_gen, schema=schema)
     a = stacked.select(F.col("id").alias("id_a"), "bucket")
     b = stacked.select(F.col("id").alias("id_b"), "bucket")

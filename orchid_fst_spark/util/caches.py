@@ -58,12 +58,15 @@ class LRUCache(_StatsMixin):
         self.misses += 1
         return default
 
-    def put(self, key, value) -> None:
+    def put(self, key, value, cost: int | None = None) -> None:
+        """``cost`` overrides the default byte estimate — callers caching
+        decoded objects charge the encoded size they can observe (e.g.
+        the pickled blob length in operators.index)."""
         if key in self.data:
             old_cost = self.data[key][1]
             self.size_bytes -= old_cost
             del self.data[key]
-        c = _cost(key, value)
+        c = cost if cost is not None else _cost(key, value)
         self.data[key] = (value, c)
         self.size_bytes += c
         while self.size_bytes > self.budget and len(self.data) > 1:

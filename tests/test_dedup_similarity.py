@@ -235,7 +235,7 @@ def test_cosine_lsh_recall_and_precision(spark, emb_df):
     S = _np_cos()
     got = {(r.id_a, r.id_b) for r in cosine_lsh_pairs(emb_df, "vec_id", "embedding", 0.8, dim=8).collect()}
     exp = {
-        tuple(sorted((str(i), str(j))))  # operator orders ids as strings
+        (i, j)
         for i in range(len(EMB))
         for j in range(i + 1, len(EMB))
         if S[i, j] >= 0.8
@@ -277,59 +277,100 @@ def test_ranked_lines_two_pass(spark):
     assert "SinglePartition" not in plan
 
 
-def test_decode_images_plumbing(spark, docs_df):
-    src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    rows = decode_images(src, "doc_id", "payload").collect()
+def test_decode_images_codec_roundtrip(spark, docs_df):
+    """Generated BMP/PPM bytes, decoded by actually parsing the binary,
+    must recover the generator's ground truth (dims, format, pixel sum,
+    content-derived feature)."""
+    from orchid_fst_spark.operators.multimodal import (
+        _image_pixels,
+        gen_image_payloads,
+    )
+    import numpy as np
+
+    rows = decode_images(
+        gen_image_payloads(docs_df, "doc_id"), "id", "payload"
+    ).collect()
     assert len(rows) == len(DOCS)
+    for r in rows:
+        d = r.id
+        w, h = 4 + d % 13, 4 + (d * 7) % 11
+        assert (r.width, r.height) == (w, h)
+        assert r.format == ("bmp" if d % 2 == 0 else "ppm")
+        assert r.pix_sum == int(_image_pixels(d, w, h).astype(np.int64).sum())
+        assert len(r.feature) == 8
+        assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-5
+
+
+def test_decode_images_fake_path_and_real_gate(spark, docs_df):
+    src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = decode_images(src, "doc_id", "payload", decoder="fake").collect()
     by_id = {r.id: r for r in rows}
-    # deterministic fake decode matches the driver-side stand-in
     for did, text in DOCS:
         d = hashlib.sha256(text.encode()).digest()
         assert by_id[did].width == 16 + d[0] % 240
         assert by_id[did].height == 16 + d[1] % 240
-        assert len(by_id[did].feature) == 8
-        assert abs(sum(x * x for x in by_id[did].feature) - 1.0) < 1e-5
-
-
-def test_decode_images_real_codec_raises(spark, docs_df):
-    src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
         decode_images(src, "doc_id", "payload", decoder="real").collect()
+    # non-media bytes through the real parser fail loudly, not silently
+    with pytest.raises(Exception, match="(?i)image format"):
+        decode_images(src, "doc_id", "payload", decoder="codec").collect()
 
 
-def test_sample_frames_fanout(spark, docs_df):
-    src = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    rows = sample_frames(src, "doc_id", "payload", every_n=5).collect()
-    assert len(rows) >= len(DOCS)  # one-to-many fan-out
-    assert all(r.frame_idx % 5 == 0 for r in rows)
-
-
-def test_audio_and_resize_plumbing(spark):
+def test_sample_frames_codec_fanout(spark, docs_df):
     from orchid_fst_spark.operators.multimodal import (
+        _image_pixels,
+        gen_video_payloads,
+    )
+    import numpy as np
+
+    rows = sample_frames(
+        gen_video_payloads(docs_df, "doc_id"), "id", "payload", every_n=5
+    ).collect()
+    assert len(rows) >= len(DOCS)  # one-to-many fan-out
+    for r in rows:
+        assert r.frame_idx % 5 == 0
+        assert (r.width, r.height) == (8, 6)
+        truth = _image_pixels(r.id, 8, 6, salt=r.frame_idx)
+        assert r.pix_sum == int(truth.astype(np.int64).sum())
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r.frame_idx)
+    for did, _ in DOCS:
+        n_frames = 1 + did % 17
+        assert sorted(by_id[did]) == list(range(0, n_frames, 5))
+
+
+def test_audio_and_resize_codec(spark):
+    from orchid_fst_spark.operators.multimodal import (
+        AUDIO_RATES,
         extract_audio_features,
+        gen_audio_payloads,
+        gen_image_payloads,
+        parse_ppm,
         resize_images,
-        sample_frames,
     )
-    from pyspark.sql import functions as F
+    import numpy as np
 
-    docs = (
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .limit(50)
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    )
-    au = extract_audio_features(docs, "doc_id", "payload").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    au = extract_audio_features(
+        gen_audio_payloads(docs, "doc_id"), "id", "payload"
+    ).collect()
     assert len(au) == 50
-    assert all(r.sample_rate in (8000, 16000, 22050, 44100) for r in au)
-    assert all(len(r.mfcc) == 8 for r in au)
-    # determinism: same payload -> same features
-    au2 = extract_audio_features(docs, "doc_id", "payload").collect()
-    assert {(r.id, r.sample_rate) for r in au} == {(r.id, r.sample_rate) for r in au2}
+    for r in au:
+        d = r.id
+        assert r.sample_rate == AUDIO_RATES[d % 4]
+        assert r.n_samples == 100 + d % 401
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+        i = np.arange(r.n_samples, dtype=np.int64)
+        assert r.amp_sum == int(np.abs((d * 31 + i * 17) % 65536 - 32768).sum())
+        assert len(r.mfcc) == 8
 
-    rs = resize_images(docs, "doc_id", "payload", 64, 48).collect()
+    rs = resize_images(
+        gen_image_payloads(docs, "doc_id"), "id", "payload", 16, 12
+    ).collect()
     assert len(rs) == 50
-    assert all((r.width, r.height) == (64, 48) for r in rs)
-    assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) >= 16 for r in rs)
-
-    fr = sample_frames(docs, "doc_id", "payload", every_n=5)
-    # fan-out: more frame rows than input rows is expected shape
-    assert fr.count() >= 50
+    for r in rs:
+        assert (r.width, r.height) == (16, 12)
+        pix = parse_ppm(bytes(r.payload))  # re-encoded output is valid PPM
+        assert pix.shape == (12, 16, 3)
+        assert r.pix_sum == int(pix.astype(np.int64).sum())

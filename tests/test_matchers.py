@@ -66,6 +66,40 @@ def test_union_not_python_path(spark, dict_df, words):
     assert _run(dict_df, m) == exp
 
 
+def test_startswith_jvm_closed_forms(spark, dict_df, words):
+    # prefix-closed inner matchers compile to Catalyst predicates
+    sw = sorted(words)
+    cases = [
+        (StartsWith(Str("sta")), lambda w: w.startswith("sta")),
+        (StartsWith(Prefix("st")), lambda w: w.startswith("st")),
+        (StartsWith(Always()), lambda w: True),
+        (StartsWith(GreaterThan("m")), lambda w: w >= "m"),
+        (StartsWith(LessThan("m")), lambda w: True),  # '' <= 'm'
+        (StartsWith(LessThan("", inclusive=False)), lambda w: False),
+        (
+            StartsWith(Str("sta") | Prefix("ha")),
+            lambda w: w.startswith("sta") or w.startswith("ha"),
+        ),
+    ]
+    for m, ref in cases:
+        assert m.jvm_ok, m
+        assert _run(dict_df, m) == [w for w in sw if ref(w)], m
+    # brute-force prefix-enumeration parity on the Python predicate too
+    for m, _ in cases:
+        for w in words[:50]:
+            brute = any(m.inner.accepts(w[:i]) for i in range(len(w) + 1))
+            assert m.accepts(w) == brute, (m, w)
+
+
+def test_startswith_fuzzy_incremental_parity(words):
+    # the O(len) match-seen DFA walk equals brute-force prefix checks
+    m = StartsWith(Fuzzy("sta", 1))
+    assert not m.jvm_ok
+    for w in words[:200]:
+        brute = any(levenshtein(w[:i], "sta") <= 1 for i in range(len(w) + 1))
+        assert m.accepts(w) == brute, w
+
+
 def test_startswith(spark, dict_df, words):
     # "some prefix of the key matches" — here: key starts with something
     # within distance 1 of 'sta'
