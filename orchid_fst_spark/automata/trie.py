@@ -57,24 +57,34 @@ class Trie:
 def trie_dfa_matches(trie: Trie, dfa: LevenshteinDFA, with_values: bool = False):
     """DFS the trie ∩ DFA product; yields matching keys (or (key, value))
     in lexicographic order (reference Iterator::Next, fst.cpp:471-524:
-    prune on CanMatch-dead transitions, emit on final ∧ IsMatch)."""
+    prune on CanMatch-dead transitions, emit on final ∧ IsMatch).
+    Iterative (explicit stack): key length never hits the Python
+    recursion limit — web keys can exceed 1000 chars."""
     out: list = []
     is_match = dfa.is_match
-
-    def walk(node: dict, state: int, prefix: list) -> None:
-        term = "" in node
-        if term and is_match[state]:
-            key = "".join(prefix)
-            out.append((key, node[""]) if with_values else key)
-        for ch in sorted(k for k in node if k):
-            nxt = dfa.step(state, ch)
-            if nxt is None:
-                continue
-            prefix.append(ch)
-            walk(node[ch], nxt, prefix)
-            prefix.pop()
-
-    walk(trie.root, dfa.start, [])
+    prefix: list = []
+    # stack frames: (node, dfa_state, sorted child chars, next child idx)
+    stack = [[trie.root, dfa.start, None, 0]]
+    while stack:
+        frame = stack[-1]
+        node, state, chars, idx = frame
+        if chars is None:
+            chars = frame[2] = sorted(k for k in node if k)
+            if "" in node and is_match[state]:
+                key = "".join(prefix)
+                out.append((key, node[""]) if with_values else key)
+        if idx >= len(chars):
+            stack.pop()
+            if prefix:
+                prefix.pop()
+            continue
+        frame[3] += 1
+        ch = chars[idx]
+        nxt = dfa.step(state, ch)
+        if nxt is None:
+            continue
+        prefix.append(ch)
+        stack.append([node[ch], nxt, None, 0])
     return out
 
 
@@ -95,32 +105,46 @@ def minimize(trie: Trie, cache_budget_bytes: int | None = None):
 
     sig_map = LRUCache(cache_budget_bytes) if cache_budget_bytes else {}
     nodes: list = []
+    is_dict = isinstance(sig_map, dict)
 
-    def freeze(node: dict):
+    def _freeze_done(node: dict, chars: list, child_ids: list) -> int:
         term = "" in node
-        items = tuple(
-            (ch, freeze(node[ch])) for ch in sorted(k for k in node if k)
-        )
-        sig = (term, node.get(""), items)
+        sig = (term, node.get(""), tuple(zip(chars, child_ids)))
         key = repr(sig)
-        if isinstance(sig_map, dict):
-            hit = sig_map.get(key)
-        else:
-            hit = sig_map.get(key)
+        hit = sig_map.get(key)
         if hit is not None:
             return hit
         nid = len(nodes)
-        frozen = dict(items)
+        frozen = dict(zip(chars, child_ids))
         if term:
             frozen[""] = node.get("")
         nodes.append(frozen)
-        if isinstance(sig_map, dict):
+        if is_dict:
             sig_map[key] = nid
         else:
             sig_map.put(key, nid)
         return nid
 
-    root = freeze(trie.root)
+    # iterative post-order (explicit stack — key length never hits the
+    # Python recursion limit): frames are
+    # [node, sorted child chars, next child idx, collected child ids]
+    root_node = trie.root
+    stack = [[root_node, sorted(k for k in root_node if k), 0, []]]
+    root = None
+    while stack:
+        frame = stack[-1]
+        node, chars, idx, child_ids = frame
+        if idx < len(chars):
+            frame[2] += 1
+            child = node[chars[idx]]
+            stack.append([child, sorted(k for k in child if k), 0, []])
+            continue
+        nid = _freeze_done(node, chars, child_ids)
+        stack.pop()
+        if stack:
+            stack[-1][3].append(nid)
+        else:
+            root = nid
     return root, nodes, len(nodes)
 
 

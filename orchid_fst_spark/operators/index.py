@@ -176,19 +176,27 @@ def _dag_enum(root: int, nodes: list, lo, hi, lo_inc: bool, hi_inc: bool):
             return False
         return True
 
-    def walk(nid: int, prefix: str) -> None:
+    # iterative DFS (explicit stack: key depth never hits the recursion
+    # limit); frames: [node_id, prefix, sorted chars, next idx]
+    stack = [[root, "", None, 0]]
+    while stack:
+        frame = stack[-1]
+        nid, prefix, chars, idx = frame
         node = nodes[nid]
-        if "" in node and in_range(prefix):
-            out.append((prefix, node[""]))
-        for ch in sorted(k for k in node if k):
-            q = prefix + ch
-            if hi is not None and q > hi:
-                continue  # every extension of q sorts after hi
-            if lo is not None and q < lo[: len(q)]:
-                continue  # every extension of q sorts before lo
-            walk(node[ch], q)
-
-    walk(root, "")
+        if chars is None:
+            chars = frame[2] = sorted(k for k in node if k)
+            if "" in node and in_range(prefix):
+                out.append((prefix, node[""]))
+        if idx >= len(chars):
+            stack.pop()
+            continue
+        frame[3] += 1
+        q = prefix + chars[idx]
+        if hi is not None and q > hi:
+            continue  # every extension of q sorts after hi
+        if lo is not None and q < lo[: len(q)]:
+            continue  # every extension of q sorts before lo
+        stack.append([node[chars[idx]], q, None, 0])
     return out
 
 
@@ -197,18 +205,24 @@ def _dag_dfa(root: int, nodes: list, dfa):
     FST, fst.cpp:471-524), over the minimized shard."""
     out: list = []
     is_match = dfa.is_match
-
-    def walk(nid: int, state: int, prefix: str) -> None:
+    stack = [[root, dfa.start, "", None, 0]]
+    while stack:
+        frame = stack[-1]
+        nid, state, prefix, chars, idx = frame
         node = nodes[nid]
-        if "" in node and is_match[state]:
-            out.append((prefix, node[""]))
-        for ch in sorted(k for k in node if k):
-            nxt = dfa.step(state, ch)
-            if nxt is None:
-                continue
-            walk(node[ch], nxt, prefix + ch)
-
-    walk(root, dfa.start, "")
+        if chars is None:
+            chars = frame[3] = sorted(k for k in node if k)
+            if "" in node and is_match[state]:
+                out.append((prefix, node[""]))
+        if idx >= len(chars):
+            stack.pop()
+            continue
+        frame[4] += 1
+        ch = chars[idx]
+        nxt = dfa.step(state, ch)
+        if nxt is None:
+            continue
+        stack.append([node[ch], nxt, prefix + ch, None, 0])
     return out
 
 

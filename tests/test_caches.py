@@ -187,6 +187,49 @@ def test_minimize_bounded_cache_still_correct():
     assert n_big == n_min
 
 
+def test_deep_keys_no_recursion_limit():
+    """4000-char keys (deep trie/DAG) must build, minimize, match and
+    enumerate without hitting the Python recursion limit — all DFS walks
+    are iterative."""
+    from orchid_fst_spark.automata.lev_dfa import compile_dfa
+    from orchid_fst_spark.automata.trie import trie_dfa_matches
+
+    deep = ["a" * 4000 + "x", "a" * 4000 + "y", "b" * 3500]
+    t = Trie.from_sorted(sorted(deep))
+    root, nodes, n = minimize(t)
+    got = []
+    _enumerate_iter(nodes, root, got)
+    assert got == sorted(deep)
+    dfa = compile_dfa("a" * 4000 + "x", 1, False)
+    hits = trie_dfa_matches(t, dfa)
+    assert hits == ["a" * 4000 + "x", "a" * 4000 + "y"]
+    # index DAG walks too
+    from orchid_fst_spark.operators.index import _dag_dfa, _dag_enum
+
+    assert [k for k, _ in _dag_enum(root, nodes, None, None, True, True)] == sorted(
+        deep
+    )
+    assert [k for k, _ in _dag_dfa(root, nodes, dfa)] == hits
+
+
+def _enumerate_iter(nodes, root, out):
+    # iterative twin of _enumerate for deep DAGs
+    stack = [[root, "", None, 0]]
+    while stack:
+        frame = stack[-1]
+        nid, prefix, chars, idx = frame
+        node = nodes[nid]
+        if chars is None:
+            chars = frame[2] = sorted(k for k in node if k)
+            if "" in node:
+                out.append(prefix)
+        if idx >= len(chars):
+            stack.pop()
+            continue
+        frame[3] += 1
+        stack.append([node[chars[idx]], prefix + chars[idx], None, 0])
+
+
 def test_to_dot_renders_minimized_dag():
     from orchid_fst_spark.automata.trie import to_dot
 
