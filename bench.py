@@ -192,15 +192,24 @@ def bench_queries(spark, sf_dir: str) -> dict:
     return out
 
 
-def bench_index(spark, n_words: int = 50000, n_queries: int = 10) -> dict:
+def bench_index(spark, n_words: int = 300000, n_queries: int = 20) -> dict:
     """Build-once/query-many amortization: repeated fuzzy point lookups
     against a persisted sharded-DAG index (operators/index.py) vs the
     rebuild-per-query path (fuzzy_enumerate_trie re-sorts and re-builds
     the per-partition trie on every call).  The index pays one build,
     then each query is a pruned scan of pickled shards decoded through
-    the executor-side LRU."""
+    the executor-side LRU.
+
+    Local mode puts a fixed scheduler floor (~0.2-0.3 s) under EVERY
+    tiny job, which swamps the per-query work at small dictionary sizes;
+    the floor is measured with an equivalent-task-count empty job and a
+    net-of-floor speedup is reported alongside the raw one (on a real
+    deployment the floor is the driver round-trip, identical for both
+    paths)."""
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from orchid_fst_spark.operators.dictionary import fuzzy_enumerate_trie
     from orchid_fst_spark.operators.index import (
@@ -208,23 +217,48 @@ def bench_index(spark, n_words: int = 50000, n_queries: int = 10) -> dict:
         index_fuzzy_lookup,
         load_index,
     )
-    from orchid_fst_spark.sources.fixtures import gen_dict_words
 
-    words = gen_dict_words(n_words)
-    d = spark.createDataFrame([(w,) for w in set(words)], "key string").cache()
-    d.count()
-    qs = sorted(set(words))[:: max(1, len(set(words)) // n_queries)][:n_queries]
+    # one shard per core: the unpruned-fuzzy walk parallelizes exactly
+    # like the rebuild path's per-partition tries, so the comparison
+    # isolates build-vs-reuse rather than task-count effects
+    n_shards = int(spark.sparkContext.defaultParallelism)
+    # JVM-side synthetic dictionary (hex-ish keys, 12-27 chars)
+    d = (
+        spark.range(n_words)
+        .select(
+            F.concat(
+                F.md5(F.col("id").cast("string")).substr(
+                    F.lit(1), (F.col("id") % 16 + 12).cast("int")
+                ),
+            ).alias("key")
+        )
+        .distinct()
+        .cache()
+    )
+    n_keys = d.count()
+    qs = [r.key for r in d.orderBy("key").limit(n_queries * 997).collect()][
+        :: 997
+    ][:n_queries]
 
     path = tempfile.mkdtemp(prefix="bench_idx_") + "/index"
     t0 = time.time()
-    build_index(d, path, n_shards=int(spark.sparkContext.defaultParallelism))
+    build_index(d, path, n_shards=n_shards)
     t_build = time.time() - t0
     idx = load_index(spark, path).cache()
     idx.count()
 
-    # untimed warm-up of both paths (codegen + python workers)
-    fuzzy_enumerate_trie(d, qs[0], 2).count()
-    index_fuzzy_lookup(idx, qs[0], 2).count()
+    # scheduler floor: an n_shards-task no-op job
+    empty = spark.range(n_shards).repartition(n_shards).cache()
+    empty.count()
+    t0 = time.time()
+    for _ in range(n_queries):
+        empty.count()
+    t_floor = (time.time() - t0) / n_queries
+
+    # untimed warm-up of both paths (codegen + python workers + LRU fill)
+    for q in qs[:3]:
+        fuzzy_enumerate_trie(d, q, 2).count()
+        index_fuzzy_lookup(idx, q, 2).count()
 
     t0 = time.time()
     for q in qs:
@@ -236,14 +270,20 @@ def bench_index(spark, n_words: int = 50000, n_queries: int = 10) -> dict:
     t_indexed = time.time() - t0
     d.unpersist()
     idx.unpersist()
+    empty.unpersist()
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    per_r = t_rebuild / len(qs)
+    per_i = t_indexed / len(qs)
+    net = (per_r - t_floor) / (per_i - t_floor) if per_i > t_floor else None
     return {
-        "dict_keys": len(set(words)),
+        "dict_keys": n_keys,
         "n_queries": len(qs),
         "build_sec": round(t_build, 3),
-        "rebuild_path_sec_per_query": round(t_rebuild / len(qs), 3),
-        "indexed_sec_per_query": round(t_indexed / len(qs), 3),
+        "scheduler_floor_sec": round(t_floor, 3),
+        "rebuild_path_sec_per_query": round(per_r, 3),
+        "indexed_sec_per_query": round(per_i, 3),
         "amortized_speedup": round(t_rebuild / t_indexed, 2) if t_indexed else None,
+        "net_of_floor_speedup": round(net, 2) if net else None,
     }
 
 

@@ -93,11 +93,12 @@ def _shard_dag_from_store(path: str, shard: int, blob_md5: str):
     hit = _TRIE_CACHE.get(blob_md5)
     if hit is not None:
         return hit
-    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
 
-    tbl = ds.dataset(path, format="parquet").to_table(
-        columns=["blob"], filter=ds.field("shard") == shard
-    )
+    # the artifact is partitioned by shard (build_index partitionBy), so
+    # a miss opens exactly ONE small directory/footer — not every part
+    # file of the artifact
+    tbl = pq.read_table(f"{path}/shard={shard}", columns=["blob"])
     blob = tbl.column("blob")[0].as_py()
     obj = pickle.loads(zlib.decompress(blob))
     _TRIE_CACHE.put(blob_md5, obj, cost=len(blob))
@@ -144,7 +145,12 @@ def build_index(dict_df: DataFrame, path: str, n_shards: int = 32) -> None:
             }
         )
 
-    srt.mapInPandas(gen, schema=INDEX_SCHEMA).write.mode("overwrite").parquet(path)
+    # shard-partitioned layout: shard=N/ holds that shard's single blob
+    # row, so the worker-side miss path reads one footer, and the
+    # metadata scan (load_index) still prunes on lo_key/hi_key stats
+    srt.mapInPandas(gen, schema=INDEX_SCHEMA).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
 
 
 def load_index(spark: SparkSession, path: str) -> DataFrame:
