@@ -291,11 +291,15 @@ def run_single(cores: str, sf_dir: str, er_only: bool = False) -> dict:
     spark = _spark(cores, aqe=not er_only)
     try:
         t0 = time.time()
-        er = bench_er(spark, sf_dir)
-        res = {"er_pipeline": er}
+        res = {}
+        if not er_only:
+            # index bench first: it measures warm-cache repeated-query
+            # latency, which a pool of hundreds of cold python workers
+            # left over from the ER stages would dilute
+            res["index"] = bench_index(spark)
+        res["er_pipeline"] = bench_er(spark, sf_dir)
         if not er_only:
             res["queries"] = bench_queries(spark, sf_dir)
-            res["index"] = bench_index(spark)
         res["total_sec"] = round(time.time() - t0, 3)
         return res
     finally:
@@ -316,6 +320,10 @@ def run_scaling(sf_dir: str) -> dict:
             SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_CPUS=cores,
             SPARK_GRAFT_BENCH_SCALE=os.environ.get("SPARK_GRAFT_BENCH_SCALE", "64"),
+            # 5 trials for the scaling evidence: this VM shows multi-
+            # minute slow periods (2-3x) that can swallow all of 3
+            # trials; min-of-5 rides them out (all trials recorded)
+            SPARK_GRAFT_BENCH_TRIALS=os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"),
             _BENCH_CHILD="er_only",
         )
         out = subprocess.run(
