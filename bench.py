@@ -373,7 +373,7 @@ variant per doc, ground-truth clusters of size 3).  Job = segment
 (candidate pairs), then full resolve (score + connected components).
 Fixed-partition plan (AQE off: its per-stage driver re-planning is a
 constant serial cost that would pollute the core-count comparison; skew
-is handled by the blocking caps).  Times are min of 3 trials (the VM has
+is handled by the blocking caps).  Times are min of 5 trials (the VM has
 multi-tenant CPU-steal bursts; all trials recorded in BENCH JSON).
 
 | metric | local[{n}] (N) | local[{n4}] (4N) |
