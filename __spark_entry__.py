@@ -64,11 +64,13 @@ from orchid_fst_spark.operators.similarity import (
     cosine_lsh_pairs,
     cosine_threshold_pairs,
     cosine_topk,
+    ivf_topk,
 )
 from orchid_fst_spark.er.clustering import connected_components
 from orchid_fst_spark.streaming.windows import (
     extract_event_props,
     sessionize,
+    sessionize_stream,
     windowed_event_counts,
 )
 
@@ -350,6 +352,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=3,
         ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
     )
+    # IVF scale path: deterministic centroid subsample (vec_id % 50 == 0)
+    # -> per-vector cell assignment -> queries probe 2 nearest cells ->
+    # brute-force only those cells.  Fully oracle-checkable because the
+    # quantizer is data-derived and tie-breaks are explicit.
+    def _ann_ivf(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 20),
+            "vec_id",
+            "embedding",
+            "vec_id",
+            "embedding",
+            k=3,
+            centroid_stride=50,
+            n_probe=2,
+        ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+
+    q["ann_ivf_topk"] = _ann_ivf
     q["cosine_near_pairs"] = lambda spark, sf: (
         cosine_threshold_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet"),
@@ -428,6 +449,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(spark, sf), window="1 hour"
     )
     q["events_sessions"] = lambda spark, sf: sessionize(_events(spark, sf), 30)
+    # native session_window twin (the streaming-capable formulation);
+    # window bounds are min(ts) / max(ts) + gap, oracled independently
+    q["events_sessions_native"] = lambda spark, sf: sessionize_stream(
+        _events(spark, sf), 30
+    ).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "first_event_id",
+        "last_event_id",
+    )
     q["events_props"] = lambda spark, sf: extract_event_props(_events(spark, sf), "k")
 
     # --- multimodal: REAL stdlib codecs (BMP/PPM/WAV/PVID).  Payloads
@@ -587,6 +620,31 @@ SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
        min(event_id)::BIGINT AS first_event_id,
        max(event_id)::BIGINT AS last_event_id
 FROM s GROUP BY user_id, session_seq"""
+    # native session_window twin: same membership (session_window merges
+    # inclusively, i.e. splits at diff > gap — the batch op's exact
+    # strictness), window-bound labels: start = min ts, end = max ts +
+    # gap, on second-truncated event time
+    o["events_sessions_native"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_seq
+  FROM g
+)
+SELECT user_id,
+       to_timestamp(min(floor(epoch(ts))::BIGINT))::TIMESTAMP AS session_start,
+       to_timestamp(max(floor(epoch(ts))::BIGINT) + 1800)::TIMESTAMP AS session_end,
+       count(*)::BIGINT AS n_events,
+       min(event_id)::BIGINT AS first_event_id,
+       max(event_id)::BIGINT AS last_event_id
+FROM s GROUP BY user_id, session_seq"""
     o["events_props"] = """
 SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events"""
 
@@ -698,6 +756,49 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, n_id, rnk::BIGINT AS rank FROM ranked WHERE rnk <= 3"""
+    # IVF: centroid set = vec_id % 50 == 0; assignment and probing use
+    # explicit (cos DESC, id ASC) tie-breaks so both engines pick the
+    # same cells; final top-k brute-forces only probed cells
+    o["ann_ivf_topk"] = f"""WITH {_sql_embX},
+cdots AS (
+  SELECT a.vec_id AS id, b.vec_id AS cid,
+         sum(a.v * b.v) / (na.nrm * nb.nrm) AS ccos
+  FROM x a JOIN x b ON a.i = b.i AND b.vec_id % 50 = 0
+  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+cells AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+    FROM cdots
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT id AS q_id, cid AS cell FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+    FROM cdots WHERE id < 20
+  ) WHERE rn <= 2
+),
+pair AS (
+  SELECT q.q_id, c.id AS n_id
+  FROM qprobe q JOIN cells c ON c.cell = q.cell AND c.id <> q.q_id
+),
+pd AS (
+  SELECT p.q_id, p.n_id, sum(a.v * b.v) / (na.nrm * nb.nrm) AS cos
+  FROM pair p
+  JOIN x a ON a.vec_id = p.q_id
+  JOIN x b ON b.vec_id = p.n_id AND b.i = a.i
+  JOIN norms na ON na.vec_id = p.q_id JOIN norms nb ON nb.vec_id = p.n_id
+  GROUP BY p.q_id, p.n_id, na.nrm, nb.nrm
+)
+SELECT q_id, n_id, rnk::BIGINT AS rank FROM (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+  FROM pd
+) WHERE rnk <= 3"""
+
     # md5-derived hyperplanes: component (j, i) = md5('42|j|i')[:8] as a
     # centered 32-bit integer — bit-identical to _md5_planes, so the
     # banded candidate set matches the Spark side's exactly, then the

@@ -87,6 +87,80 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame, id_col: str, vec_col: str, centroid_stride: int = 50
+) -> DataFrame:
+    """IVF coarse quantization: (id, vec, cell) where ``cell`` is the id
+    of the nearest centroid.  Centroids are the deterministic subsample
+    ``id % centroid_stride == 0`` (data-derived, reproducible in any
+    engine — the k-means training step a production IVF would run
+    offline is orthogonal to the engine mechanics and would only change
+    this frame).  The assignment is a broadcast join against the small
+    centroid set + a per-vector argmax window (tie-break: centroid id),
+    so the corpus is scanned once and nothing shuffles except the
+    (id, cell) pairs."""
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cents = src.filter(F.col("id") % centroid_stride == 0).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    scored = src.join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 5,
+    centroid_stride: int = 50,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in coarse cells
+    (``ivf_assign``); each query probes its ``n_probe`` nearest cells
+    and brute-forces only those cells' members.  The scale path when the
+    query set is too large to broadcast against the whole corpus: the
+    heavy join is an equi-join on ``cell``, touching ~n_probe/n_cells
+    of the corpus per query instead of all of it.  Recall < 1 by
+    construction (a true neighbor can live in an unprobed cell);
+    deterministic given the centroid subsample, so the full pipeline is
+    oracle-checkable."""
+    cells = ivf_assign(emb, id_col, vec_col, centroid_stride)
+    cents = emb.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).filter(F.col("cid") % centroid_stride == 0)
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    qs = q.join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("qv"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probed = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "qv", F.col("cid").alias("cell"))
+    )
+    scored = (
+        probed.join(cells, "cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("id").alias("n_id"), "rank", "cos")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

@@ -82,6 +82,54 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Native ``session_window`` sessionization — the streaming-capable
+    twin of ``sessionize`` (dynamic-gap session state, merged and GC'd
+    by the engine under a watermark; in batch the same plan is a
+    session-window groupBy).  Returns (user_id, session_start,
+    session_end, n_events, first_event_id, last_event_id).
+
+    Session identity differs from ``sessionize`` only in labeling
+    (window bounds vs a per-user ordinal); the *membership* semantics —
+    events closer than the gap share a session — are identical, which
+    tests/test_streaming.py asserts by comparing (n_events,
+    first_event_id, last_event_id) multisets per user."""
+    # second-truncated event time: the batch twin measures gaps on
+    # floor(epoch) seconds, so sub-second components must not influence
+    # the split decision here either
+    src = events.withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    )
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    # session_window merges inclusively (an event exactly gap seconds
+    # after the previous one still joins; split only at diff > gap) —
+    # the same strictness as the batch twin's `gap > threshold` test,
+    # so the plain gap is the exact equivalent (verified on the
+    # diff == gap boundary pair in the sf0.01 events)
+    gap = f"{gap_minutes * 60} seconds"
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_event_id",
+            "last_event_id",
+        )
+    )
+
+
 def extract_event_props(events: DataFrame, field: str = "k") -> DataFrame:
     """JSON property extraction from the ``props`` column:
     (event_id, k) with k as a long — the scan stays columnar and the

@@ -231,6 +231,46 @@ def test_cosine_topk(spark, emb_df):
         assert [n for _, n in sorted(got[q])] == order
 
 
+def test_ivf_topk_semantics(spark, emb_df):
+    """IVF results are exactly the brute-force top-k RESTRICTED to the
+    probed cells (the defined approximation), and recall vs the
+    unrestricted exact top-k is sane."""
+    from orchid_fst_spark.operators.similarity import ivf_assign, ivf_topk
+
+    S = _np_cos()
+    stride, n_probe, k = 7, 2, 3
+    cells = {
+        r.id: r.cell
+        for r in ivf_assign(emb_df, "vec_id", "embedding", stride).collect()
+    }
+    cents = [i for i, _, _ in EMB if i % stride == 0]
+    # driver-side truth for assignment: nearest centroid, tie-break id
+    for i in range(len(EMB)):
+        best = min(cents, key=lambda c: (-S[i, c], c))
+        assert cells[i] == best, i
+    qdf = emb_df.filter(F.col("vec_id") < 4)
+    got = {}
+    for r in ivf_topk(
+        emb_df, qdf, "vec_id", "embedding", "vec_id", "embedding",
+        k=k, centroid_stride=stride, n_probe=n_probe,
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for q in range(4):
+        probed = sorted(cents, key=lambda c: (-S[q, c], c))[:n_probe]
+        members = [
+            j for j in range(len(EMB)) if j != q and cells[j] in probed
+        ]
+        exp = sorted(members, key=lambda j: (-S[q, j], j))[:k]
+        got_ids = [n for _, n in sorted(got.get(q, []))]
+        # EMB's periodic vectors create exact cosine ties; accept any
+        # result whose per-rank similarity equals the truth's (the two
+        # engines may order equal-cos neighbors differently at the
+        # float-noise level)
+        assert len(got_ids) == len(exp), q
+        for ge, ee in zip(got_ids, exp):
+            assert abs(S[q, ge] - S[q, ee]) < 1e-9, (q, ge, ee)
+
+
 def test_cosine_lsh_recall_and_precision(spark, emb_df):
     S = _np_cos()
     got = {(r.id_a, r.id_b) for r in cosine_lsh_pairs(emb_df, "vec_id", "embedding", 0.8, dim=8).collect()}
