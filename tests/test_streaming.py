@@ -190,3 +190,61 @@ def test_sessionize_stream_runs_as_stream(spark, tmp_path):
     # must be real sessions, and coverage must be near-complete
     assert got <= batch
     assert len(got) >= len(batch) * 0.8
+
+
+def test_streaming_fuzzy_match_stateful(spark, tmp_path):
+    """applyInPandasWithState incremental fuzzy matching: two file drops
+    processed as separate micro-batches must together emit exactly the
+    batch fuzzy_self_pairs ground truth — including pairs whose members
+    arrive in DIFFERENT batches (engine-managed keyed state carries the
+    first member across)."""
+    from orchid_fst_spark.operators.dictionary import fuzzy_self_pairs
+    from orchid_fst_spark.sources.fixtures import gen_dict_words
+    from orchid_fst_spark.streaming.stateful import streaming_fuzzy_match
+
+    words = sorted(set(gen_dict_words(300)))
+    half = len(words) // 2
+    drops = [words[:half], words[half:]]
+
+    src = str(tmp_path / "keys")
+    out = str(tmp_path / "matches")
+    ck = str(tmp_path / "ck")
+    import os
+
+    for i, chunk in enumerate(drops):
+        spark.createDataFrame([(w,) for w in chunk], "key string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"drop{i}"))
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", "1")  # force one micro-batch per drop
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_fuzzy_match(stream, "key", k=2)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got_df = spark.read.parquet(out)
+    assert got_df.filter("capped").count() == 0  # no group hit state_cap
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in got_df.filter("NOT capped").distinct().collect()
+    }
+    df = spark.createDataFrame([(w,) for w in words], "key string")
+    exp = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_pairs(df, "key", k=2, scheme="window", window=8).collect()
+    }
+    assert got == exp
+    # state really crossed batches: some pair spans the two drops
+    d1, d2 = set(drops[0]), set(drops[1])
+    assert any((a in d1) != (b in d1) for a, b, _ in exp), "fixture too easy"
+    assert any((a in d1) != (b in d1) for a, b, _ in got)
