@@ -180,9 +180,13 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "minhash_lsh_pairs",
         "simhash_pairs",
         "ann_topk",
+        "ann_ivf_topk",
         "cosine_lsh_pairs",
         "token_stats",
         "lang_id_counts",
+        "events_sessions_native",
+        "decode_images",
+        "candidate_pairs_k3",
     ]
     out = {}
     for name in headline:
