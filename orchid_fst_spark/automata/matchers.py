@@ -319,15 +319,25 @@ def match(dict_df: DataFrame, matcher: Matcher, key_col: str = "key") -> DataFra
         return dict_df.filter(matcher.col_predicate(c)).orderBy(key_col)
 
     schema = dict_df.schema
+    # a bare Fuzzy leaf gets the shared-prefix sorted walk (states reused
+    # along common prefixes — the trie ∩ DFA evaluation without a trie);
+    # composed trees fall back to the per-key predicate
+    fuzzy_dfa = matcher._dfa if isinstance(matcher, Fuzzy) else None
 
     def gen(batches):
+        from .lev_dfa import dfa_mask_sorted
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            mask = [
-                (s is not None) and matcher.accepts(s)
-                for s in pdf[key_col].tolist()
-            ]
+            if fuzzy_dfa is not None:
+                pdf = pdf[pdf[key_col].notna()].sort_values(key_col)
+                mask = dfa_mask_sorted(pdf[key_col].tolist(), fuzzy_dfa)
+            else:
+                mask = [
+                    (s is not None) and matcher.accepts(s)
+                    for s in pdf[key_col].tolist()
+                ]
             yield pdf[mask]
 
     return dict_df.mapInPandas(gen, schema=schema).orderBy(key_col)

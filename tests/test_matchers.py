@@ -66,6 +66,15 @@ def test_union_not_python_path(spark, dict_df, words):
     assert _run(dict_df, m) == exp
 
 
+def test_bare_fuzzy_osa_sorted_walk(spark, dict_df, words):
+    # a bare OSA Fuzzy runs the shared-prefix sorted DFA walk — results
+    # must equal brute-force OSA
+    m = Fuzzy("hair", 2, damerau=True)
+    assert not m.jvm_ok
+    exp = sorted(w for w in words if osa(w, "hair") <= 2)
+    assert _run(dict_df, m) == exp
+
+
 def test_startswith_jvm_closed_forms(spark, dict_df, words):
     # prefix-closed inner matchers compile to Catalyst predicates
     sw = sorted(words)
