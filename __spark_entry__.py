@@ -323,6 +323,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold_den=50,
         df_cap=5000,
     )
+    # df_cap observability: the shingle-frequency profile and exactly
+    # how much join mass a cap of 5 would remove (hot-shingle story)
+    def _ngram_metrics(spark, sf):
+        from orchid_fst_spark.operators.dedup import ngram_shingle_metrics
+
+        return ngram_shingle_metrics(
+            _docs(spark, sf), "doc_id", "text", n=3, df_cap=5
+        ).select(
+            "n_shingles",
+            "max_df",
+            F.col("n_hot_shingles").cast("long").alias("n_hot_shingles"),
+            F.col("dropped_rows").cast("long").alias("dropped_rows"),
+            "join_rows_uncapped",
+            "join_rows_capped",
+        )
+
+    q["ngram_shingle_metrics"] = _ngram_metrics
     q["minhash_lsh_pairs"] = lambda spark, sf: minhash_lsh_pairs(
         _docs(spark, sf),
         "doc_id",
@@ -678,6 +695,17 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 50 >= 1 * (sa.n + sb.n - inter)"""
+
+    o["ngram_shingle_metrics"] = f"""WITH {_SQL_SHINGLES},
+dfq AS (SELECT s, count(*) AS sh_df FROM sh GROUP BY s)
+SELECT count(*)::BIGINT AS n_shingles,
+       max(sh_df)::BIGINT AS max_df,
+       sum(CASE WHEN sh_df > 5 THEN 1 ELSE 0 END)::BIGINT AS n_hot_shingles,
+       sum(CASE WHEN sh_df > 5 THEN sh_df ELSE 0 END)::BIGINT AS dropped_rows,
+       sum(sh_df * (sh_df - 1) / 2)::BIGINT AS join_rows_uncapped,
+       sum(CASE WHEN sh_df <= 5 THEN sh_df * (sh_df - 1) / 2 ELSE 0 END)::BIGINT
+         AS join_rows_capped
+FROM dfq"""
 
     _mh_cols = ", ".join(
         f"min(md5('{s}|' || sh.s)) AS mh{s}" for s in range(8)
