@@ -296,12 +296,16 @@ def simhash_pairs(
     )
     a = stacked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
     b = stacked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
+    # Hamming verify BEFORE the distinct: bit_count(xor) is a codegen
+    # scalar on the streamed join output, so filtering first shrinks the
+    # dedup shuffle to the passing pairs only (measured sf0.1: 17.7M
+    # joined rows -> ~2.5M pre-distinct instead of 9.3M distinct
+    # candidates carrying two signature longs each)
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
