@@ -231,6 +231,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_fuzzy_scan"] = _index_fuzzy
 
+    # batched point lookups: every query evaluated in ONE job (shared
+    # dictionary scan, per-query sorted DFA walk)
+    def _fuzzy_multi(spark, sf):
+        from orchid_fst_spark.operators.dictionary import fuzzy_lookup_many
+
+        return fuzzy_lookup_many(
+            _dict(spark, sf), ["scan", "table", "part"], k=1
+        ).withColumn(
+            "dist", F.levenshtein(F.col("key"), F.col("query")).cast("long")
+        )
+
+    q["fuzzy_multi_lookup"] = _fuzzy_multi
+
     # --- fuzzy join + ER candidate pairs + clustering (E7 -> ER ops) ---
     def _part_tokens(spark, sf):
         return (
@@ -547,6 +560,10 @@ SELECT key, value, levenshtein(key, 'scan')::BIGINT AS dist
 FROM dict WHERE levenshtein(key, 'scan') <= 2"""
     o["fuzzy_lev_k2_dfa"] = o["fuzzy_lev_k2"]
     o["index_fuzzy_scan"] = o["fuzzy_lev_k2"]
+    o["fuzzy_multi_lookup"] = f"""WITH {_SQL_DICT}
+SELECT q.q AS query, d.key, d.value, levenshtein(d.key, q.q)::BIGINT AS dist
+FROM dict d, (VALUES ('scan'), ('table'), ('part')) q(q)
+WHERE levenshtein(d.key, q.q) <= 1"""
     o["fuzzy_damerau_k2"] = f"""WITH {_SQL_DICT}
 SELECT key, value, damerau_levenshtein(key, 'scan')::BIGINT AS dist
 FROM dict WHERE damerau_levenshtein(key, 'scan') <= 2"""

@@ -272,6 +272,13 @@ def bench_index(spark, n_words: int = 300000, n_queries: int = 20) -> dict:
     for q in qs:
         index_fuzzy_lookup(idx, q, 2).count()
     t_indexed = time.time() - t0
+    # all queries in ONE job off the artifact (amortizes scheduling too)
+    from orchid_fst_spark.operators.index import index_fuzzy_lookup_many
+
+    index_fuzzy_lookup_many(idx, qs[:2], 2).count()  # warm
+    t0 = time.time()
+    index_fuzzy_lookup_many(idx, qs, 2).count()
+    t_batched = time.time() - t0
     d.unpersist()
     idx.unpersist()
     empty.unpersist()
@@ -288,6 +295,10 @@ def bench_index(spark, n_words: int = 300000, n_queries: int = 20) -> dict:
         "indexed_sec_per_query": round(per_i, 3),
         "amortized_speedup": round(t_rebuild / t_indexed, 2) if t_indexed else None,
         "net_of_floor_speedup": round(net, 2) if net else None,
+        "batched_all_queries_sec": round(t_batched, 3),
+        "batched_speedup_vs_rebuild": round(t_rebuild / t_batched, 2)
+        if t_batched
+        else None,
     }
 
 
@@ -391,6 +402,7 @@ round-trip, identical for both paths).
 | indexed sec/query | {idx['indexed_sec_per_query']} |
 | scheduler floor sec | {idx['scheduler_floor_sec']} |
 | amortized speedup (raw / net-of-floor) | {idx['amortized_speedup']}x / {idx['net_of_floor_speedup']}x |
+| ALL queries batched in one job (index_fuzzy_lookup_many) | {idx.get('batched_all_queries_sec', 'n/a')} s total ({idx.get('batched_speedup_vs_rebuild', 'n/a')}x vs rebuild loop) |
 """
     md = f"""# BENCH — measured throughput and scaling
 

@@ -154,6 +154,50 @@ def fuzzy_lookup(
     return out.mapInPandas(gen, schema=schema).orderBy("key")
 
 
+def fuzzy_lookup_many(
+    dict_df: DataFrame,
+    queries: list[str],
+    k: int,
+    damerau: bool = False,
+) -> DataFrame:
+    """Batch of fuzzy point lookups in ONE job: every query's DFA is
+    compiled driver-side and all of them are evaluated against each
+    sorted partition batch in a single ``mapInPandas`` pass
+    (shared-prefix state reuse per query, dictionary scanned once).
+    Returns (query, key[, value]) rows.
+
+    This is the right shape when a workload has tens of point queries:
+    one Spark job total, instead of paying per-job scheduling (the
+    local-mode floor alone is ~0.1-0.2 s/job) once per query."""
+    qs = list(dict.fromkeys(queries))
+    dfas = [(q, compile_dfa(q, k, damerau)) for q in qs]
+    has_value = "value" in dict_df.columns
+    fields = [StructField("query", StringType()), StructField("key", StringType())]
+    if has_value:
+        fields.append(StructField("value", LongType()))
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..automata.lev_dfa import dfa_mask_sorted
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf["key"].notna()].sort_values("key")
+            keys = pdf["key"].tolist()
+            for q, dfa in dfas:
+                mask = dfa_mask_sorted(keys, dfa)
+                hit = pdf[mask]
+                if hit.empty:
+                    continue
+                out = {"query": [q] * len(hit), "key": hit["key"].tolist()}
+                if has_value:
+                    out["value"] = hit["value"].tolist()
+                yield pd.DataFrame(out)
+
+    return dict_df.mapInPandas(gen, schema=schema).orderBy("query", "key")
+
+
 def fuzzy_enumerate_trie(
     dict_df: DataFrame,
     query: str,

@@ -296,6 +296,52 @@ def index_range_lookup(
     ).orderBy("key")
 
 
+def index_fuzzy_lookup_many(
+    index_df: DataFrame,
+    queries: list,
+    k: int,
+    damerau: bool = False,
+) -> DataFrame:
+    """Batch of fuzzy lookups off the persisted artifact in ONE job:
+    each shard DAG is decoded once (LRU) and walked once per query.
+    Returns (query, key, value) rows — combined with the build-once
+    artifact this amortizes BOTH per-query job scheduling and per-query
+    index construction."""
+    dfas = [(q, compile_dfa(q, k, damerau)) for q in dict.fromkeys(queries)]
+    schema = StructType(
+        [
+            StructField("query", StringType()),
+            StructField("key", StringType()),
+            StructField("value", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for shard, md5, path in zip(
+                pdf["shard"].tolist(),
+                pdf["blob_md5"].tolist(),
+                pdf["index_path"].tolist(),
+            ):
+                root, nodes, _hv = _shard_dag_from_store(path, int(shard), md5)
+                for q, dfa in dfas:
+                    hits = _dag_dfa(root, nodes, dfa)
+                    if hits:
+                        yield pd.DataFrame(
+                            {
+                                "query": [q] * len(hits),
+                                "key": [kk for kk, _ in hits],
+                                "value": [v for _, v in hits],
+                            }
+                        )
+
+    return (
+        index_df.select("shard", "blob_md5", "index_path")
+        .mapInPandas(gen, schema=schema)
+        .orderBy("query", "key")
+    )
+
+
 def index_fuzzy_lookup(
     index_df: DataFrame,
     query: str,

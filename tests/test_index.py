@@ -97,6 +97,27 @@ def test_index_words_roundtrip(spark, tmp_path):
     assert got == exp
 
 
+def test_index_fuzzy_many_parity(spark, kv_df, index_df):
+    from orchid_fst_spark.operators.dictionary import fuzzy_lookup_many
+    from orchid_fst_spark.operators.index import index_fuzzy_lookup_many
+
+    qs = ["scan", "table", "zzz"]
+    exp = set()
+    for q in qs:
+        for r in fuzzy_lookup(kv_df, q, 2, impl="builtin").collect():
+            exp.add((q, r.key, r.value))
+    got_live = {
+        (r.query, r.key, r.value)
+        for r in fuzzy_lookup_many(kv_df, qs, k=2).collect()
+    }
+    got_idx = {
+        (r.query, r.key, r.value)
+        for r in index_fuzzy_lookup_many(index_df, qs, k=2).collect()
+    }
+    assert got_live == exp
+    assert got_idx == exp
+
+
 def test_shard_cache_hits():
     # driver-side check of the decoded-shard LRU: same blob decodes once
     import hashlib
