@@ -105,8 +105,16 @@ def _shard_dag_from_store(path: str, shard: int, blob_md5: str):
     return obj
 
 
-def build_index(dict_df: DataFrame, path: str, n_shards: int = 32) -> None:
-    """Write the sharded DAG artifact for a (key[, value]) dictionary."""
+def build_index(
+    dict_df: DataFrame,
+    path: str,
+    n_shards: int = 32,
+    cache_budget_bytes: int | None = None,
+) -> None:
+    """Write the sharded DAG artifact for a (key[, value]) dictionary.
+    ``cache_budget_bytes`` bounds the per-shard minimization node map
+    (the reference's -c/--cache-size build knob, fst_cmd.cpp:56: smaller
+    budget -> bounded build memory, approximately-minimal DAG)."""
     has_value = "value" in dict_df.columns
     cols = ["key"] + (["value"] if has_value else [])
     srt = (
@@ -130,7 +138,7 @@ def build_index(dict_df: DataFrame, path: str, n_shards: int = 32) -> None:
         if pid is None:
             return
         trie = Trie.from_sorted(keys, values if has_value else None)
-        root, nodes, _n = minimize(trie)
+        root, nodes, _n = minimize(trie, cache_budget_bytes)
         blob = zlib.compress(
             pickle.dumps((root, nodes, has_value), protocol=4), level=6
         )

@@ -1,0 +1,124 @@
+"""CLI twins of the reference tools (scripts/ofst.py, scripts/lfsort.py)
+— same subcommands/options as fst_cmd.cpp / large_file_sort_cmd.cpp,
+driven in-process against the reference's own fixtures."""
+
+import importlib.util
+import os
+
+import pytest
+
+from orchid_fst_spark.functions.distance import levenshtein, osa
+from orchid_fst_spark.sources.fixtures import gen_dict_kv
+
+REF = "/root/reference/src/main/fst/testdata"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ofst():
+    return _load("ofst_cli", os.path.join(ROOT, "scripts", "ofst.py"))
+
+
+@pytest.fixture(scope="module")
+def lfsort():
+    return _load("lfsort_cli", os.path.join(ROOT, "scripts", "lfsort.py"))
+
+
+def _out_lines(capsys):
+    return [l for l in capsys.readouterr().out.splitlines() if l]
+
+
+def test_ofst_map_and_queries(spark, tmp_path, capsys, ofst):
+    kvs = gen_dict_kv()
+    dict_file = tmp_path / "dict.txt"
+    dict_file.write_text("".join(f"{k},{v}\n" for k, v in kvs))
+    idx = str(tmp_path / "idx")
+    assert ofst.main(["map", "-f", str(dict_file), "-o", idx, "-l", "4"]) == 0
+    capsys.readouterr()
+
+    truth = {}
+    for k, v in kvs:
+        truth[k] = max(truth.get(k, v), v)  # build_dict dedup='max'
+
+    some_key = sorted(truth)[3]
+    assert ofst.main(["match", "-f", idx, "-q", some_key]) == 0
+    assert _out_lines(capsys) == [f"{some_key},{truth[some_key]}"]
+
+    assert ofst.main(["match", "-f", idx, "-q", "definitely-missing"]) == 1
+    capsys.readouterr()
+
+    pre = some_key[:2]
+    assert ofst.main(["prefix", "-f", idx, "-p", pre]) == 0
+    exp = [f"{k},{truth[k]}" for k in sorted(truth) if k.startswith(pre)]
+    assert _out_lines(capsys) == exp
+
+    lo, hi = sorted(truth)[2], sorted(truth)[10]
+    assert ofst.main(["range", "-f", idx, "-a", lo, "-e", hi]) == 0
+    exp = [f"{k},{truth[k]}" for k in sorted(truth) if lo <= k < hi]
+    assert _out_lines(capsys) == exp
+
+    assert ofst.main(["fuzzy", "-f", idx, "-z", "scan", "-d", "2"]) in (0, 1)
+    exp = [f"{k},{truth[k]}" for k in sorted(truth) if levenshtein(k, "scan") <= 2]
+    assert _out_lines(capsys) == exp
+
+    dot = tmp_path / "out.dot"
+    assert ofst.main(["dot", "-f", idx, "-o", str(dot)]) == 0
+    capsys.readouterr()
+    assert "digraph fst" in dot.read_text()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference testdata absent")
+def test_ofst_set_reference_golden(spark, tmp_path, capsys, ofst):
+    """The CLI reproduces the reference's own fuzzy goldens: set-build
+    its 82k-word dict, fuzzy('hair', 2) -> 214 hits (Levenshtein),
+    -m -> 220 (Damerau/OSA), byte-for-byte in order."""
+    idx = str(tmp_path / "refidx")
+    assert (
+        ofst.main(["set", "-f", f"{REF}/fst_test_dict2.txt", "-o", idx, "-l", "8"])
+        == 0
+    )
+    capsys.readouterr()
+    assert ofst.main(["fuzzy", "-f", idx, "-z", "hair", "-d", "2"]) == 0
+    got = _out_lines(capsys)
+    with open(f"{REF}/fst_test_dict2_standard.txt", encoding="utf-8") as f:
+        golden = [l for l in f.read().split("\n") if l.strip()]
+    assert got == golden  # 214 hits
+
+    assert ofst.main(["fuzzy", "-f", idx, "-z", "hair", "-d", "2", "-m"]) == 0
+    got = _out_lines(capsys)
+    with open(f"{REF}/fst_test_dict3_standard.txt", encoding="utf-8") as f:
+        golden = [l for l in f.read().split("\n") if l.strip()]
+    assert got == golden  # 220 hits
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference testdata absent")
+def test_lfsort_reference_golden(spark, tmp_path, capsys, lfsort):
+    out1 = tmp_path / "keep.txt"
+    assert (
+        lfsort.main(
+            ["-f", f"{REF}/large_file_sort_test1_input.txt", "-o", str(out1)]
+        )
+        == 0
+    )
+    with open(f"{REF}/large_file_sort_test1_standard_contain_empty.txt") as f:
+        assert out1.read_text().rstrip("\n") == f.read().rstrip("\n")
+    out2 = tmp_path / "drop.txt"
+    assert (
+        lfsort.main(
+            ["-f", f"{REF}/large_file_sort_test1_input.txt", "-o", str(out2), "-i"]
+        )
+        == 0
+    )
+    with open(f"{REF}/large_file_sort_test1_standard_ignore_empty.txt") as f:
+        exp = f.read()
+    got = out2.read_text()
+    assert [l for l in got.split("\n") if l.strip()] == [
+        l for l in exp.split("\n") if l.strip()
+    ]
