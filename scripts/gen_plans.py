@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: annotated physical plans of the headline
+operators at sf0.01, with the properties each plan must keep asserted
+in code (so regenerating doubles as a plan-regression check).
+
+    python scripts/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+
+
+def formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.er.blocking import candidate_pairs, normalize_pages
+    from orchid_fst_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+    from orchid_fst_spark.operators.index import build_index, index_match_lookup, load_index
+    from orchid_fst_spark.operators.similarity import ivf_topk
+    from orchid_fst_spark.operators.sort import ranked_lines
+    from orchid_fst_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="gen_plans", cores=8, shuffle_partitions=16)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sections = []
+
+    def add(title, notes, df, must_contain=(), must_not=("CartesianProduct",)):
+        plan = formatted(df)
+        for frag in must_contain:
+            assert frag in plan, (title, frag)
+        for frag in must_not:
+            assert frag not in plan, (title, frag)
+        sections.append((title, notes, plan))
+
+    pages = entry._pages_from_docs(spark, SF)
+    add(
+        "ER candidate generation (`er.blocking.candidate_pairs`, passjoin)",
+        "Segment blocking: Catalyst explodes emit O(1) signature rows per "
+        "key; all blocking shuffles carry 8-byte xxhash64 ids; hot "
+        "signatures are removed with a BROADCAST anti-join before the "
+        "equi-join; the string keys rejoin only for the banded-DP verify "
+        "(single Arrow stage).  No cartesian products anywhere.",
+        candidate_pairs(normalize_pages(pages).select("url", "norm_key")),
+        must_contain=("xxhash64",),
+    )
+    add(
+        "N-gram Jaccard near-dup (`operators.dedup.ngram_jaccard_pairs`)",
+        "Hot shingles (document frequency > df_cap) are dropped via a "
+        "broadcast anti-join BEFORE the O(df²) self equi-join; union "
+        "denominators come from the uncapped per-doc counts.",
+        ngram_jaccard_pairs(docs, "doc_id", "text"),
+        must_contain=("LeftAnti",),
+    )
+    add(
+        "SimHash near-dup (`operators.dedup.simhash_pairs`)",
+        "Radius-derived band equi-join (pigeonhole-complete); the "
+        "bit_count(xor) Hamming verify runs BEFORE the distinct so the "
+        "dedup shuffle carries only passing pairs.",
+        simhash_pairs(docs, "doc_id", "text", max_hamming=10),
+    )
+    add(
+        "IVF top-k ANN (`operators.similarity.ivf_topk`)",
+        "Centroids broadcast to both the assignment and the query-probe "
+        "side; the only big join is the cell equi-join touching "
+        "~n_probe/n_cells of the corpus per query.",
+        ivf_topk(emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+                 "vec_id", "embedding", k=3),
+        must_contain=("BroadcastNestedLoopJoin",),
+    )
+    add(
+        "Globally ranked sort (`operators.sort.ranked_lines`)",
+        "Range repartition + in-partition sort + per-partition counts; "
+        "rank = broadcast offset + monotonic-id low bits.  NO "
+        "single-partition exchange (the naive global window would "
+        "collapse to one task).",
+        ranked_lines(
+            spark.read.parquet(f"{SF}/part.parquet").select(
+                F.col("p_name").alias("line")
+            )
+        ),
+        must_not=("SinglePartition", "CartesianProduct"),
+    )
+    idx_path = "/tmp/plans_idx"
+    build_index(entry._dict(spark, SF), idx_path, n_shards=8)
+    add(
+        "Persisted-index point lookup (`operators.index.index_match_lookup`)",
+        "The shard key-range predicate is pushed into the parquet scan of "
+        "the metadata (lo_key/hi_key min/max stats prune shards — the "
+        "FST bound-seek as partition pruning); only surviving shards are "
+        "decoded worker-side through the LRU.",
+        index_match_lookup(load_index(spark, idx_path), "scan"),
+        must_contain=("lo_key", "hi_key"),
+    )
+
+    with open(OUT, "w") as f:
+        f.write(
+            "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"
+            "Regenerate with `python scripts/gen_plans.py`; the generator\n"
+            "asserts each plan's load-bearing properties (broadcast cap\n"
+            "joins present, no cartesian products, no single-partition\n"
+            "exchanges, pushed shard predicates), so a plan regression\n"
+            "fails the script before it ever reaches this file.\n"
+        )
+        for title, notes, plan in sections:
+            f.write(f"\n## {title}\n\n{notes}\n\n```\n{plan}\n```\n")
+    print(f"wrote {OUT} ({len(sections)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
