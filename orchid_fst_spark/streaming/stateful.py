@@ -69,6 +69,7 @@ def streaming_fuzzy_match(
     scheme: str = "window",
     window: int = 8,
     state_cap: int = 500,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Match every arriving key against all previously seen keys within
     edit distance ``k``, using engine-managed keyed state.
@@ -80,8 +81,19 @@ def streaming_fuzzy_match(
 
     Works only on streaming inputs (applyInPandasWithState is a
     streaming-only physical operator); the batch twin with identical
-    pair semantics is ``operators.dictionary.fuzzy_self_pairs``."""
+    pair semantics is ``operators.dictionary.fuzzy_self_pairs``.
+
+    ``state_ttl_minutes`` bounds state LIFETIME the way ``state_cap``
+    bounds its width: a signature group idle longer than the TTL is
+    dropped by a processing-time timeout (keys seen before it no longer
+    match — crawl-recency semantics, like the watermark in
+    stream_dedup).  None keeps state forever."""
     dist_fn = osa if damerau else levenshtein
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
 
     src = keys.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
     sigs = variant_sigs(src, "key", k, max_len, scheme=scheme, window=window).select(
@@ -93,6 +105,9 @@ def streaming_fuzzy_match(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         seen: list = list(state.get[0]) if state.exists else []
         ka, kb, ds, capped = [], [], [], []
         hit_cap = False
@@ -117,6 +132,8 @@ def streaming_fuzzy_match(
             ds.append(None)
             capped.append(True)
         state.update((seen,))
+        if state_ttl_minutes:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         if ka:
             yield pd.DataFrame(
                 {"key_a": ka, "key_b": kb, "dist": ds, "capped": capped}
@@ -127,5 +144,5 @@ def streaming_fuzzy_match(
         outputStructType=MATCH_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

@@ -248,3 +248,44 @@ def test_streaming_fuzzy_match_stateful(spark, tmp_path):
     d1, d2 = set(drops[0]), set(drops[1])
     assert any((a in d1) != (b in d1) for a, b, _ in exp), "fixture too easy"
     assert any((a in d1) != (b in d1) for a, b, _ in got)
+
+
+def test_streaming_fuzzy_match_with_ttl(spark, tmp_path):
+    """TTL variant exercises the ProcessingTimeTimeout path: within one
+    short availableNow run the TTL never fires, so results must equal
+    the no-TTL semantics (state expiry is a recency policy, not a
+    correctness change for fresh data)."""
+    import os
+
+    from orchid_fst_spark.operators.dictionary import fuzzy_self_pairs
+    from orchid_fst_spark.sources.fixtures import gen_dict_words
+    from orchid_fst_spark.streaming.stateful import streaming_fuzzy_match
+
+    words = sorted(set(gen_dict_words(120)))
+    src = str(tmp_path / "keys")
+    out = str(tmp_path / "matches")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(w,) for w in words], "key string").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "drop0"))
+    stream = spark.readStream.schema("key string").parquet(src + "/*")
+    q = (
+        streaming_fuzzy_match(stream, "key", k=2, state_ttl_minutes=30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in spark.read.parquet(out).filter("NOT capped").distinct().collect()
+    }
+    df = spark.createDataFrame([(w,) for w in words], "key string")
+    exp = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_pairs(df, "key", k=2, scheme="window", window=8).collect()
+    }
+    assert got == exp
