@@ -1,3 +1,4 @@
+from .bucketed import read_table, write_bucketed
 from .fixtures import (
     gen_dict_words,
     gen_dict_kv,
@@ -7,6 +8,8 @@ from .fixtures import (
 )
 
 __all__ = [
+    "read_table",
+    "write_bucketed",
     "gen_dict_words",
     "gen_dict_kv",
     "gen_pages",
