@@ -213,8 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the query runs off the pickled shard DAGs — same oracle as
     # the live fuzzy lookup
     def _index_fuzzy(spark, sf):
-        import hashlib as _hl
         import os as _os
+        import shutil as _sh
 
         from orchid_fst_spark.operators.index import (
             build_index,
@@ -222,9 +222,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_index,
         )
 
-        path = f"/tmp/orchid_fst_index_{_hl.md5(sf.encode()).hexdigest()[:10]}"
+        d = _dict(spark, sf)
+        # artifact keyed by a CONTENT fingerprint of the dictionary, not
+        # the sf path: regenerated testdata gets a fresh build instead of
+        # serving a stale index; concurrent builders write unique temp
+        # dirs and atomically rename (loser discards its copy)
+        fp = d.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("key", "value")).alias("h")
+        ).collect()[0]
+        path = f"/tmp/orchid_fst_index_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
         if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-            build_index(_dict(spark, sf), path, n_shards=8)
+            tmp = f"{path}.tmp{_os.getpid()}"
+            build_index(d, tmp, n_shards=8)
+            try:
+                _os.rename(tmp, path)
+            except OSError:  # another process won the race
+                _sh.rmtree(tmp, ignore_errors=True)
         return index_fuzzy_lookup(load_index(spark, path), "scan", 2).withColumn(
             "dist", F.levenshtein(F.col("key"), F.lit("scan")).cast("long")
         )
@@ -579,7 +592,7 @@ SELECT count(*)::BIGINT AS hits FROM dict WHERE levenshtein(key, 'scan') <= 2"""
     o["fuzzy_osa_k2"] = f"""WITH {_SQL_DICT}
 SELECT d.key, d.value, t.dist
 FROM dict d
-JOIN read_parquet('/root/repo/fixtures/osa_scan_k2_sf001.parquet') t USING (key)"""
+JOIN read_parquet('/root/repo/fixtures/osa_scan_k2.parquet') t USING (key)"""
 
     o["fuzzy_join_parts"] = f"""WITH {_SQL_DICT},
 qs AS (

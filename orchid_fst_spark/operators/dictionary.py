@@ -454,29 +454,53 @@ def fuzzy_join(
             lk, rk, k=k, max_len=max_len, sig_cap=sig_cap
         )
     else:
+        # single-shuffle grouped candidates (mirror of
+        # grouped_self_candidates): both sides' signature explodes union
+        # into ONE frame, groupBy(sig) collects tagged ids, the per-side
+        # hot cap applies in-aggregate, and cross-side pairs explode
+        # with higher-order functions — the O(len²) signature explode
+        # (the dominant shuffle of this path) runs exactly once per side
+        # instead of twice (once for the hot count, once for the join)
         lv = variant_sigs(
             lk.select("kid", "key"), "key", k, max_len, scheme=scheme, window=window
-        ).select(F.col("kid").alias("kid_l"), "sig")
+        ).select("sig", F.col("kid").alias("id"), F.lit(0).alias("side"))
         rv = variant_sigs(
             rk.select("kid", "key"), "key", k, max_len, scheme=scheme, window=window
-        ).select(F.col("kid").alias("kid_r"), "sig")
+        ).select("sig", F.col("kid").alias("id"), F.lit(1).alias("side"))
+        grouped = (
+            lv.unionAll(rv)
+            .groupBy("sig")
+            .agg(F.collect_list(F.struct("side", "id")).alias("xs"))
+        )
+        lefts = F.filter("xs", lambda x: x["side"] == 0)
+        rights = F.filter("xs", lambda x: x["side"] == 1)
         # per-side hot-signature cap (observable recall trade, mirror of
         # the passjoin/self-pairs caps): a sig carried by > sig_cap keys
-        # on either side is dropped before the join
-        hot = (
-            lv.groupBy("sig").agg(F.count("*").alias("n"))
-            .filter(F.col("n") > sig_cap)
-            .select("sig")
-            .unionAll(
-                rv.groupBy("sig").agg(F.count("*").alias("n"))
-                .filter(F.col("n") > sig_cap)
-                .select("sig")
+        # on either side drops the whole group
+        grouped = grouped.filter(
+            (F.size(lefts) >= 1)
+            & (F.size(rights) >= 1)
+            & (F.size(lefts) <= sig_cap)
+            & (F.size(rights) <= sig_cap)
+        )
+        pairs = F.explode(
+            F.flatten(
+                F.transform(
+                    lefts,
+                    lambda l: F.transform(
+                        rights,
+                        lambda r: F.struct(
+                            l["id"].alias("kid_l"), r["id"].alias("kid_r")
+                        ),
+                    ),
+                )
             )
+        )
+        cand_ids = (
+            grouped.select(pairs.alias("p"))
+            .select("p.kid_l", "p.kid_r")
             .distinct()
         )
-        lv = lv.join(F.broadcast(hot), "sig", "left_anti")
-        rv = rv.join(F.broadcast(hot), "sig", "left_anti")
-        cand_ids = lv.join(rv, "sig").select("kid_l", "kid_r").distinct()
     cand = (
         cand_ids.join(
             lk.select(F.col("kid").alias("kid_l"), F.col("key").alias("key_a")),

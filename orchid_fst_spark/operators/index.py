@@ -214,12 +214,26 @@ def _dag_enum(root: int, nodes: list, lo, hi, lo_inc: bool, hi_inc: bool):
     return out
 
 
-def _dag_dfa(root: int, nodes: list, dfa):
+def _dag_dfa(root: int, nodes: list, dfa, pin: str = ""):
     """DFS of the DAG ∩ compiled edit-distance DFA (reference automaton ∩
-    FST, fst.cpp:471-524), over the minimized shard."""
+    FST, fst.cpp:471-524), over the minimized shard.  ``pin`` descends
+    the exact prefix path FIRST (stepping the DFA along it) and only
+    then starts the product DFS — the samePrefixLen narrowing happens
+    in the walk itself, not as a post-filter, so a pinned query touches
+    just the pinned subtree."""
     out: list = []
     is_match = dfa.is_match
-    stack = [[root, dfa.start, "", None, 0]]
+    state: int | None = dfa.start
+    nid = root
+    for ch in pin:
+        node = nodes[nid]
+        if ch not in node:
+            return out  # no key in this shard starts with the pin
+        state = dfa.step(state, ch)
+        if state is None:
+            return out  # no pinned key can be within distance k
+        nid = node[ch]
+    stack = [[nid, state, pin, None, 0]]
     while stack:
         frame = stack[-1]
         nid, state, prefix, chars, idx = frame
@@ -361,18 +375,13 @@ def index_fuzzy_lookup(
     artifact.  ``prefix_len`` pins the first chars exactly, which both
     narrows the DFA walk and prunes shards at the parquet scan."""
     dfa = compile_dfa(query, k, damerau)
-    sf = None
     if prefix_len > 0:
         p = query[:prefix_len]
         sf = (F.col("lo_key") <= p + "\U0010ffff") & (F.col("hi_key") >= p)
-        base = _query(
-            index_df,
-            sf,
-            lambda r, n: [
-                (key, v)
-                for key, v in _dag_dfa(r, n, dfa)
-                if key.startswith(p)
-            ],
+        # the pin narrows BOTH levels: shard pruning at the parquet scan
+        # (lo/hi stats) and the walk itself (descend the pinned path
+        # before the product DFS)
+        return _query(index_df, sf, lambda r, n: _dag_dfa(r, n, dfa, pin=p)).orderBy(
+            "key"
         )
-        return base.orderBy("key")
     return _query(index_df, None, lambda r, n: _dag_dfa(r, n, dfa)).orderBy("key")

@@ -87,6 +87,18 @@ def cosine_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, centroid_stride: int = 50
+) -> DataFrame:
+    """The ONE definition of the coarse quantizer's centroid set
+    (deterministic id-stride subsample), shared by assignment and query
+    probing — swapping in trained k-means centroids changes only this
+    function, and both sides stay coherent by construction."""
+    return emb.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).filter(F.col("cid") % centroid_stride == 0)
+
+
 def ivf_assign(
     emb: DataFrame, id_col: str, vec_col: str, centroid_stride: int = 50
 ) -> DataFrame:
@@ -100,9 +112,7 @@ def ivf_assign(
     so the corpus is scanned once and nothing shuffles except the
     (id, cell) pairs."""
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = src.filter(F.col("id") % centroid_stride == 0).select(
-        F.col("id").alias("cid"), F.col("vec").alias("cvec")
-    )
+    cents = ivf_centroids(emb, id_col, vec_col, centroid_stride)
     scored = src.join(F.broadcast(cents)).withColumn(
         "ccos", cosine(F.col("vec"), F.col("cvec"))
     )
@@ -135,9 +145,7 @@ def ivf_topk(
     deterministic given the centroid subsample, so the full pipeline is
     oracle-checkable."""
     cells = ivf_assign(emb, id_col, vec_col, centroid_stride)
-    cents = emb.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    ).filter(F.col("cid") % centroid_stride == 0)
+    cents = ivf_centroids(emb, id_col, vec_col, centroid_stride)
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
     qs = q.join(F.broadcast(cents)).withColumn(
         "ccos", cosine(F.col("qv"), F.col("cvec"))

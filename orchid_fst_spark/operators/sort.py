@@ -66,8 +66,11 @@ def ranked_lines(
 
     Duplicate lines get distinct consecutive ranks in an arbitrary order
     among themselves (same multiset of (line, rank) rows as any engine's
-    row_number over the same ordering).  The frame is cached between the
-    two passes so both observe one materialization."""
+    row_number over the same ordering).  The sorted frame is
+    ``localCheckpoint``ed between the two passes: both jobs observe one
+    materialization, lineage is truncated, and — unlike a ``cache()``
+    this function could never unpersist — the blocks are released by the
+    ContextCleaner as soon as the caller drops the returned frame."""
     df = lines.withColumn("_k", _trimmed(F.col(line_col)))
     if not keep_blank:
         df = df.filter(F.length("_k") > 0)
@@ -80,7 +83,7 @@ def ranked_lines(
         .sortWithinPartitions("_k", tie)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_pid"], r["n"])

@@ -24,9 +24,10 @@ Design (same discipline as the batch blocking paths):
   consumers ``distinct()`` (same contract as the batch candidate
   generators);
 - ``state_cap`` bounds per-signature state exactly like ``sig_cap``
-  bounds batch blocks: a degenerate signature stops accumulating (and
-  stops matching) after the cap — observable through the emitted
-  ``capped`` flag rows, never silent.
+  bounds batch blocks: once a group holds ``state_cap`` keys, further
+  arrivals in that group neither match nor accumulate (bounding BOTH
+  state width and per-key DP work) — observable through emitted
+  ``capped`` marker rows carrying the group's signature, never silent.
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ MATCH_SCHEMA = StructType(
         StructField("key_b", StringType()),
         StructField("dist", LongType()),
         StructField("capped", BooleanType()),
+        StructField("sig", LongType()),  # which group hit the cap (marker rows)
     ]
 )
 
@@ -74,10 +76,11 @@ def streaming_fuzzy_match(
     """Match every arriving key against all previously seen keys within
     edit distance ``k``, using engine-managed keyed state.
 
-    Returns a streaming frame of (key_a, key_b, dist, capped) rows —
+    Returns a streaming frame of (key_a, key_b, dist, capped, sig) rows —
     key_a < key_b, duplicates possible across signature groups (consumer
-    dedups; the per-pair dist is deterministic).  ``capped`` rows
-    (key_b null) report a signature group hitting ``state_cap``.
+    dedups; the per-pair dist is deterministic).  ``capped`` marker rows
+    (null keys) report WHICH signature group hit ``state_cap`` via the
+    ``sig`` column.
 
     Works only on streaming inputs (applyInPandasWithState is a
     streaming-only physical operator); the batch twin with identical
@@ -115,6 +118,13 @@ def streaming_fuzzy_match(
             for s in pdf["key"].tolist():
                 if s in seen:
                     continue
+                if len(seen) >= state_cap:
+                    # capped group: stop matching AND stop accumulating —
+                    # a degenerate signature must not keep paying
+                    # O(state_cap) DP per arriving key (the whole point
+                    # of the cap); the loss is reported via the marker
+                    hit_cap = True
+                    continue
                 for t in seen:
                     d = dist_fn(s, t)
                     if d <= k:
@@ -122,10 +132,7 @@ def streaming_fuzzy_match(
                         kb.append(max(s, t))
                         ds.append(d)
                         capped.append(False)
-                if len(seen) < state_cap:
-                    seen.append(s)
-                else:
-                    hit_cap = True
+                seen.append(s)
         if hit_cap:
             ka.append(None)
             kb.append(None)
@@ -135,8 +142,16 @@ def streaming_fuzzy_match(
         if state_ttl_minutes:
             state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         if ka:
+            sig = int(group_key[0])
             yield pd.DataFrame(
-                {"key_a": ka, "key_b": kb, "dist": ds, "capped": capped}
+                {
+                    "key_a": ka,
+                    "key_b": kb,
+                    "dist": ds,
+                    "capped": capped,
+                    # attribute marker rows to their signature group
+                    "sig": [sig if c else None for c in capped],
+                }
             )
 
     return sigs.groupBy("sig").applyInPandasWithState(

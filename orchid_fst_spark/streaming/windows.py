@@ -109,8 +109,8 @@ def sessionize_stream(
     # session_window merges inclusively (an event exactly gap seconds
     # after the previous one still joins; split only at diff > gap) —
     # the same strictness as the batch twin's `gap > threshold` test,
-    # so the plain gap is the exact equivalent (verified on the
-    # diff == gap boundary pair in the sf0.01 events)
+    # so the plain gap is the exact equivalent (pinned by the synthetic
+    # boundary test test_session_window_gap_boundary_semantics)
     gap = f"{gap_minutes * 60} seconds"
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")

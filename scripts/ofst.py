@@ -186,7 +186,17 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "prefix":
         out = _bounds_filter(index_prefix_lookup(idx, args.prefix_str), args)
     elif args.cmd == "range":
-        out = _bounds_filter(index_range_lookup(idx), args)
+        # bounds go INTO the operator: shard pruning at the parquet scan
+        # plus bound-aware DFS, not a post-filter over full enumeration
+        lo = args.greater_equal_than or args.greater_than
+        hi = args.less_equal_than or args.less_than
+        out = index_range_lookup(
+            idx,
+            lo=lo,
+            hi=hi,
+            lo_inclusive=args.greater_equal_than is not None,
+            hi_inclusive=args.less_equal_than is not None,
+        )
     else:  # fuzzy
         out = index_fuzzy_lookup(
             idx,

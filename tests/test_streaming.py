@@ -289,3 +289,37 @@ def test_streaming_fuzzy_match_with_ttl(spark, tmp_path):
         for r in fuzzy_self_pairs(df, "key", k=2, scheme="window", window=8).collect()
     }
     assert got == exp
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Pin the session_window boundary behavior the native sessionizer
+    relies on: events exactly `gap` seconds apart MERGE (split happens
+    only at diff > gap) — the same strictness as the batch lag
+    formulation's `gap > threshold` test.  Synthetic events because the
+    driver testdata contains no exact-gap pair."""
+    import datetime as dt
+
+    from orchid_fst_spark.streaming.windows import sessionize, sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap = 30 * 60
+    rows = [
+        (1, 1, base),
+        (1, 2, base + dt.timedelta(seconds=gap)),        # == gap: merges
+        (1, 3, base + dt.timedelta(seconds=2 * gap + 1)),  # > gap: splits
+        (2, 4, base),
+        (2, 5, base + dt.timedelta(seconds=gap + 1)),      # > gap: splits
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz"
+    )
+    native = sorted(
+        (r.user_id, r.n_events, r.first_event_id, r.last_event_id)
+        for r in sessionize_stream(ev, 30).collect()
+    )
+    assert native == [(1, 1, 3, 3), (1, 2, 1, 2), (2, 1, 4, 4), (2, 1, 5, 5)]
+    batch = sorted(
+        (r.user_id, r.n_events, r.first_event_id, r.last_event_id)
+        for r in sessionize(ev, 30).collect()
+    )
+    assert batch == native
