@@ -190,9 +190,15 @@ def bench_queries(spark, sf_dir: str) -> dict:
     ]
     out = {}
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
+        # min of 2 samples: the VM's multi-minute slow periods (see
+        # BENCH.md) hit single-shot timings by 2-3x; the first sample
+        # also doubles as the codegen/python-worker warm-up
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            times.append(time.time() - t0)
+        out[name] = round(min(times), 3)
     return out
 
 
