@@ -230,6 +230,34 @@ def _enumerate_iter(nodes, root, out):
         stack.append([node[chars[idx]], prefix + chars[idx], None, 0])
 
 
+def test_to_dot_own_golden():
+    """Byte-exact structural golden for the dot renderer (the reference's
+    testFst golden fixtures are absent from its snapshot —
+    .MISSING_LARGE_BLOBS — so this pins our own canonical rendering:
+    'tap/taps/top' minimizes to 6 nodes with the shared 'p'->terminal
+    suffix structure)."""
+    t = Trie.from_sorted(["tap", "taps", "top"])
+    root, nodes, n = minimize(t)
+    assert n == 6
+    from orchid_fst_spark.automata.trie import to_dot
+
+    assert to_dot(root, nodes) == (
+        "digraph fst {\n"
+        "  rankdir=LR;\n"
+        "  node [shape=circle];\n"
+        '  n0 [shape=doublecircle, label="0"];\n'
+        '  n1 [shape=doublecircle, label="1"];\n'
+        '  n1 -> n0 [label="s"];\n'
+        '  n2 -> n1 [label="p"];\n'
+        '  n3 -> n0 [label="p"];\n'
+        '  n4 -> n2 [label="a"];\n'
+        '  n4 -> n3 [label="o"];\n'
+        '  n5 -> n4 [label="t"];\n'
+        "  start [shape=point]; start -> n5;\n"
+        "}"
+    )
+
+
 def test_to_dot_renders_minimized_dag():
     from orchid_fst_spark.automata.trie import to_dot
 
