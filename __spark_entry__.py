@@ -376,6 +376,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold_num=1,
         threshold_den=100,
     )
+    # winnowing fingerprints (rolling char k-gram hashes, per-window
+    # minima) — md5-derived hashes, so both engines produce the exact
+    # fingerprint sets; summarized per doc as (count, xor) to keep the
+    # oracle columns integer-exact
+    def _winnow(spark, sf):
+        from orchid_fst_spark.operators.dedup import winnow_fingerprints
+
+        agg = (
+            winnow_fingerprints(_docs(spark, sf), "doc_id", "text")
+            .groupBy("id")
+            .agg(
+                F.count("*").alias("n_fp"),
+                F.bit_xor("fp").alias("fp_xor"),
+            )
+        )
+        return (
+            _docs(spark, sf)
+            .select(F.col("doc_id").alias("id"))
+            .join(agg, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_fp", F.lit(0)).alias("n_fp"),
+                F.coalesce("fp_xor", F.lit(0)).alias("fp_xor"),
+            )
+        )
+
+    q["winnow_fingerprints"] = _winnow
+
+    def _winnow_pairs(spark, sf):
+        from orchid_fst_spark.operators.dedup import winnow_pairs
+
+        return winnow_pairs(
+            _docs(spark, sf), "doc_id", "text", min_shared=2, df_cap=5000
+        )
+
+    q["winnow_pairs"] = _winnow_pairs
+
     q["simhash_docs"] = lambda spark, sf: simhash(_docs(spark, sf), "doc_id", "text")
     q["simhash_pairs"] = lambda spark, sf: simhash_pairs(
         _docs(spark, sf), "doc_id", "text", max_hamming=10
@@ -762,6 +799,42 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 100 >= 1 * (sa.n + sb.n - inter)"""
+
+    # winnowing twins: g = per-position 60-bit md5 hashes of char
+    # 8-grams; wmin = min over each window of 4 consecutive grams;
+    # fingerprints = distinct minima per doc (docs shorter than
+    # k + w - 1 = 11 chars have none -> left join, zero counts)
+    _sql_winnow = """
+g AS (
+  SELECT doc_id, i.i AS i,
+         ('0x' || substr(md5(substr(text, i.i, 8)), 1, 15))::BIGINT AS h
+  FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i(i)
+  WHERE length(text) >= 8
+),
+lens AS (SELECT doc_id, length(text) - 7 AS ng FROM documents),
+wmin AS (
+  SELECT a.doc_id, a.i AS j, min(b.h) AS mh
+  FROM g a
+  JOIN lens l ON l.doc_id = a.doc_id
+  JOIN g b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i <= a.i + 3
+  WHERE a.i <= l.ng - 3
+  GROUP BY a.doc_id, a.i
+),
+fp AS (SELECT DISTINCT doc_id, mh FROM wmin)"""
+    o["winnow_fingerprints"] = f"""WITH {_sql_winnow},
+s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_fp, bit_xor(mh)::BIGINT AS fp_xor
+  FROM fp GROUP BY doc_id
+)
+SELECT d.doc_id AS id, coalesce(s.n_fp, 0)::BIGINT AS n_fp,
+       coalesce(s.fp_xor, 0)::BIGINT AS fp_xor
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"""
+    o["winnow_pairs"] = f"""WITH {_sql_winnow},
+dfq AS (SELECT mh, count(*) AS c FROM fp GROUP BY mh),
+ok AS (SELECT fp.doc_id, fp.mh FROM fp JOIN dfq USING (mh) WHERE c <= 5000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+FROM ok a JOIN ok b ON a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2"""
 
     _sql_simhash = r"""
 tk AS (

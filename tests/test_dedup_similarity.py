@@ -127,6 +127,44 @@ def test_ngram_hot_shingle_cap(spark):
     assert m.join_rows_uncapped - m.join_rows_capped == 14 * 13 // 2
 
 
+def _winnow_truth(text, k=8, w=4):
+    if len(text) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_truth_and_guarantee(spark):
+    """Winnowing fingerprints equal the driver-side truth per doc, and
+    the scheme's guarantee holds: two docs sharing a substring of length
+    >= k + w - 1 share at least one selected fingerprint."""
+    from orchid_fst_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    shared = "a very distinctive shared passage"
+    docs = [
+        (0, "first document body " + shared + " trailing text one"),
+        (1, "second and different opening " + shared + " other tail"),
+        (2, "completely unrelated content with nothing in common xyz"),
+        (3, "short"),  # below k + w - 1: no fingerprints
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    for did, text in docs:
+        assert got.get(did, set()) == _winnow_truth(text), did
+    assert got[0] & got[1]  # guarantee: shared passage -> shared print
+    pairs = {
+        (r.id_a, r.id_b): r.shared
+        for r in winnow_pairs(df, "doc_id", "text", min_shared=1, df_cap=100).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == len(got[0] & got[1])
+
+
 def test_minhash_candidates_subset_of_exact(spark, docs_df):
     exact = {
         (r.id_a, r.id_b): (r.inter, r["union"])
