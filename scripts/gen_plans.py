@@ -97,6 +97,18 @@ def main() -> None:
         ),
         must_not=("SinglePartition", "CartesianProduct"),
     )
+    from orchid_fst_spark.operators.dedup import winnow_pairs
+
+    add(
+        "Winnowing near-dup pairs (`operators.dedup.winnow_pairs`)",
+        "Rolling k-gram hashes posexploded once per doc, window-min over "
+        "w grams (ONE hash exchange — never a nested HOF, which "
+        "CollapseProject would inline into O(n²) hashing), hot "
+        "fingerprints removed with a broadcast anti-join before the "
+        "equi-join.",
+        winnow_pairs(docs, "doc_id", "text"),
+        must_contain=("Window", "LeftAnti"),
+    )
     idx_path = "/tmp/plans_idx"
     build_index(entry._dict(spark, SF), idx_path, n_shards=8)
     add(
