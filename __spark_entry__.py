@@ -76,6 +76,42 @@ from orchid_fst_spark.streaming.windows import (
 
 
 # ---------------------------------------------------------------------------
+# worker imports
+# ---------------------------------------------------------------------------
+
+_SHIPPED: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``orchid_fst_spark`` importable inside python WORKERS no
+    matter where the driver process was launched from: the driver's
+    sys.path manipulation does not propagate to executor workers (they
+    only see their own cwd + PYTHONPATH), so running this contract from
+    a foreign cwd would fail the first mapInPandas stage with
+    ModuleNotFoundError.  Zip the package once per process and
+    addPyFile it — the same mechanism spark-submit --py-files uses."""
+    if id(spark) in _SHIPPED:
+        return
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    z = f"/tmp/orchid_fst_spark_pkg_{os.getpid()}.zip"
+    if not os.path.exists(z):
+        tmp = z + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            pkg = os.path.join(repo, "orchid_fst_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        zf.write(full, os.path.relpath(full, repo))
+        os.replace(tmp, z)
+    spark.sparkContext.addPyFile(z)
+    _SHIPPED.add(id(spark))
+
+
+# ---------------------------------------------------------------------------
 # shared builders
 # ---------------------------------------------------------------------------
 
@@ -147,6 +183,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full record-linkage pipeline (normalize -> deletion-
     signature blocking -> banded-DP verify -> score -> connected
     components) over a pages table derived from sf0.001 documents."""
+    _ship_package(spark)
     pages = _pages_from_docs(spark, "/root/testdata/sf0.001")
     return resolve(pages, k=2, damerau=True)
 
@@ -585,7 +622,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pix_sum",
     )
 
-    return q
+    def _with_shipped(fn):
+        def g(spark, sf):
+            _ship_package(spark)  # workers must import the package even
+            return fn(spark, sf)  # when the driver runs from foreign cwd
+
+        return g
+
+    return {name: _with_shipped(fn) for name, fn in q.items()}
 
 
 # ---------------------------------------------------------------------------
