@@ -58,12 +58,18 @@ def _spark(cores: str, aqe: bool = True):
         # pollutes the core-count comparison; skew is handled by the
         # blocking caps, not AQE, in this job
         extra["spark.sql.adaptive.enabled"] = "false"
-    return get_spark(
+    spark = get_spark(
         app_name=f"bench_local_{cores}",
         cores=cores,
         shuffle_partitions=max(int(cores) * 4, 8),
         extra_conf=extra,
     )
+    # workers must import the package even when launched from outside
+    # the repo (driver sys.path does not propagate to python workers)
+    import __spark_entry__ as entrymod
+
+    entrymod._ship_package(spark)
+    return spark
 
 
 def _pages(spark, sf_dir: str, scale: int = 1):

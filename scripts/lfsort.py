@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
         cores=args.thread_count,
         shuffle_partitions=max(args.thread_count * 2, 4),
     )
+    # foreign-cwd safety: ship the package to python workers (addPyFile)
+    import __spark_entry__ as entrymod
+
+    entrymod._ship_package(spark)
     # single-file text read: one partition, monotonic id = input order
     # (the stable-sort tie-break the reference's multimap gives)
     lines = (

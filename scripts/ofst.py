@@ -37,9 +37,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _spark(threads: int):
+    import __spark_entry__ as entrymod
+
     from orchid_fst_spark.session import get_spark
 
-    return get_spark(app_name="ofst_cli", cores=threads, shuffle_partitions=max(threads * 2, 4))
+    spark = get_spark(
+        app_name="ofst_cli", cores=threads, shuffle_partitions=max(threads * 2, 4)
+    )
+    # foreign-cwd safety: ship the package to python workers (addPyFile)
+    entrymod._ship_package(spark)
+    return spark
 
 
 def _bounds_filter(df, args):
