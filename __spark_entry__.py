@@ -319,6 +319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["candidate_pairs_k3"] = lambda spark, sf: fuzzy_self_pairs(
         _dict(spark, sf), "key", k=3, damerau=False, algo="passjoin"
     )
+    # k=4: the generalized n=k+1 segment pigeonhole (passjoin MAX_K is
+    # now 8; reference CLI -d accepts 0..100, fst_cmd.cpp:103-111)
+    q["candidate_pairs_k4"] = lambda spark, sf: fuzzy_self_pairs(
+        _dict(spark, sf), "key", k=4, damerau=False, algo="passjoin"
+    )
     # same semantics via the PassJoin segment blocking path (the 100 TB
     # candidate generator) — cross-checked against the identical oracle
     q["candidate_pairs_passjoin"] = lambda spark, sf: candidate_pairs(
@@ -693,6 +698,10 @@ WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2"""
 SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
 FROM dict a, dict b
 WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 3"""
+    o["candidate_pairs_k4"] = f"""WITH {_SQL_DICT}
+SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
+FROM dict a, dict b
+WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 4"""
     o["sort_lines_ranked"] = r"""
 SELECT p_name AS line,
        row_number() OVER (

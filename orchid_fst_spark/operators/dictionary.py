@@ -409,6 +409,51 @@ def _verified_pairs(
     return cand.mapInPandas(verify, schema=out_schema)
 
 
+def _banded_routing(algo: str, k: int) -> str:
+    """Resolve the blocking algo for the requested k, warning when the
+    asked-for path can't carry it (reference CLI accepts -d up to 100,
+    fst_cmd.cpp:103-111 — no k may be a hard reject).  deletes holds to
+    k<=2, segment blocking (passjoin) to k<=MAX_K=8, anything larger
+    runs the length-banded brute-force block (complete for any k; the
+    O(n·m) join is the honest cost of a 9+-edit radius)."""
+    import warnings
+
+    from .passjoin import MAX_K
+
+    if algo == "deletes" and k > 2:
+        new = "passjoin" if k <= MAX_K else "banded"
+        warnings.warn(
+            f"deletion signatures support k<=2; routing k={k} through "
+            f"{'segment blocking' if new == 'passjoin' else 'length-banded brute force'}"
+        )
+        return new
+    if algo == "passjoin" and k > MAX_K:
+        warnings.warn(
+            f"segment blocking supports k<={MAX_K}; routing k={k} through "
+            "length-banded brute force"
+        )
+        return "banded"
+    return algo
+
+
+def _banded_join_candidates(lk: DataFrame, rk: DataFrame, k: int) -> DataFrame:
+    """Brute-force-within-length-band candidate ids for k beyond the
+    segment-blocking ceiling: every right key fans out to the 2k+1
+    length buckets its partners can occupy, then an equi-join on bucket.
+    O((2k+1)·|right|) fan-out and O(n·m) worst-case join rows within a
+    band — the documented fallback, not the scale path."""
+    lb = lk.select(F.col("kid").alias("kid_l"), F.length("key").alias("b"))
+    rb = rk.select(
+        F.col("kid").alias("kid_r"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("key") - k, F.lit(0)), F.length("key") + k
+            )
+        ).alias("b"),
+    )
+    return lb.join(rb, "b").select("kid_l", "kid_r").distinct()
+
+
 def fuzzy_join(
     left_df: DataFrame,
     right_df: DataFrame,
@@ -434,7 +479,12 @@ def fuzzy_join(
     strings (the strings rejoin only for the final verify), and both cap
     hot signatures at ``sig_cap`` per side — a degenerate signature
     (e.g. the empty-string delete of 1-char keys, or a crawl-dominating
-    segment) would otherwise blow up the equi-join O(nl·nr)."""
+    segment) would otherwise blow up the equi-join O(nl·nr).
+
+    k routing: deletes carries k<=2, passjoin k<=8; a larger k warns and
+    falls back to the length-banded brute-force block (complete for any
+    k — mirrors the reference CLI's -d 0..100 range)."""
+    algo = _banded_routing(algo, k)
     lk = (
         left_df.select(F.col(left_key).alias("key"))
         .filter(F.col(left_key).isNotNull())
@@ -447,7 +497,9 @@ def fuzzy_join(
         .distinct()
         .withColumn("kid", F.xxhash64("key"))
     )
-    if algo == "passjoin":
+    if algo == "banded":
+        cand_ids = _banded_join_candidates(lk, rk, k)
+    elif algo == "passjoin":
         from .passjoin import passjoin_join_candidates
 
         cand_ids = passjoin_join_candidates(
@@ -456,11 +508,17 @@ def fuzzy_join(
     else:
         # single-shuffle grouped candidates (mirror of
         # grouped_self_candidates): both sides' signature explodes union
-        # into ONE frame, groupBy(sig) collects tagged ids, the per-side
-        # hot cap applies in-aggregate, and cross-side pairs explode
-        # with higher-order functions — the O(len²) signature explode
-        # (the dominant shuffle of this path) runs exactly once per side
-        # instead of twice (once for the hot count, once for the join)
+        # into ONE frame, groupBy(sig) collects per-side id arrays as
+        # REAL aggregate outputs (collect_list skips the nulls the
+        # other side's when() produces), the per-side hot cap applies
+        # on those attributes, and the cross-side pair expansion is two
+        # successive explodes — each array referenced exactly once,
+        # outside any lambda.  The previous shape (F.filter('xs', ...)
+        # arrays referenced inside nested F.transform lambdas) hit the
+        # CollapseProject HOF re-inline trap: Catalyst re-evaluated the
+        # filter once per element of the outer array, O(|lefts|·|xs|)
+        # per group — measured as the 2x fuzzy_join_parts regression in
+        # BENCH_r02.
         lv = variant_sigs(
             lk.select("kid", "key"), "key", k, max_len, scheme=scheme, window=window
         ).select("sig", F.col("kid").alias("id"), F.lit(0).alias("side"))
@@ -470,35 +528,27 @@ def fuzzy_join(
         grouped = (
             lv.unionAll(rv)
             .groupBy("sig")
-            .agg(F.collect_list(F.struct("side", "id")).alias("xs"))
+            .agg(
+                F.array_distinct(
+                    F.collect_list(F.when(F.col("side") == 0, F.col("id")))
+                ).alias("lefts"),
+                F.array_distinct(
+                    F.collect_list(F.when(F.col("side") == 1, F.col("id")))
+                ).alias("rights"),
+            )
         )
-        lefts = F.filter("xs", lambda x: x["side"] == 0)
-        rights = F.filter("xs", lambda x: x["side"] == 1)
         # per-side hot-signature cap (observable recall trade, mirror of
         # the passjoin/self-pairs caps): a sig carried by > sig_cap keys
         # on either side drops the whole group
         grouped = grouped.filter(
-            (F.size(lefts) >= 1)
-            & (F.size(rights) >= 1)
-            & (F.size(lefts) <= sig_cap)
-            & (F.size(rights) <= sig_cap)
-        )
-        pairs = F.explode(
-            F.flatten(
-                F.transform(
-                    lefts,
-                    lambda l: F.transform(
-                        rights,
-                        lambda r: F.struct(
-                            l["id"].alias("kid_l"), r["id"].alias("kid_r")
-                        ),
-                    ),
-                )
-            )
+            (F.size("lefts") >= 1)
+            & (F.size("rights") >= 1)
+            & (F.size("lefts") <= sig_cap)
+            & (F.size("rights") <= sig_cap)
         )
         cand_ids = (
-            grouped.select(pairs.alias("p"))
-            .select("p.kid_l", "p.kid_r")
+            grouped.select(F.explode("lefts").alias("kid_l"), "rights")
+            .select("kid_l", F.explode("rights").alias("kid_r"))
             .distinct()
         )
     cand = (
@@ -565,19 +615,33 @@ def fuzzy_self_pairs(
     its blocking shuffles carry 8-byte xxhash64 ids, not key strings
     (long web keys would make every shuffle ~10x heavier; a hash
     collision only ever costs an extra DP verify after the id->key
-    join-back, never a wrong pair)."""
-    if algo == "passjoin":
-        from .passjoin import passjoin_self_candidates
+    join-back, never a wrong pair).
 
+    k routing: deletes carries k<=2, passjoin k<=8; a larger k warns and
+    falls back to the length-banded brute-force block (complete for any
+    k — mirrors the reference CLI's -d 0..100 range)."""
+    algo = _banded_routing(algo, k)
+    if algo in ("passjoin", "banded"):
         keymap = (
             df.select(F.col(key_col).alias("key"))
             .filter(F.col(key_col).isNotNull())
             .distinct()
             .withColumn("kid", F.xxhash64("key"))
         )
-        cand_ids = passjoin_self_candidates(
-            keymap, k=k, max_len=max_len, sig_cap=sig_cap
-        )
+        if algo == "banded":
+            cand_ids = (
+                _banded_join_candidates(keymap, keymap, k)
+                .filter(F.col("kid_l") < F.col("kid_r"))
+                .select(
+                    F.col("kid_l").alias("key_a"), F.col("kid_r").alias("key_b")
+                )
+            )
+        else:
+            from .passjoin import passjoin_self_candidates
+
+            cand_ids = passjoin_self_candidates(
+                keymap, k=k, max_len=max_len, sig_cap=sig_cap
+            )
         cand = (
             cand_ids.join(
                 keymap.select(F.col("kid").alias("key_a"), F.col("key").alias("ka")),

@@ -6,8 +6,24 @@ which is the shuffle that dies first at 10^12 keys.  This module
 implements the segment/pigeonhole alternative (the PassJoin family,
 Li/Deng/Feng, VLDB 2011 — public algorithm, re-derived here),
 generalized to any k (pigeonhole with n = k+1 segments; the engine
-exposes k <= 3, matching the useful range of the reference CLI's
-``-d`` option, fst_cmd.cpp:103-111, beyond which segments degenerate):
+exposes k <= MAX_K = 8, covering the useful join range of the
+reference CLI's ``-d`` option, fst_cmd.cpp:103-111; joins beyond that
+fall back to the length-banded path in dictionary.fuzzy_join):
+
+Cost model (per key, at blocking level kb = max(k, 2), n = kb + 1):
+  index rows  = n                  (one per segment) + short band
+  probe rows  = O(n · kb)          (for each of <= kb+1 partner lengths
+                                    and n segments, a shift window of
+                                    width <= kb+1; the position-aware
+                                    bound below keeps the constant ~1/2)
+  short band  = keys of length <= 2·kb + 2 are pair-verified brute-force
+                within one bucket (subject to sig_cap).
+So signature volume grows O(k²)/key — at k=8 that's ~120 probe rows
+per key, still independent of key length (vs O(len²·len^k) for
+deletion neighborhoods), but segments shrink to len/9 chars: for a
+word dictionary most keys land in the short band, while long web keys
+(URLs, titles) keep useful segment selectivity.  That trade is why the
+ceiling sits at 8, not 100.
 
   Split every key into n = k+1 contiguous segments (even partition,
   remainder chars to the trailing segments).  For a pair (s, t) with
@@ -41,7 +57,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-MAX_K = 3  # beyond k=3 segment blocking degenerates (segments of ~1 char)
+MAX_K = 8  # beyond k=8 segment blocking degenerates (see cost model above)
 
 
 def _nseg(k: int) -> int:

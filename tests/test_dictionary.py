@@ -252,3 +252,66 @@ def test_fuzzy_self_pairs_passjoin_parity(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_fuzzy_self_pairs_passjoin_k4_parity(spark, words):
+    # generalized n=k+1 pigeonhole (MAX_K raised to 8): k=4 candidates
+    # complete vs the brute-force DP oracle; vocab reaches 16-char words
+    # so real (non-short-band) segments are exercised
+    base = words[::40]
+    longs = [base[i] + base[(i * 7 + 3) % len(base)] for i in range(len(base))]
+    vocab = sorted(
+        set(longs)
+        | {w[:-2] for w in longs[:40]}          # distance 2
+        | {w[2:] + "xy" for w in longs[40:80]}  # distance <= 4
+    )
+    assert max(len(w) for w in vocab) >= 12
+    df = spark.createDataFrame([(w,) for w in vocab], "key string")
+    exp = {
+        (a, b): levenshtein(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if levenshtein(a, b) <= 4
+    }
+    got = {
+        (r.key_a, r.key_b): r.dist
+        for r in fuzzy_self_pairs(
+            df, "key", k=4, damerau=False, algo="passjoin"
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_fuzzy_self_pairs_large_k_banded_fallback(spark):
+    # k beyond the passjoin ceiling warns and routes through the
+    # length-banded brute-force block — complete for any k (reference
+    # CLI accepts -d up to 100, fst_cmd.cpp:103-111)
+    vocab = sorted(gen_dict_words(80))
+    df = spark.createDataFrame([(w,) for w in vocab], "key string")
+    exp = {
+        (a, b): levenshtein(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if levenshtein(a, b) <= 9
+    }
+    with pytest.warns(UserWarning, match="length-banded"):
+        res = fuzzy_self_pairs(df, "key", k=9, damerau=False, algo="deletes")
+    got = {(r.key_a, r.key_b): r.dist for r in res.collect()}
+    assert got == exp
+
+
+def test_fuzzy_join_large_k_banded_fallback(spark, words):
+    qs = ["hair", "intercontinental"]
+    sample = words[::100]
+    left = spark.createDataFrame([(q,) for q in qs], "q string")
+    right = spark.createDataFrame([(w,) for w in sample], "key string")
+    exp = {
+        (q, w, levenshtein(q, w))
+        for q in qs
+        for w in sample
+        if levenshtein(q, w) <= 10
+    }
+    with pytest.warns(UserWarning, match="length-banded"):
+        res = fuzzy_join(left, right, "q", "key", k=10, algo="passjoin")
+    got = {(r.key_a, r.key_b, r.dist) for r in res.collect()}
+    assert got == exp
