@@ -474,10 +474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=3,
         ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
     )
-    # IVF scale path: deterministic centroid subsample (vec_id % 50 == 0)
-    # -> per-vector cell assignment -> queries probe 2 nearest cells ->
-    # brute-force only those cells.  Fully oracle-checkable because the
-    # quantizer is data-derived and tie-breaks are explicit.
+    # IVF scale path: FIXED-SIZE centroid set (the 16 vec_ids smallest
+    # by md5(id) — corpus-size-independent broadcast, unlike a stride
+    # subsample) -> per-vector cell assignment -> queries probe 2
+    # nearest cells -> brute-force only those cells.  Fully
+    # oracle-checkable because the quantizer is data-derived and
+    # tie-breaks are explicit.
     def _ann_ivf(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return ivf_topk(
@@ -488,7 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id",
             "embedding",
             k=3,
-            centroid_stride=50,
+            n_centroids=16,
             n_probe=2,
         ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
@@ -940,14 +942,19 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, n_id, rnk::BIGINT AS rank FROM ranked WHERE rnk <= 3"""
-    # IVF: centroid set = vec_id % 50 == 0; assignment and probing use
-    # explicit (cos DESC, id ASC) tie-breaks so both engines pick the
-    # same cells; final top-k brute-forces only probed cells
+    # IVF: centroid set = the 16 vec_ids smallest by md5(vec_id) (the
+    # fixed-size hash-ordered sample ivf_centroids derives); assignment
+    # and probing use explicit (cos DESC, id ASC) tie-breaks so both
+    # engines pick the same cells; final top-k brute-forces only probed
+    # cells
     o["ann_ivf_topk"] = f"""WITH {_sql_embX},
+cents AS (
+  SELECT vec_id FROM norms ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+),
 cdots AS (
   SELECT a.vec_id AS id, b.vec_id AS cid,
          sum(a.v * b.v) / (na.nrm * nb.nrm) AS ccos
-  FROM x a JOIN x b ON a.i = b.i AND b.vec_id % 50 = 0
+  FROM x a JOIN x b ON a.i = b.i AND b.vec_id IN (SELECT vec_id FROM cents)
   JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
   GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
 ),

@@ -19,8 +19,61 @@ caps bound the one remaining O(df²) join (ngram_jaccard_pairs.df_cap).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.normalize import tokens
+
+
+def _maybe_persist(df: DataFrame, storage: str | None) -> DataFrame:
+    """Persist an intermediate the operator will scan more than once.
+    ``storage`` is a StorageLevel name ('MEMORY_AND_DISK', ...) or None
+    to skip persistence (the plan is recomputed per scan — the right
+    choice for one-shot pipelines in long-lived sessions, where an
+    operator-internal cache() would otherwise accumulate in the
+    CacheManager forever; see util/caches for the byte-budget story)."""
+    if storage is None:
+        return df
+    return df.persist(getattr(StorageLevel, storage))
+
+
+def cap_hot_buckets(stacked: DataFrame, bucket_cap: int) -> DataFrame:
+    """Drop every row of LSH band buckets carried by more than
+    ``bucket_cap`` members — the same broadcast-anti-join discipline as
+    ``ngram_jaccard_pairs.df_cap``.  Exact/near-exact duplicate clusters
+    share ALL their bands, so one crawl-dominating boilerplate cluster
+    of size m would otherwise emit O(m²) join rows in EVERY band; run
+    ``exact_dedup`` first so byte-identical copies never reach LSH, and
+    treat the cap as the observable recall trade for what remains
+    (``bucket_profile`` reports the dropped mass, never silent)."""
+    hot = (
+        stacked.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("bucket")
+    )
+    return stacked.join(F.broadcast(hot), "bucket", "left_anti")
+
+
+def bucket_profile(stacked: DataFrame, bucket_cap: int) -> DataFrame:
+    """One-row observability profile for a (.., bucket) LSH frame: how
+    big buckets get and exactly how many O(n²) join rows the cap
+    removes (mirror of ``ngram_shingle_metrics``)."""
+    freq = stacked.groupBy("bucket").agg(F.count("*").alias("n"))
+    pairs = F.col("n") * (F.col("n") - 1) / 2
+    return freq.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0)).alias(
+            "n_hot_buckets"
+        ),
+        F.sum(F.when(F.col("n") > bucket_cap, F.col("n")).otherwise(0)).alias(
+            "dropped_rows"
+        ),
+        F.sum(pairs).cast("long").alias("join_rows_uncapped"),
+        F.sum(F.when(F.col("n") <= bucket_cap, pairs).otherwise(0))
+        .cast("long")
+        .alias("join_rows_capped"),
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -56,6 +109,7 @@ def ngram_jaccard_pairs(
     threshold_num: int = 3,
     threshold_den: int = 10,
     df_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard >= num/den.
     Returns (id_a, id_b, inter, union) — integer counts, exact up to
@@ -80,9 +134,12 @@ def ngram_jaccard_pairs(
     lower bound of true Jaccard — pairs held together exclusively by
     boilerplate fall below threshold, which is exactly the near-dup
     signal a web corpus wants to ignore."""
-    sh = shingle_df(df, id_col, text_col, n).select(
-        "id", F.xxhash64("sh").alias("shh")
-    ).cache()
+    sh = _maybe_persist(
+        shingle_df(df, id_col, text_col, n).select(
+            "id", F.xxhash64("sh").alias("shh")
+        ),
+        storage,
+    )
     # union denominators from UNCAPPED sizes (true Jaccard for survivors)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     hot = (
@@ -239,6 +296,28 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*[_minhash_col(s) for s in range(num_hashes)])
 
 
+def _minhash_stacked(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, bucket) band rows from a (id, sh) shingle frame — the ONE
+    definition of MinHash band bucketing, shared by the pair join and
+    its metrics so the two can't drift."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(sh, num_hashes)
+    band_cols = [
+        F.concat_ws("#", *[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sig_b = sig.select("id", *band_cols)
+    return sig_b.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -248,31 +327,24 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold_num: int = 3,
     threshold_den: int = 10,
+    bucket_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
     shingles -> 8 md5-minhashes -> 4 bands of 2 -> band-bucket equi-join
     for candidates -> exact integer Jaccard verify.  Deterministic: same
     candidates in any engine computing the same md5 minhashes, so the
-    final output equals the oracle's despite LSH being 'approximate'."""
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sh = shingle_df(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(sh, num_hashes)
-    band_cols = [
-        F.concat_ws("#", *[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    sig_b = sig.select("id", *band_cols)
-    # candidates: docs sharing at least one band bucket
-    stacked = sig_b.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.concat_ws("|", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
-            ])
-        ).alias("bucket"),
-    )
+    final output equals the oracle's despite LSH being 'approximate'.
+
+    Buckets hotter than ``bucket_cap`` are dropped before the self-join
+    (``cap_hot_buckets``): a 10M-copy boilerplate cluster shares ALL its
+    bands, so without the cap a single bucket emits O(m²) join rows.
+    Run ``exact_dedup`` first (identical copies never belong in an LSH
+    join); the residual dropped mass is observable via
+    ``minhash_band_metrics``."""
+    sh = _maybe_persist(shingle_df(df, id_col, text_col, n), storage)
+    stacked = cap_hot_buckets(_minhash_stacked(sh, num_hashes, bands), bucket_cap)
     a = stacked.select(F.col("id").alias("id_a"), "bucket")
     b = stacked.select(F.col("id").alias("id_b"), "bucket")
     cand = (
@@ -296,6 +368,21 @@ def minhash_lsh_pairs(
         .filter(F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("union"))
         .select("id_a", "id_b", "inter", "union")
     )
+
+
+def minhash_band_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    bucket_cap: int = 5000,
+) -> DataFrame:
+    """Band-bucket profile for ``minhash_lsh_pairs``'s ``bucket_cap``
+    recall trade (same shape as ``ngram_shingle_metrics``)."""
+    sh = shingle_df(df, id_col, text_col, n)
+    return bucket_profile(_minhash_stacked(sh, num_hashes, bands), bucket_cap)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -335,27 +422,7 @@ def _band_layout(usable: int, bands: int) -> list[tuple[int, int]]:
     return out
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    bands: int | None = None,
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
-
-    Band count is derived from the asked radius: ``max_hamming + 1``
-    disjoint bands over the 60 usable signature bits (pigeonhole — at
-    most ``max_hamming`` differing bits can touch at most ``max_hamming``
-    bands, so some band is bit-identical and the band equi-join finds
-    EVERY pair within the radius; exact ``bit_count(xor)`` then filters
-    false candidates).  An explicit ``bands`` override must still honor
-    ``bands > max_hamming`` — a smaller band count silently loses recall,
-    so it raises instead.  Wider radii mean narrower bands and larger
-    candidate buckets: the equi-join fan-out grows as 2^-width per band,
-    which is the honest cost of a complete large-radius search (radius
-    <= 3 keeps the classic 4x15-bit layout)."""
-    usable = 60
+def _simhash_bands(bands: int, max_hamming: int, usable: int = 60) -> int:
     if bands is None:
         bands = max_hamming + 1
     if not max_hamming < bands <= usable:
@@ -363,8 +430,14 @@ def simhash_pairs(
             f"need max_hamming < bands <= {usable} for pigeonhole "
             f"completeness (got max_hamming={max_hamming}, bands={bands})"
         )
-    sig = simhash(df, id_col, text_col).cache()
-    stacked = sig.select(
+    return bands
+
+
+def _simhash_stacked(sig: DataFrame, bands: int, usable: int = 60) -> DataFrame:
+    """(id, simhash, bucket) band rows from a (id, simhash) frame — the
+    ONE definition of SimHash band bucketing, shared by the pair join
+    and its metrics."""
+    return sig.select(
         "id",
         "simhash",
         F.explode(
@@ -380,6 +453,40 @@ def simhash_pairs(
             ])
         ).alias("bucket"),
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    bucket_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Band count is derived from the asked radius: ``max_hamming + 1``
+    disjoint bands over the 60 usable signature bits (pigeonhole — at
+    most ``max_hamming`` differing bits can touch at most ``max_hamming``
+    bands, so some band is bit-identical and the band equi-join finds
+    EVERY pair within the radius; exact ``bit_count(xor)`` then filters
+    false candidates).  An explicit ``bands`` override must still honor
+    ``bands > max_hamming`` — a smaller band count silently loses recall,
+    so it raises instead.  Wider radii mean narrower bands and larger
+    candidate buckets: the equi-join fan-out grows as 2^-width per band,
+    which is the honest cost of a complete large-radius search (radius
+    <= 3 keeps the classic 4x15-bit layout).
+
+    Buckets hotter than ``bucket_cap`` are dropped before the self-join
+    (``cap_hot_buckets`` — identical docs share every band; run
+    ``exact_dedup`` first).  The cap bounds join fan-out at the price of
+    completeness for what it drops; ``simhash_band_metrics`` reports the
+    dropped mass."""
+    usable = 60
+    bands = _simhash_bands(bands, max_hamming, usable)
+    sig = _maybe_persist(simhash(df, id_col, text_col), storage)
+    stacked = cap_hot_buckets(_simhash_stacked(sig, bands, usable), bucket_cap)
     a = stacked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
     b = stacked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
     # Hamming verify BEFORE the distinct: bit_count(xor) is a codegen
@@ -395,3 +502,18 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def simhash_band_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    bucket_cap: int = 5000,
+) -> DataFrame:
+    """Band-bucket profile for ``simhash_pairs``'s ``bucket_cap`` recall
+    trade (same shape as ``ngram_shingle_metrics``)."""
+    bands = _simhash_bands(bands, max_hamming)
+    sig = simhash(df, id_col, text_col)
+    return bucket_profile(_simhash_stacked(sig, bands), bucket_cap)

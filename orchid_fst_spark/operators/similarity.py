@@ -88,31 +88,46 @@ def cosine_topk(
 
 
 def ivf_centroids(
-    emb: DataFrame, id_col: str, vec_col: str, centroid_stride: int = 50
+    emb: DataFrame, id_col: str, vec_col: str, n_centroids: int = 4096
 ) -> DataFrame:
-    """The ONE definition of the coarse quantizer's centroid set
-    (deterministic id-stride subsample), shared by assignment and query
-    probing — swapping in trained k-means centroids changes only this
-    function, and both sides stay coherent by construction."""
-    return emb.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    ).filter(F.col("cid") % centroid_stride == 0)
+    """The ONE definition of the coarse quantizer's centroid set, shared
+    by assignment and query probing — swapping in trained k-means
+    centroids changes only this function, and both sides stay coherent
+    by construction.
+
+    The set is a FIXED-SIZE deterministic sample: the ``n_centroids``
+    ids smallest by md5(id) (tie-break id) — a uniform hash-ordered
+    draw any engine reproduces exactly (DuckDB:
+    ``ORDER BY md5(id::VARCHAR), id LIMIT n``).  ``n_centroids`` is a
+    hard bound independent of corpus size (keep it ≲ 64k): the
+    broadcast in ivf_assign/ivf_topk and the per-vector assignment cost
+    are O(n_centroids), NOT O(corpus) — the property the earlier
+    id-stride subsample (centroids = n/stride) lacked.  Spark executes
+    the orderBy+limit as TakeOrderedAndProject (per-partition top-N,
+    one merge), so deriving the sample is a single cheap pass."""
+    return (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("_h", F.md5(F.col("cid").cast("string")))
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .drop("_h")
+    )
 
 
 def ivf_assign(
-    emb: DataFrame, id_col: str, vec_col: str, centroid_stride: int = 50
+    emb: DataFrame, id_col: str, vec_col: str, n_centroids: int = 4096
 ) -> DataFrame:
     """IVF coarse quantization: (id, vec, cell) where ``cell`` is the id
-    of the nearest centroid.  Centroids are the deterministic subsample
-    ``id % centroid_stride == 0`` (data-derived, reproducible in any
+    of the nearest centroid.  Centroids are the fixed-size hash-ordered
+    sample of ``ivf_centroids`` (data-derived, reproducible in any
     engine — the k-means training step a production IVF would run
     offline is orthogonal to the engine mechanics and would only change
-    this frame).  The assignment is a broadcast join against the small
-    centroid set + a per-vector argmax window (tie-break: centroid id),
-    so the corpus is scanned once and nothing shuffles except the
-    (id, cell) pairs."""
+    that frame).  The assignment is a broadcast join against the
+    bounded centroid set + a per-vector argmax window (tie-break:
+    centroid id), so the corpus is scanned once and nothing shuffles
+    except the (id, cell) pairs."""
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = ivf_centroids(emb, id_col, vec_col, centroid_stride)
+    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
     scored = src.join(F.broadcast(cents)).withColumn(
         "ccos", cosine(F.col("vec"), F.col("cvec"))
     )
@@ -132,7 +147,7 @@ def ivf_topk(
     q_id_col: str,
     q_vec_col: str,
     k: int = 5,
-    centroid_stride: int = 50,
+    n_centroids: int = 4096,
     n_probe: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in coarse cells
@@ -144,8 +159,8 @@ def ivf_topk(
     construction (a true neighbor can live in an unprobed cell);
     deterministic given the centroid subsample, so the full pipeline is
     oracle-checkable."""
-    cells = ivf_assign(emb, id_col, vec_col, centroid_stride)
-    cents = ivf_centroids(emb, id_col, vec_col, centroid_stride)
+    cells = ivf_assign(emb, id_col, vec_col, n_centroids)
+    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
     qs = q.join(F.broadcast(cents)).withColumn(
         "ccos", cosine(F.col("qv"), F.col("cvec"))
@@ -191,25 +206,18 @@ def _md5_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return m
 
 
-def cosine_lsh_pairs(
+def _cosine_stacked(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    threshold: float,
     dim: int,
-    n_planes: int = 16,
-    bands: int = 4,
-    seed: int = 42,
-    plane_scheme: str = "md5",
+    n_planes: int,
+    bands: int,
+    seed: int,
+    plane_scheme: str,
 ) -> DataFrame:
-    """Approximate near-neighbor pairs: random-hyperplane signatures
-    (sign of projection) -> band equi-join -> exact cosine verify.
-    Recall < 1 by construction (LSH); the exact verify keeps precision 1.
-
-    plane_scheme='md5' (default) derives the hyperplanes from md5 of
-    (seed, plane, component) so an external SQL engine reproduces the
-    exact buckets; 'gaussian' uses a seeded N(0,1) matrix (statistically
-    identical behavior, not SQL-reproducible)."""
+    """(id, bucket) hyperplane-LSH band rows — the ONE definition of the
+    cosine bucketing, shared by the pair join and its metrics."""
     assert n_planes % bands == 0
     r = n_planes // bands
     planes = (
@@ -239,7 +247,41 @@ def cosine_lsh_pairs(
             yield pd.DataFrame({"id": ids, "bucket": buckets})
 
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    stacked = src.mapInPandas(sig_gen, schema=schema)
+    return src.mapInPandas(sig_gen, schema=schema)
+
+
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    plane_scheme: str = "md5",
+    bucket_cap: int = 5000,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: random-hyperplane signatures
+    (sign of projection) -> band equi-join -> exact cosine verify.
+    Recall < 1 by construction (LSH); the exact verify keeps precision 1.
+
+    plane_scheme='md5' (default) derives the hyperplanes from md5 of
+    (seed, plane, component) so an external SQL engine reproduces the
+    exact buckets; 'gaussian' uses a seeded N(0,1) matrix (statistically
+    identical behavior, not SQL-reproducible).
+
+    Buckets hotter than ``bucket_cap`` are dropped before the self-join
+    (operators/dedup.cap_hot_buckets — a duplicate-embedding cluster
+    shares every band; dedup exact copies first).  Dropped mass is
+    observable via ``cosine_lsh_band_metrics``."""
+    from .dedup import cap_hot_buckets
+
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    stacked = cap_hot_buckets(
+        _cosine_stacked(emb, id_col, vec_col, dim, n_planes, bands, seed, plane_scheme),
+        bucket_cap,
+    )
     a = stacked.select(F.col("id").alias("id_a"), "bucket")
     b = stacked.select(F.col("id").alias("id_b"), "bucket")
     cand = (
@@ -256,4 +298,25 @@ def cosine_lsh_pairs(
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def cosine_lsh_band_metrics(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    plane_scheme: str = "md5",
+    bucket_cap: int = 5000,
+) -> DataFrame:
+    """Band-bucket profile for ``cosine_lsh_pairs``'s ``bucket_cap``
+    recall trade (same shape as dedup.ngram_shingle_metrics)."""
+    from .dedup import bucket_profile
+
+    return bucket_profile(
+        _cosine_stacked(emb, id_col, vec_col, dim, n_planes, bands, seed, plane_scheme),
+        bucket_cap,
     )

@@ -72,8 +72,45 @@ def main() -> None:
         "SimHash near-dup (`operators.dedup.simhash_pairs`)",
         "Radius-derived band equi-join (pigeonhole-complete); the "
         "bit_count(xor) Hamming verify runs BEFORE the distinct so the "
-        "dedup shuffle carries only passing pairs.",
+        "dedup shuffle carries only passing pairs; hot band buckets are "
+        "removed with a broadcast anti-join before the self-join "
+        "(bucket_cap).",
         simhash_pairs(docs, "doc_id", "text", max_hamming=10),
+        must_contain=("LeftAnti",),
+    )
+    from orchid_fst_spark.operators.dedup import minhash_lsh_pairs
+    from orchid_fst_spark.operators.similarity import cosine_lsh_pairs
+
+    add(
+        "MinHash-LSH near-dup (`operators.dedup.minhash_lsh_pairs`)",
+        "Band-bucket equi-join with hot buckets removed by a broadcast "
+        "anti-join (bucket_cap) before the self-join; exact integer "
+        "Jaccard verify touches candidates only.",
+        minhash_lsh_pairs(docs, "doc_id", "text"),
+        must_contain=("LeftAnti",),
+    )
+    add(
+        "Cosine hyperplane-LSH pairs (`operators.similarity.cosine_lsh_pairs`)",
+        "Arrow-batched signature stage, band equi-join with the same "
+        "broadcast-anti-join bucket cap, exact cosine verify on "
+        "candidates.",
+        cosine_lsh_pairs(emb, "vec_id", "embedding", 0.8, dim=64),
+        must_contain=("LeftAnti",),
+    )
+    from orchid_fst_spark.operators.dictionary import fuzzy_join
+
+    qdf = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("q")
+    ).filter(F.col("q") != "").distinct()
+    add(
+        "Fuzzy two-table join, deletes path (`operators.dictionary.fuzzy_join`)",
+        "Per-side signature arrays come out of the aggregate as REAL "
+        "columns and the cross-side pair expansion is two successive "
+        "Generate (explode) steps — the plan contains NO lambda "
+        "referencing a computed array (the CollapseProject HOF "
+        "re-inline trap measured as a 2x regression in BENCH_r02).",
+        fuzzy_join(qdf, entry._dict(spark, SF), "q", "key", k=1),
+        must_not=("CartesianProduct", "lambdafunction"),
     )
     add(
         "IVF top-k ANN (`operators.similarity.ivf_topk`)",

@@ -275,13 +275,19 @@ def test_ivf_topk_semantics(spark, emb_df):
     unrestricted exact top-k is sane."""
     from orchid_fst_spark.operators.similarity import ivf_assign, ivf_topk
 
+    import hashlib
+
     S = _np_cos()
-    stride, n_probe, k = 7, 2, 3
+    n_c, n_probe, k = 5, 2, 3
     cells = {
         r.id: r.cell
-        for r in ivf_assign(emb_df, "vec_id", "embedding", stride).collect()
+        for r in ivf_assign(emb_df, "vec_id", "embedding", n_c).collect()
     }
-    cents = [i for i, _, _ in EMB if i % stride == 0]
+    # fixed-size hash-ordered centroid sample: n_c smallest by md5(id)
+    cents = sorted(
+        (i for i, _, _ in EMB),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:n_c]
     # driver-side truth for assignment: nearest centroid, tie-break id
     for i in range(len(EMB)):
         best = min(cents, key=lambda c: (-S[i, c], c))
@@ -290,7 +296,7 @@ def test_ivf_topk_semantics(spark, emb_df):
     got = {}
     for r in ivf_topk(
         emb_df, qdf, "vec_id", "embedding", "vec_id", "embedding",
-        k=k, centroid_stride=stride, n_probe=n_probe,
+        k=k, n_centroids=n_c, n_probe=n_probe,
     ).collect():
         got.setdefault(r.q_id, []).append((r.rank, r.n_id))
     for q in range(4):
@@ -452,3 +458,95 @@ def test_audio_and_resize_codec(spark):
         pix = parse_ppm(bytes(r.payload))  # re-encoded output is valid PPM
         assert pix.shape == (12, 16, 3)
         assert r.pix_sum == int(pix.astype(np.int64).sum())
+
+
+def test_lsh_planted_hot_bucket_caps(spark):
+    """A planted cluster of identical docs shares every LSH band — the
+    bucket_cap must drop those buckets before the self-join (no O(m²)
+    join rows), the drop must be observable via the metrics profile,
+    and pairs outside the hot cluster must be unaffected."""
+    from orchid_fst_spark.operators.dedup import (
+        minhash_band_metrics,
+        minhash_lsh_pairs,
+        simhash_band_metrics,
+        simhash_pairs,
+    )
+
+    m = 200  # planted identical-copy cluster (same text => same bands)
+    rows = [(i, "spam boilerplate footer license text repeated") for i in range(m)]
+    rows += [
+        (m + 0, "the cat sat on the mat by the door"),
+        (m + 1, "the cat sat on the mat by the floor"),
+        (m + 2, "an unrelated document about gardening tools"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 50
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold_num=1, threshold_den=100,
+            bucket_cap=cap, storage=None,
+        ).collect()
+    }
+    # hot cluster dropped entirely; near-dup pair outside it survives
+    assert all(a >= m or b >= m for a, b in got)
+    assert (m + 0, m + 1) in got
+    prof = minhash_band_metrics(df, "doc_id", "text", bucket_cap=cap).collect()[0]
+    assert prof.n_hot_buckets >= 1
+    assert prof.dropped_rows >= m
+    assert prof.join_rows_uncapped >= m * (m - 1) // 2
+    assert prof.join_rows_capped < prof.join_rows_uncapped
+
+    got_sh = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            df, "doc_id", "text", max_hamming=3, bucket_cap=cap, storage=None
+        ).collect()
+    }
+    assert all(a >= m or b >= m for a, b in got_sh)
+    prof_sh = simhash_band_metrics(df, "doc_id", "text", bucket_cap=cap).collect()[0]
+    assert prof_sh.n_hot_buckets >= 1 and prof_sh.dropped_rows >= m
+
+
+def test_cosine_lsh_planted_hot_bucket_cap(spark):
+    from orchid_fst_spark.operators.similarity import (
+        cosine_lsh_band_metrics,
+        cosine_lsh_pairs,
+    )
+
+    m = 120
+    base = [1.0, 0.5, -0.25, 0.8, 0.0, -1.0, 0.3, 0.7]
+    rows = [(i, base) for i in range(m)]  # identical embeddings
+    rows += [(m, [0.9, -0.8, 0.1, 0.2, -0.5, 0.4, -0.3, 0.6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = 40
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_lsh_pairs(
+            df, "vec_id", "embedding", 0.9, dim=8, bucket_cap=cap
+        ).collect()
+    }
+    assert all(a == m or b == m for a, b in got)  # cluster pairs capped away
+    prof = cosine_lsh_band_metrics(
+        df, "vec_id", "embedding", dim=8, bucket_cap=cap
+    ).collect()[0]
+    assert prof.n_hot_buckets >= 1 and prof.dropped_rows >= m
+
+
+def test_dedup_storage_param_leaves_cache_empty(spark):
+    """storage=None must leave the session CacheManager untouched — the
+    long-session hygiene contract (operators with the default storage
+    persist intermediates; passing None trades recompute for zero
+    retained storage)."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    minhash_lsh_pairs(
+        df, "doc_id", "text", threshold_num=1, threshold_den=100, storage=None
+    ).collect()
+    simhash_pairs(df, "doc_id", "text", storage=None).collect()
+    ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold_num=1, threshold_den=100, storage=None
+    ).collect()
+    jvm_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert jvm_empty
