@@ -273,8 +273,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build_index(d, tmp, n_shards=8)
             try:
                 _os.rename(tmp, path)
-            except OSError:  # another process won the race
-                _sh.rmtree(tmp, ignore_errors=True)
+            except OSError:
+                # either another process won the race (path/_SUCCESS now
+                # present — serve theirs) or a crashed earlier build left
+                # a partial dir without _SUCCESS — clear it and retry so
+                # we never serve a corrupt artifact
+                if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+                    _sh.rmtree(tmp, ignore_errors=True)
+                else:
+                    _sh.rmtree(path, ignore_errors=True)
+                    try:
+                        _os.rename(tmp, path)
+                    except OSError:  # lost a second race; theirs is good
+                        _sh.rmtree(tmp, ignore_errors=True)
         return index_fuzzy_lookup(load_index(spark, path), "scan", 2).withColumn(
             "dist", F.levenshtein(F.col("key"), F.lit("scan")).cast("long")
         )

@@ -152,10 +152,17 @@ def bench_er(spark, sf_dir: str, trials: int | None = None) -> dict:
     # the minimum is the clean-machine measurement (all trials reported)
     t_pairs = min(times)
 
-    t1 = time.time()
-    clusters = resolve(pages, k=2, damerau=True)
-    n_rows = clusters.count()
-    t_resolve = time.time() - t1
+    # full resolve: min-of-N like every other headline number (r02
+    # recorded a single-shot 3.4x swing with zero ER code change — the
+    # VM's slow periods make one sample unusable as a flagship metric);
+    # the first trial doubles as the CC-stage warm-up
+    rtimes = []
+    n_rows = 0
+    for _ in range(max(trials, 3)):
+        t1 = time.time()
+        n_rows = resolve(pages, k=2, damerau=True).count()
+        rtimes.append(time.time() - t1)
+    t_resolve = min(rtimes)
     pages.unpersist()
     return {
         "pages": n_rows,
@@ -165,6 +172,8 @@ def bench_er(spark, sf_dir: str, trials: int | None = None) -> dict:
         "candidate_sec_median": round(statistics.median(times), 3),
         "candidate_sec_all_trials": [round(t, 3) for t in times],
         "resolve_sec": round(t_resolve, 3),
+        "resolve_sec_median": round(statistics.median(rtimes), 3),
+        "resolve_sec_all_trials": [round(t, 3) for t in rtimes],
         "scale": SCALE,
     }
 
@@ -193,6 +202,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "events_sessions_native",
         "decode_images",
         "candidate_pairs_k3",
+        "candidate_pairs_k4",
     ]
     out = {}
     for name in headline:
@@ -276,14 +286,21 @@ def bench_index(spark, n_words: int = 300000, n_queries: int = 20) -> dict:
         fuzzy_enumerate_trie(d, q, 2).count()
         index_fuzzy_lookup(idx, q, 2).count()
 
-    t0 = time.time()
-    for q in qs:
-        fuzzy_enumerate_trie(d, q, 2).count()
-    t_rebuild = time.time() - t0
-    t0 = time.time()
-    for q in qs:
-        index_fuzzy_lookup(idx, q, 2).count()
-    t_indexed = time.time() - t0
+    # min over 2 full passes per path: a multi-minute VM slow period
+    # (see BENCH.md) landing inside one 20-query pass would otherwise
+    # decide the whole comparison
+    def _pass(fn):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            for q in qs:
+                fn(q).count()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        return best
+
+    t_rebuild = _pass(lambda q: fuzzy_enumerate_trie(d, q, 2))
+    t_indexed = _pass(lambda q: index_fuzzy_lookup(idx, q, 2))
     # all queries in ONE job off the artifact (amortizes scheduling too)
     from orchid_fst_spark.operators.index import index_fuzzy_lookup_many
 

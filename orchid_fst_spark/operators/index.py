@@ -36,10 +36,12 @@ deserialized by a task that the key-range filter pruned.
 from __future__ import annotations
 
 import hashlib
+import os
 import pickle
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -72,12 +74,99 @@ INDEX_SCHEMA = StructType(
 _TRIE_CACHE = LRUCache(256 * 1024 * 1024)
 
 
+class FlatDag:
+    """Minimized shard DAG flattened into numpy arrays (CSR edges).
+
+    The earlier blob format pickled the list-of-dicts node table;
+    unpickling 100k+ Python dict objects cost ~1.6 s per shard — and
+    with W python workers × S shards the LRU pays that (W·S) times
+    before it is warm, which made the per-query indexed fuzzy path
+    SLOWER than rebuilding (BENCH_r02 amortized_speedup 0.87).  Numpy
+    arrays unpickle at memcpy speed (~10 ms/shard), so a cold
+    (worker, shard) pairing is no longer a cliff.  Edges are sorted by
+    codepoint within each node — the lexicographic DFS order and
+    binary-searchable for pinned descent."""
+
+    __slots__ = ("ptr", "chars", "dst", "final", "vals", "vnone")
+
+    def __init__(self, ptr, chars, dst, final, vals, vnone):
+        self.ptr = ptr
+        self.chars = chars
+        self.dst = dst
+        self.final = final
+        self.vals = vals
+        self.vnone = vnone
+
+
+def _flatten_dag(nodes: list) -> FlatDag:
+    """Flatten a minimize() list-of-dicts node table into FlatDag."""
+    n = len(nodes)
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    final = np.zeros(n, dtype=np.bool_)
+    vnone = np.zeros(n, dtype=np.bool_)
+    vals = np.zeros(n, dtype=np.int64)
+    ch_l: list = []
+    dst_l: list = []
+    for i, node in enumerate(nodes):
+        if "" in node:
+            final[i] = True
+            v = node[""]
+            if v is None:
+                vnone[i] = True
+            else:
+                vals[i] = v
+        items = sorted(k for k in node if k)
+        ptr[i + 1] = ptr[i] + len(items)
+        for ch in items:
+            ch_l.append(ord(ch))
+            dst_l.append(node[ch])
+    return FlatDag(
+        ptr,
+        np.array(ch_l, dtype=np.uint32),
+        np.array(dst_l, dtype=np.int64),
+        final,
+        vals,
+        vnone,
+    )
+
+
+def _as_flat(nodes) -> FlatDag:
+    return _flatten_dag(nodes) if isinstance(nodes, list) else nodes
+
+
+def _unflatten_dag(flat: FlatDag) -> list:
+    """FlatDag -> list-of-dicts node table (for renderers like
+    automata.trie.to_dot that walk the dict shape)."""
+    ptr, chars, dst = flat.ptr, flat.chars, flat.dst
+    out = []
+    for i in range(len(flat.final)):
+        node = {
+            chr(int(chars[e])): int(dst[e])
+            for e in range(int(ptr[i]), int(ptr[i + 1]))
+        }
+        if flat.final[i]:
+            node[""] = None if flat.vnone[i] else int(flat.vals[i])
+        out.append(node)
+    return out
+
+
+def _decode_blob(blob: bytes):
+    """blob -> (root, FlatDag, has_value); accepts both the flat-array
+    format ('flat1') and the legacy list-of-dicts pickle."""
+    obj = pickle.loads(zlib.decompress(blob))
+    if isinstance(obj, tuple) and obj and obj[0] == "flat1":
+        _tag, root, has_value, ptr, chars, dst, final, vals, vnone = obj
+        return root, FlatDag(ptr, chars, dst, final, vals, vnone), has_value
+    root, nodes, has_value = obj
+    return root, _as_flat(nodes), has_value
+
+
 def _shard_dag(blob: bytes, blob_md5: str):
-    """(root, nodes, has_value) for one shard, via the global LRU."""
+    """(root, FlatDag, has_value) for one shard, via the global LRU."""
     hit = _TRIE_CACHE.get(blob_md5)
     if hit is not None:
         return hit
-    obj = pickle.loads(zlib.decompress(blob))
+    obj = _decode_blob(blob)
     _TRIE_CACHE.put(blob_md5, obj, cost=len(blob))
     return obj
 
@@ -98,11 +187,30 @@ def _shard_dag_from_store(path: str, shard: int, blob_md5: str):
     # the artifact is partitioned by shard (build_index partitionBy), so
     # a miss opens exactly ONE small directory/footer — not every part
     # file of the artifact
-    tbl = pq.read_table(f"{path}/shard={shard}", columns=["blob"])
+    try:
+        tbl = pq.read_table(f"{path}/shard={shard}", columns=["blob"])
+    except (OSError, FileNotFoundError) as exc:  # pragma: no cover
+        raise RuntimeError(
+            f"worker-side blob read failed for {path!r} (shard {shard}): "
+            "the artifact path must be absolute local/NFS storage every "
+            "executor can open with pyarrow; Spark-only URI schemes are "
+            "not supported on the warm read path"
+        ) from exc
     blob = tbl.column("blob")[0].as_py()
-    obj = pickle.loads(zlib.decompress(blob))
+    obj = _decode_blob(blob)
     _TRIE_CACHE.put(blob_md5, obj, cost=len(blob))
     return obj
+
+
+def _normalize_artifact_path(path: str) -> str:
+    """Absolute-ify local artifact paths: executors resolve relative
+    paths against their own cwd, so a relative path that works in
+    local[*] silently breaks on a cluster.  URI-scheme paths (hdfs://,
+    s3a://) pass through — the JVM scan handles them, and the
+    worker-side miss path raises a clear error if pyarrow cannot."""
+    if "://" in path:
+        return path
+    return os.path.abspath(path)
 
 
 def build_index(
@@ -115,6 +223,7 @@ def build_index(
     ``cache_budget_bytes`` bounds the per-shard minimization node map
     (the reference's -c/--cache-size build knob, fst_cmd.cpp:56: smaller
     budget -> bounded build memory, approximately-minimal DAG)."""
+    path = _normalize_artifact_path(path)
     has_value = "value" in dict_df.columns
     cols = ["key"] + (["value"] if has_value else [])
     srt = (
@@ -139,8 +248,23 @@ def build_index(
             return
         trie = Trie.from_sorted(keys, values if has_value else None)
         root, nodes, _n = minimize(trie, cache_budget_bytes)
+        flat = _flatten_dag(nodes)
         blob = zlib.compress(
-            pickle.dumps((root, nodes, has_value), protocol=4), level=6
+            pickle.dumps(
+                (
+                    "flat1",
+                    root,
+                    has_value,
+                    flat.ptr,
+                    flat.chars,
+                    flat.dst,
+                    flat.final,
+                    flat.vals,
+                    flat.vnone,
+                ),
+                protocol=4,
+            ),
+            level=6,
         )
         yield pd.DataFrame(
             {
@@ -167,6 +291,7 @@ def load_index(spark: SparkSession, path: str) -> DataFrame:
     read worker-side from the artifact on cache miss (the ~1 MB/query
     re-ship of blob bytes was the dominant warm-query cost — 0.52 s ->
     0.27 s per point query after this split)."""
+    path = _normalize_artifact_path(path)
     return spark.read.parquet(path).drop("blob").withColumn(
         "index_path", F.lit(path)
     )
@@ -177,80 +302,103 @@ def load_index(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dag_enum(root: int, nodes: list, lo, hi, lo_inc: bool, hi_inc: bool):
-    """Bound-aware lexicographic DFS; yields (key, value) within the
-    range.  Subtrees are pruned as soon as their prefix provably falls
-    outside [lo, hi] (the FST iterator's bound seek)."""
+def _dag_enum(
+    root: int,
+    nodes,
+    lo,
+    hi,
+    lo_inc: bool,
+    hi_inc: bool,
+    require_prefix: str | None = None,
+):
+    """Bound-aware lexicographic DFS over a FlatDag (a legacy
+    list-of-dicts node table is flattened on the fly); yields
+    (key, value) within the range.  Subtrees are pruned as soon as
+    their prefix provably falls outside [lo, hi] (the FST iterator's
+    bound seek).  ``require_prefix`` restricts results (and the walk)
+    to keys carrying that prefix WITHOUT a synthetic upper bound — a
+    ``prefix + U+10FFFF`` hi would wrongly exclude a stored key of the
+    form ``prefix + U+10FFFF + more``."""
+    flat = _as_flat(nodes)
+    ptr, chars, dst = flat.ptr, flat.chars, flat.dst
+    final, vals, vnone = flat.final, flat.vals, flat.vnone
     out: list = []
+    p = require_prefix
 
     def in_range(key: str) -> bool:
         if lo is not None and (key < lo or (key == lo and not lo_inc)):
             return False
         if hi is not None and (key > hi or (key == hi and not hi_inc)):
             return False
+        if p is not None and not key.startswith(p):
+            return False
         return True
 
     # iterative DFS (explicit stack: key depth never hits the recursion
-    # limit); frames: [node_id, prefix, sorted chars, next idx]
-    stack = [[root, "", None, 0]]
+    # limit); frames: [node_id, prefix, next edge offset]
+    stack = [[root, "", 0]]
     while stack:
         frame = stack[-1]
-        nid, prefix, chars, idx = frame
-        node = nodes[nid]
-        if chars is None:
-            chars = frame[2] = sorted(k for k in node if k)
-            if "" in node and in_range(prefix):
-                out.append((prefix, node[""]))
-        if idx >= len(chars):
+        nid, prefix, idx = frame
+        if idx == 0 and final[nid] and in_range(prefix):
+            out.append((prefix, None if vnone[nid] else int(vals[nid])))
+        e = int(ptr[nid]) + idx
+        if e >= int(ptr[nid + 1]):
             stack.pop()
             continue
-        frame[3] += 1
-        q = prefix + chars[idx]
+        frame[2] += 1
+        q = prefix + chr(int(chars[e]))
         if hi is not None and q > hi:
             continue  # every extension of q sorts after hi
         if lo is not None and q < lo[: len(q)]:
             continue  # every extension of q sorts before lo
-        stack.append([node[chars[idx]], q, None, 0])
+        if p is not None:
+            d = len(q)
+            if (q != p[:d]) if d <= len(p) else (not q.startswith(p)):
+                continue  # subtree shares no key with the prefix
+        stack.append([int(dst[e]), q, 0])
     return out
 
 
-def _dag_dfa(root: int, nodes: list, dfa, pin: str = ""):
+def _dag_dfa(root: int, nodes, dfa, pin: str = ""):
     """DFS of the DAG ∩ compiled edit-distance DFA (reference automaton ∩
-    FST, fst.cpp:471-524), over the minimized shard.  ``pin`` descends
-    the exact prefix path FIRST (stepping the DFA along it) and only
-    then starts the product DFS — the samePrefixLen narrowing happens
-    in the walk itself, not as a post-filter, so a pinned query touches
-    just the pinned subtree."""
+    FST, fst.cpp:471-524), over the minimized FlatDag shard.  ``pin``
+    descends the exact prefix path FIRST (stepping the DFA along it,
+    binary search per edge list) and only then starts the product DFS —
+    the samePrefixLen narrowing happens in the walk itself, not as a
+    post-filter, so a pinned query touches just the pinned subtree."""
+    flat = _as_flat(nodes)
+    ptr, chars, dst = flat.ptr, flat.chars, flat.dst
+    final, vals, vnone = flat.final, flat.vals, flat.vnone
     out: list = []
     is_match = dfa.is_match
     state: int | None = dfa.start
     nid = root
     for ch in pin:
-        node = nodes[nid]
-        if ch not in node:
+        lo_e, hi_e = int(ptr[nid]), int(ptr[nid + 1])
+        j = lo_e + int(np.searchsorted(chars[lo_e:hi_e], ord(ch)))
+        if j >= hi_e or int(chars[j]) != ord(ch):
             return out  # no key in this shard starts with the pin
         state = dfa.step(state, ch)
         if state is None:
             return out  # no pinned key can be within distance k
-        nid = node[ch]
-    stack = [[nid, state, pin, None, 0]]
+        nid = int(dst[j])
+    stack = [[nid, state, pin, 0]]
     while stack:
         frame = stack[-1]
-        nid, state, prefix, chars, idx = frame
-        node = nodes[nid]
-        if chars is None:
-            chars = frame[3] = sorted(k for k in node if k)
-            if "" in node and is_match[state]:
-                out.append((prefix, node[""]))
-        if idx >= len(chars):
+        nid, state, prefix, idx = frame
+        if idx == 0 and final[nid] and is_match[state]:
+            out.append((prefix, None if vnone[nid] else int(vals[nid])))
+        e = int(ptr[nid]) + idx
+        if e >= int(ptr[nid + 1]):
             stack.pop()
             continue
-        frame[4] += 1
-        ch = chars[idx]
+        frame[3] += 1
+        ch = chr(int(chars[e]))
         nxt = dfa.step(state, ch)
         if nxt is None:
             continue
-        stack.append([node[ch], nxt, prefix + ch, None, 0])
+        stack.append([int(dst[e]), nxt, prefix + ch, 0])
     return out
 
 
@@ -290,11 +438,24 @@ def index_match_lookup(index_df: DataFrame, query: str) -> DataFrame:
     )
 
 
+def _prefix_shard_filter(prefix: str):
+    """Shards possibly holding keys with ``prefix``: the shard must
+    start at-or-before the prefix block ends (lo_key <= prefix, or
+    lo_key itself inside the block — an exact ``startswith``, which
+    Catalyst pushes as a StringStartsWith scan filter) and end at-or-
+    after the block starts.  No synthetic ``prefix + U+10FFFF`` upper
+    bound: that string sorts BELOW ``prefix + U+10FFFF + more``, so it
+    would wrongly prune a shard starting with such a key."""
+    return (
+        (F.col("lo_key") <= prefix) | F.col("lo_key").startswith(prefix)
+    ) & (F.col("hi_key") >= prefix)
+
+
 def index_prefix_lookup(index_df: DataFrame, prefix: str) -> DataFrame:
-    hi = prefix + "\U0010ffff"
-    sf = (F.col("lo_key") <= hi) & (F.col("hi_key") >= prefix)
     return _query(
-        index_df, sf, lambda r, n: _dag_enum(r, n, prefix, hi, True, True)
+        index_df,
+        _prefix_shard_filter(prefix),
+        lambda r, n: _dag_enum(r, n, prefix, None, True, True, require_prefix=prefix),
     ).orderBy("key")
 
 
@@ -377,11 +538,10 @@ def index_fuzzy_lookup(
     dfa = compile_dfa(query, k, damerau)
     if prefix_len > 0:
         p = query[:prefix_len]
-        sf = (F.col("lo_key") <= p + "\U0010ffff") & (F.col("hi_key") >= p)
         # the pin narrows BOTH levels: shard pruning at the parquet scan
         # (lo/hi stats) and the walk itself (descend the pinned path
         # before the product DFS)
-        return _query(index_df, sf, lambda r, n: _dag_dfa(r, n, dfa, pin=p)).orderBy(
-            "key"
-        )
+        return _query(
+            index_df, _prefix_shard_filter(p), lambda r, n: _dag_dfa(r, n, dfa, pin=p)
+        ).orderBy("key")
     return _query(index_df, None, lambda r, n: _dag_dfa(r, n, dfa)).orderBy("key")

@@ -60,9 +60,14 @@ def ranked_lines(
       2. one cheap counting job per partition (``spark_partition_id``
          groupBy — n_partitions scalar rows to the driver);
       3. rank = partition offset + local position, where the local
-         position comes from ``monotonically_increasing_id``'s low 33
-         bits (its layout is partition_id * 2^33 + row-index-in-
-         partition) — a pure projection, no further shuffle, no window.
+         position is ``row_number() OVER (PARTITION BY _pid ORDER BY
+         _k, tie)`` — one window task per partition, fully parallel at
+         any scale (n_partitions balanced window groups, never a
+         single-partition exchange).  NOT derived from
+         ``monotonically_increasing_id`` bit-slicing: the
+         partition_id<<33 layout is an implementation detail Spark
+         documents no contract for, and the ids are documented as
+         non-consecutive.
 
     Duplicate lines get distinct consecutive ranks in an arbitrary order
     among themselves (same multiset of (line, rank) rows as any engine's
@@ -75,13 +80,19 @@ def ranked_lines(
     if not keep_blank:
         df = df.filter(F.length("_k") > 0)
     tie = seq_col if seq_col else line_col
-    n = num_partitions or int(
-        lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    if num_partitions:
+        n = num_partitions
+    else:
+        try:
+            # 'auto' under AQE-coalescing setups is not int()-able
+            n = int(
+                lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:
+            n = lines.sparkSession.sparkContext.defaultParallelism
     srt = (
         df.repartitionByRange(n, F.col("_k"), F.col(tie))
         .sortWithinPartitions("_k", tie)
-        .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -97,10 +108,14 @@ def ranked_lines(
     off_df = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
-    local_pos = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    from pyspark.sql import Window
+
+    local_pos = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("_k", tie)
+    )
     return (
         srt.join(F.broadcast(off_df), "_pid")
-        .withColumn("rank", (F.col("_off") + local_pos + 1).cast("long"))
+        .withColumn("rank", (F.col("_off") + local_pos).cast("long"))
         .select(line_col, "rank")
     )
 

@@ -172,19 +172,17 @@ def main(argv: list[str] | None = None) -> int:
 
     idx = load_index(spark, args.fst_file)
     if args.cmd == "dot":
-        import pickle
-        import zlib
-
         from orchid_fst_spark.automata.trie import to_dot
+        from orchid_fst_spark.operators.index import _decode_blob, _unflatten_dag
 
         rows = sorted(
             spark.read.parquet(args.fst_file).select("shard", "blob").collect()
         )
         with open(args.dot_file, "w") as f:
             for shard, blob in rows:
-                root, nodes, _hv = pickle.loads(zlib.decompress(bytes(blob)))
+                root, flat, _hv = _decode_blob(bytes(blob))
                 f.write(f"// shard {shard}\n")
-                f.write(to_dot(root, nodes))
+                f.write(to_dot(root, _unflatten_dag(flat)))
                 f.write("\n")
         print(f"wrote {args.dot_file}")
         return 0

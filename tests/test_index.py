@@ -133,3 +133,23 @@ def test_shard_cache_hits():
     b = _shard_dag(blob, md5)
     assert a is b  # second call served from cache, no re-decode
     assert _TRIE_CACHE.hits == h0 + 1 and _TRIE_CACHE.misses == m0 + 1
+
+
+def test_prefix_lookup_no_synthetic_upper_bound(spark, tmp_path):
+    """A stored key of the form prefix + U+10FFFF + more sorts strictly
+    above the old synthetic hi bound (prefix + U+10FFFF) — it must still
+    be returned by prefix queries, at both the walk and the shard-filter
+    level (ADVICE r02: completeness gap vs the reference's prefix
+    iterator)."""
+    weird = "pre" + "\U0010ffff" + "zz"
+    keys = ["pre", "prefab", weird, "qqq", "aaa"]
+    df = spark.createDataFrame([(k, i) for i, k in enumerate(keys)],
+                               "key string, value long")
+    path = str(tmp_path / "weird_idx")
+    build_index(df, path, n_shards=2)
+    idx = load_index(spark, path)
+    got = [r.key for r in index_prefix_lookup(idx, "pre").collect()]
+    assert got == sorted(["pre", "prefab", weird])
+    # pinned fuzzy with the same prefix must see it too
+    got_f = [r.key for r in index_fuzzy_lookup(idx, weird, 0, prefix_len=3).collect()]
+    assert got_f == [weird]
