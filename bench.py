@@ -432,6 +432,13 @@ round-trip, identical for both paths).
 | scheduler floor sec | {idx['scheduler_floor_sec']} |
 | amortized speedup (raw / net-of-floor) | {idx['amortized_speedup']}x / {idx['net_of_floor_speedup']}x |
 | ALL queries batched in one job (index_fuzzy_lookup_many) | {idx.get('batched_all_queries_sec', 'n/a')} s total ({idx.get('batched_speedup_vs_rebuild', 'n/a')}x vs rebuild loop) |
+
+The headline bench JSON (`BENCH_r*.json`, local[32]) reports the same
+`index_amortization` block at 32 cores — read the two together: more
+cores mean more python workers whose decoded-shard LRUs must each warm
+up, so the 32-core raw speedup is the harsher number (r02, with the old
+pickled-dict shard format, measured 0.87x there — the flat numpy shard
+format since cut shard decode ~85x exactly to fix that).
 """
     md = f"""# BENCH — measured throughput and scaling
 

@@ -34,6 +34,14 @@ class Matcher:
 
     jvm_ok = True
 
+    # True when acceptance is closed under extension: accepts(p) implies
+    # accepts(p + anything).  For such matchers the set of accepted
+    # prefixes of any key is upward-closed (once in, every longer prefix
+    # is in), which is what licenses the StartsWith closed forms on
+    # Intersect and Not below.  Prefix / GreaterThan / Always qualify;
+    # Str / LessThan / Fuzzy do not.
+    extension_closed = False
+
     def col_predicate(self, c: Column) -> Column:
         raise NotImplementedError
 
@@ -72,6 +80,8 @@ class Matcher:
 @dataclass
 class Always(Matcher):
     """AlwaysAutomaton (automaton.h:307-325)."""
+
+    extension_closed = True
 
     def col_predicate(self, c: Column) -> Column:
         return F.lit(True)
@@ -117,6 +127,7 @@ class Prefix(Matcher):
     """PrefixAutomaton (automaton.cpp:185-213)."""
 
     prefix: str
+    extension_closed = True
 
     def col_predicate(self, c: Column) -> Column:
         return c.startswith(self.prefix)
@@ -141,6 +152,7 @@ class GreaterThan(Matcher):
 
     bound: str
     inclusive: bool = True
+    extension_closed = True  # any extension sorts >= the accepted prefix
 
     def col_predicate(self, c: Column) -> Column:
         return c >= F.lit(self.bound) if self.inclusive else c > F.lit(self.bound)
@@ -222,11 +234,37 @@ class Intersect(Matcher):
     def jvm_ok(self) -> bool:  # type: ignore[override]
         return self.left.jvm_ok and self.right.jvm_ok
 
+    @property
+    def extension_closed(self) -> bool:  # type: ignore[override]
+        return self.left.extension_closed and self.right.extension_closed
+
     def col_predicate(self, c: Column) -> Column:
         return self.left.col_predicate(c) & self.right.col_predicate(c)
 
     def accepts(self, s: str) -> bool:
         return self.left.accepts(s) and self.right.accepts(s)
+
+    def startswith_col_predicate(self, c: Column):
+        # StartsWith(A ∩ B) = StartsWith(A) ∧ StartsWith(B) requires
+        # that SOME SHARED prefix satisfies both.  When both inners are
+        # extension-closed, each accepted-prefix set is upward-closed,
+        # so both being nonempty forces both to contain the full key —
+        # the conjunction is exact (automaton.h:235-297 composes
+        # StartsWith with any inner; this is the prefix-closed subset
+        # that admits a Catalyst closed form).
+        if not (self.left.extension_closed and self.right.extension_closed):
+            return None
+        l = self.left.startswith_col_predicate(c)
+        r = self.right.startswith_col_predicate(c)
+        return (l & r) if l is not None and r is not None else None
+
+    def startswith_jvm_ok(self) -> bool:
+        return (
+            self.left.extension_closed
+            and self.right.extension_closed
+            and self.left.startswith_jvm_ok()
+            and self.right.startswith_jvm_ok()
+        )
 
 
 @dataclass
@@ -239,6 +277,11 @@ class Union(Matcher):
     @property
     def jvm_ok(self) -> bool:  # type: ignore[override]
         return self.left.jvm_ok and self.right.jvm_ok
+
+    @property
+    def extension_closed(self) -> bool:  # type: ignore[override]
+        # union of upward-closed sets is upward-closed
+        return self.left.extension_closed and self.right.extension_closed
 
     def col_predicate(self, c: Column) -> Column:
         return self.left.col_predicate(c) | self.right.col_predicate(c)
@@ -275,6 +318,19 @@ class Not(Matcher):
 
     def accepts(self, s: str) -> bool:
         return not self.inner.accepts(s)
+
+    def startswith_col_predicate(self, c: Column):
+        # For an extension-closed inner the accepted-prefix set of any
+        # key is upward-closed, so 'some prefix is REJECTED' reduces to
+        # 'the empty prefix is rejected' — a constant independent of the
+        # key (if inner accepts '', upward closure accepts every prefix
+        # of everything).
+        if not self.inner.extension_closed:
+            return None
+        return F.lit(not self.inner.accepts(""))
+
+    def startswith_jvm_ok(self) -> bool:
+        return self.inner.extension_closed
 
 
 @dataclass

@@ -119,3 +119,35 @@ def test_startswith(spark, dict_df, words):
         if any(levenshtein(w[:i], "sta") <= 1 for i in range(len(w) + 1))
     )
     assert _run(dict_df, m) == exp
+
+
+def test_startswith_intersect_not_closed_forms(spark, dict_df, words):
+    """StartsWith over Intersect/Not of extension-closed inners runs on
+    the JVM path (round-2 gap: those compositions fell back to Python),
+    with brute-force prefix-enumeration parity."""
+    sw = sorted(words)
+    cases = [
+        # Prefix ∩ GreaterThan: conjunction of the startswith forms
+        (
+            StartsWith(Prefix("st") & GreaterThan("sta")),
+            lambda w: w.startswith("st") and w >= "sta",
+        ),
+        # nested: (Prefix ∪ Prefix) ∩ GreaterThan stays extension-closed
+        (
+            StartsWith((Prefix("st") | Prefix("ha")) & GreaterThan("h")),
+            lambda w: (w.startswith("st") or w.startswith("ha")) and w >= "h",
+        ),
+        # Not of extension-closed: constant (inner rejects '' -> True)
+        (StartsWith(Not(Prefix("st"))), lambda w: True),
+        (StartsWith(Not(Always())), lambda w: False),
+        (StartsWith(Not(GreaterThan(""))), lambda w: False),  # '' >= ''
+    ]
+    for m, ref in cases:
+        assert m.jvm_ok, m
+        assert _run(dict_df, m) == [w for w in sw if ref(w)], m
+        for w in words[:50]:
+            brute = any(m.inner.accepts(w[:i]) for i in range(len(w) + 1))
+            assert m.accepts(w) == brute, (m, w)
+    # non-extension-closed compositions still fall back to Python
+    assert not StartsWith(Prefix("st") & LessThan("sz")).jvm_ok
+    assert not StartsWith(Not(Str("sta"))).jvm_ok
