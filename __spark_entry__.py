@@ -292,6 +292,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_fuzzy_scan"] = _index_fuzzy
 
+    # reference .fst binary artifact interop: export the dictionary to
+    # the reference's single-file byte format (sources/fst_file.py),
+    # mount it back, and return the full dictionary — a lossless
+    # round-trip through the foreign on-disk format, oracle-checked
+    # against the dictionary recomputed directly from documents
+    def _fst_file_roundtrip(spark, sf):
+        import os as _os
+        import tempfile as _tmp
+
+        from orchid_fst_spark.sources.fst_file import (
+            df_to_fst_file,
+            fst_file_to_df,
+        )
+
+        d = _dict(spark, sf)
+        fd, path = _tmp.mkstemp(suffix=".fst", prefix="orchid_rt_")
+        _os.close(fd)
+        try:
+            df_to_fst_file(d, path)
+            # materialize before unlinking (mount reads driver-side)
+            rows = fst_file_to_df(spark, path).collect()
+        finally:
+            _os.unlink(path)
+        return spark.createDataFrame(rows, "key string, value long")
+
+    q["fst_file_roundtrip"] = _fst_file_roundtrip
+
     # batched point lookups: every query evaluated in ONE job (shared
     # dictionary scan, per-query sorted DFA walk)
     def _fuzzy_multi(spark, sf):
@@ -672,6 +699,8 @@ SELECT key, value, levenshtein(key, 'scan')::BIGINT AS dist
 FROM dict WHERE levenshtein(key, 'scan') <= 2"""
     o["fuzzy_lev_k2_dfa"] = o["fuzzy_lev_k2"]
     o["index_fuzzy_scan"] = o["fuzzy_lev_k2"]
+    o["fst_file_roundtrip"] = f"""WITH {_SQL_DICT}
+SELECT key, value FROM dict"""
     o["fuzzy_multi_lookup"] = f"""WITH {_SQL_DICT}
 SELECT q.q AS query, d.key, d.value, levenshtein(d.key, q.q)::BIGINT AS dist
 FROM dict d, (VALUES ('scan'), ('table'), ('part')) q(q)

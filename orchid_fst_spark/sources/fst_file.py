@@ -1,0 +1,345 @@
+"""Reference ``.fst`` binary artifact interop.
+
+The reference CLI persists its index as a single flat-buffer FST file
+(written by FstBuilder: header + post-order node dumps, fst.h:199-217
+and fst.cpp:33-121; mounted pointer-free by FstReaderNode::Mount,
+fst.cpp:221-284).  Round 2 shipped only the Spark-native parquet DAG
+artifact; this module closes the migration gap: a pure-Python,
+byte-level reader AND writer of the reference's on-disk format, so an
+existing reference-built ``.fst`` file can be mounted, enumerated into
+a DataFrame, queried with every live operator, or converted once into
+the sharded parquet index (operators/index.build_index).
+
+Layout (little-endian throughout):
+
+- bytes 0..7   uint64 root node address (patched by Finish,
+               fst.cpp:117-121)
+- byte  8      hasOutput flag (1 = map with uint64 values, 0 = set)
+- byte  9..    nodes, dumped children-before-parents; the shared final
+               terminate node is always dumped first at offset 9
+               (fst.h:214-217)
+
+Node encoding (fst.cpp:33-93):
+
+- 1 type byte: bit0 = isFinal; bits1-2 = transition-count code
+  (00 none / 01 one / 10 many); bit3 = hasFinalOutput (only set when
+  hasOutput and finalOutput > 0)
+- [8-byte finalOutput when bit3]
+- one transition:  1-byte input, [8-byte output when hasOutput],
+  8-byte target address
+- many transitions: 1-byte count then the same triple per transition
+  (count is a uint8 — a node with >255 distinct input bytes cannot be
+  represented; the reference has the same limit)
+
+Value semantics: a key's value is the sum of transition outputs along
+its path plus the terminal finalOutput (FstBuilder::Insert pushes each
+inserted value as far toward the root as the shared prefix allows and
+re-distributes on splits, fst.cpp:132-219 — the writer here ports that
+algorithm statement-for-statement so dumps are byte-identical to the
+reference builder whenever its node-dedup LRU does not evict, i.e. the
+default 100 MB budget, fst.h:203-205).
+
+Scale note: the binary FST is an inherently single-file sequential
+format — reading it is a driver-side one-time migration step, after
+which the data lives in DataFrames / the sharded parquet index.  This
+is interop plumbing, not a 100 TB path, and it is documented as such.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+_U64 = struct.Struct("<Q")
+
+
+class _WNode:
+    __slots__ = ("is_final", "final_output", "trans")
+
+    def __init__(self, is_final: bool):
+        self.is_final = is_final
+        self.final_output = 0
+        # each transition: [input_byte, output, target_node|None, addr|None]
+        self.trans: list = []
+
+
+class FstWriter:
+    """Faithful port of FstBuilder (fst.cpp:117-219): ascending-byte-order
+    inserts, freeze-on-branch, exact node dedup (the unbounded-cache
+    case of the reference's LRU map)."""
+
+    def __init__(self, has_output: bool):
+        self.has_output = has_output
+        self.out = bytearray()
+        self.out += _U64.pack(0)  # root address placeholder
+        self.out.append(1 if has_output else 0)
+        self.root = _WNode(False)
+        self._addr: dict = {}
+        # the shared final terminate node is pre-dumped (fst.h:214-217)
+        term = _WNode(True)
+        addr = len(self.out)
+        self._dump(term)
+        self._addr[self._sig(term)] = addr
+        self._finished = False
+
+    # -- freeze machinery ---------------------------------------------------
+
+    def _sig(self, node: _WNode):
+        return (
+            node.is_final,
+            node.final_output,
+            tuple((t[0], t[1], t[3]) for t in node.trans),
+        )
+
+    def _dump(self, node: _WNode) -> None:
+        t = 1 if node.is_final else 0
+        n = len(node.trans)
+        has_fo = self.has_output and node.final_output > 0
+        if has_fo:
+            t |= 0x1 << 3
+        if n == 0:
+            self.out.append(t)
+            if has_fo:
+                self.out += _U64.pack(node.final_output)
+            return
+        if n == 1:
+            t |= 0x1 << 1
+        else:
+            if n > 255:
+                raise ValueError(
+                    "reference format stores the transition count in one "
+                    f"byte; node has {n} transitions"
+                )
+            t |= 0x1 << 2
+        self.out.append(t)
+        if has_fo:
+            self.out += _U64.pack(node.final_output)
+        if n > 1:
+            self.out.append(n)
+        for tr in node.trans:
+            self.out.append(tr[0])
+            if self.has_output:
+                self.out += _U64.pack(tr[1])
+            self.out += _U64.pack(tr[3])
+
+    def _freeze_node(self, node: _WNode) -> int:
+        sig = self._sig(node)
+        addr = self._addr.get(sig)
+        if addr is not None:
+            return addr
+        addr = len(self.out)
+        self._addr[sig] = addr
+        self._dump(node)
+        return addr
+
+    def _freeze_nodes(self, node: _WNode) -> int:
+        # iterative form of FreezeNodes (fst.cpp:96-103): descend the
+        # still-unfrozen last-child chain, freeze bottom-up (no Python
+        # recursion limit on long keys)
+        chain = []
+        cur = node
+        while cur.trans and cur.trans[-1][2] is not None:
+            chain.append(cur)
+            cur = cur.trans[-1][2]
+        addr = self._freeze_node(cur)
+        for parent in reversed(chain):
+            parent.trans[-1][3] = addr
+            parent.trans[-1][2] = None
+            addr = self._freeze_node(parent)
+        return addr
+
+    # -- public API ---------------------------------------------------------
+
+    def insert(self, key: bytes, value: int = 0) -> None:
+        """Port of FstBuilder::Insert (fst.cpp:132-219): keys MUST arrive
+        in ascending byte order; a duplicate key updates its value in
+        place (last wins); map-mode values are pushed toward the root
+        and re-distributed on shared-prefix splits."""
+        node = self.root
+        pos = 0
+        while node.trans and pos < len(key):
+            last = node.trans[-1]
+            if key[pos] == last[0]:
+                node = last[2] if last[2] is not None else None
+                if node is None:
+                    raise ValueError(
+                        f"key {key!r} not larger than the previous key"
+                    )
+                if self.has_output:
+                    prefix_value = min(value, last[1])
+                    value -= prefix_value
+                    add = last[1] - prefix_value
+                    last[1] = prefix_value
+                    if add > 0:
+                        if node.is_final:
+                            node.final_output += add
+                        for tr in node.trans:
+                            tr[1] += add
+                pos += 1
+                continue
+            if key[pos] < last[0]:
+                raise ValueError(
+                    f"key {key!r} not larger than the previous key"
+                )
+            break
+        if pos == len(key):
+            if len(key) == 0 and node.trans:
+                raise ValueError("empty key after non-empty keys")
+            node.is_final = True
+            if self.has_output:
+                node.final_output = value
+            return
+        if node.trans:
+            node.trans[-1][3] = self._freeze_nodes(node.trans[-1][2])
+            node.trans[-1][2] = None
+        first = True
+        cur = node
+        while pos < len(key):
+            tr = [key[pos], 0, None, None]
+            if self.has_output and first:
+                tr[1] = value
+                first = False
+            nxt = _WNode(pos == len(key) - 1)
+            tr[2] = nxt
+            cur.trans.append(tr)
+            cur = nxt
+            pos += 1
+
+    def finish(self) -> bytes:
+        if self._finished:
+            raise RuntimeError("finish() called twice")
+        self._finished = True
+        root_addr = self._freeze_nodes(self.root)
+        _U64.pack_into(self.out, 0, root_addr)
+        return bytes(self.out)
+
+
+def write_fst_bytes(items, has_output: bool) -> bytes:
+    """Serialize sorted (key_bytes, value) pairs into the reference's
+    on-disk format."""
+    w = FstWriter(has_output)
+    for key, value in items:
+        w.insert(key, value if has_output else 0)
+    return w.finish()
+
+
+def write_fst_file(path: str, items, has_output: bool) -> None:
+    with open(path, "wb") as f:
+        f.write(write_fst_bytes(items, has_output))
+
+
+# -- reader -----------------------------------------------------------------
+
+
+def _mount(buf: bytes, addr: int, has_output: bool):
+    """FstReaderNode::Mount (fst.cpp:221-284): decode one node in place.
+    Returns (is_final, final_output, [(input, output, target_addr)])."""
+    p = addr
+    t = buf[p]
+    p += 1
+    is_final = bool(t & 0x1)
+    code = (t & 6) >> 1
+    has_fo = has_output and bool((t >> 3) & 0x1)
+    fo = 0
+    if has_fo:
+        fo = _U64.unpack_from(buf, p)[0]
+        p += 8
+    trans = []
+    if code == 1:
+        n = 1
+    elif code == 2:
+        n = buf[p]
+        p += 1
+    else:
+        n = 0
+    for _ in range(n):
+        inp = buf[p]
+        p += 1
+        out = 0
+        if has_output:
+            out = _U64.unpack_from(buf, p)[0]
+            p += 8
+        tgt = _U64.unpack_from(buf, p)[0]
+        p += 8
+        trans.append((inp, out, tgt))
+    return is_final, fo, trans
+
+
+def read_fst_bytes(buf: bytes) -> Iterator[tuple[bytes, int | None]]:
+    """Enumerate (key_bytes, value) in lexicographic byte order — the
+    reference iterator's order (fst.cpp:471-524).  Set-mode files yield
+    value None."""
+    root_addr = _U64.unpack_from(buf, 0)[0]
+    has_output = bool(buf[8])
+    # frames: [trans list, next idx, key byte, output so far]
+    root_final, root_fo, root_trans = _mount(buf, root_addr, has_output)
+    if root_final:
+        yield b"", (root_fo if has_output else None)
+    stack = [[root_trans, 0]]
+    key = bytearray()
+    outs = [0]
+    while stack:
+        frame = stack[-1]
+        trans, idx = frame
+        if idx >= len(trans):
+            stack.pop()
+            if key:
+                key.pop()
+            outs.pop()
+            continue
+        frame[1] += 1
+        inp, out, tgt = trans[idx]
+        is_final, fo, sub = _mount(buf, tgt, has_output)
+        key.append(inp)
+        total = outs[-1] + out
+        outs.append(total)
+        if is_final:
+            yield bytes(key), (total + fo if has_output else None)
+        if sub:
+            stack.append([sub, 0])
+        else:
+            key.pop()
+            outs.pop()
+    return
+
+
+def read_fst_file(path: str) -> Iterator[tuple[bytes, int | None]]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    yield from read_fst_bytes(buf)
+
+
+def fst_file_has_output(path: str) -> bool:
+    with open(path, "rb") as f:
+        f.seek(8)
+        return bool(f.read(1)[0])
+
+
+def fst_file_to_df(spark, path: str, encoding: str = "utf-8"):
+    """Mount a reference ``.fst`` artifact as a dictionary DataFrame
+    (key [, value]) — the migration entry point: the result feeds every
+    live operator, or build_index() for the sharded parquet artifact.
+    Driver-side by nature (single sequential file, see module note)."""
+    has_output = fst_file_has_output(path)
+    rows = [
+        (k.decode(encoding), v) for k, v in read_fst_file(path)
+    ]
+    if has_output:
+        return spark.createDataFrame(rows, "key string, value long")
+    return spark.createDataFrame([(k,) for k, _ in rows], "key string")
+
+
+def df_to_fst_file(dict_df, path: str, encoding: str = "utf-8") -> None:
+    """Export a dictionary DataFrame to the reference's binary format
+    (the reverse migration: our engine -> reference CLI).  Collects to
+    the driver (see module note); keys are sorted by UTF-8 byte order —
+    the only order the format accepts."""
+    has_output = "value" in dict_df.columns
+    rows = dict_df.collect()
+    if has_output:
+        items = sorted(
+            (r["key"].encode(encoding), int(r["value"])) for r in rows
+        )
+    else:
+        items = sorted((r["key"].encode(encoding), 0) for r in rows)
+    write_fst_file(path, items, has_output)

@@ -12,9 +12,18 @@ the reference can switch invocations one-for-one:
     ofst range  -f idx_dir           [bounds as above]
     ofst fuzzy  -f idx_dir  -z str -d k [-l prefix_len] [-m]
 
+Artifact formats (both supported):
+  - an `-o` path ending in `.fst` writes/reads the REFERENCE's binary
+    single-file FST format byte-for-byte (sources/fst_file.py:
+    fst.cpp:33-121 write side, fst.cpp:221-284 mount side) — existing
+    reference-built artifacts mount directly, and artifacts built here
+    load in the reference CLI;
+  - any other `-o` path is the Spark-native sharded-DAG parquet
+    artifact (operators/index.py) — the scale path (shard pruning,
+    executor-side LRU).  Query commands auto-detect which kind `-f`
+    points at (file = binary fst, directory = parquet index).
+
 Differences, by design (engine semantics, not surface):
-  - the "fst data file" is the persisted sharded-DAG parquet artifact
-    (operators/index.py) instead of a single mmap'd byte stream;
   - -t/--thread-count sizes the local Spark session (on a cluster, run
     through spark-submit and the submitted master wins);
   - -l/--split-file-count maps to the index shard count (the analog of
@@ -160,6 +169,13 @@ def main(argv: list[str] | None = None) -> int:
             d = build_dict(kv, "key", "value", dedup="max")
         else:
             d = build_dict(lines.select(F.col("line").alias("key")), "key")
+        if args.fst_file.endswith(".fst"):
+            from orchid_fst_spark.sources.fst_file import df_to_fst_file
+
+            df_to_fst_file(d, args.fst_file)
+            n = d.count()
+            print(f"built reference fst file: {n} keys -> {args.fst_file}")
+            return 0
         build_index(
             d,
             args.fst_file,
@@ -169,6 +185,52 @@ def main(argv: list[str] | None = None) -> int:
         n = load_index(spark, args.fst_file).agg(F.sum("n_keys")).collect()[0][0]
         print(f"built index: {n} keys -> {args.fst_file}")
         return 0
+
+    if os.path.isfile(args.fst_file):
+        # reference binary artifact: mount it and serve with the live
+        # dictionary operators (migration path — no conversion needed)
+        from orchid_fst_spark.operators.dictionary import (
+            fuzzy_lookup,
+            match_lookup,
+            prefix_lookup,
+            range_lookup,
+        )
+        from orchid_fst_spark.sources.fst_file import fst_file_to_df
+
+        mounted = fst_file_to_df(spark, args.fst_file)
+        if args.cmd == "dot":
+            from orchid_fst_spark.automata.trie import Trie, minimize, to_dot
+
+            keys = sorted(r.key for r in mounted.select("key").collect())
+            root, nodes, _n = minimize(Trie.from_sorted(keys))
+            with open(args.dot_file, "w") as f:
+                f.write(to_dot(root, nodes))
+            print(f"wrote {args.dot_file}")
+            return 0
+        if args.cmd == "match":
+            out = _bounds_filter(match_lookup(mounted, args.match_str), args)
+        elif args.cmd == "prefix":
+            out = _bounds_filter(prefix_lookup(mounted, args.prefix_str), args)
+        elif args.cmd == "range":
+            lo = args.greater_equal_than or args.greater_than
+            hi = args.less_equal_than or args.less_than
+            out = range_lookup(
+                mounted,
+                lo=lo,
+                hi=hi,
+                lo_inclusive=args.greater_equal_than is not None,
+                hi_inclusive=args.less_equal_than is not None,
+            )
+        else:  # fuzzy
+            out = fuzzy_lookup(
+                mounted,
+                args.fuzzy_str,
+                args.distance,
+                prefix_len=args.prefix_len,
+                damerau=args.damerau_levenshtein,
+            )
+        n = _emit(out)
+        return 0 if n > 0 else 1
 
     idx = load_index(spark, args.fst_file)
     if args.cmd == "dot":

@@ -122,3 +122,37 @@ def test_lfsort_reference_golden(spark, tmp_path, capsys, lfsort):
     assert [l for l in got.split("\n") if l.strip()] == [
         l for l in exp.split("\n") if l.strip()
     ]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference testdata absent")
+def test_ofst_binary_fst_artifact_goldens(spark, tmp_path, capsys, ofst):
+    """Reference .fst binary-artifact interop through the CLI: set-build
+    the 82k-word dict into the reference's single-file format
+    (sources/fst_file.py), then reproduce the 214/220 fuzzy goldens by
+    MOUNTING that binary artifact — the migration path an existing
+    reference user would take."""
+    fst = str(tmp_path / "dict2.fst")
+    assert (
+        ofst.main(["set", "-f", f"{REF}/fst_test_dict2.txt", "-o", fst, "-l", "8"])
+        == 0
+    )
+    assert os.path.isfile(fst)
+    capsys.readouterr()
+    assert ofst.main(["fuzzy", "-f", fst, "-z", "hair", "-d", "2"]) == 0
+    got = _out_lines(capsys)
+    with open(f"{REF}/fst_test_dict2_standard.txt", encoding="utf-8") as f:
+        golden = [l for l in f.read().split("\n") if l.strip()]
+    assert got == golden  # 214 hits off the mounted binary artifact
+
+    assert ofst.main(["fuzzy", "-f", fst, "-z", "hair", "-d", "2", "-m"]) == 0
+    got = _out_lines(capsys)
+    with open(f"{REF}/fst_test_dict3_standard.txt", encoding="utf-8") as f:
+        golden = [l for l in f.read().split("\n") if l.strip()]
+    assert got == golden  # 220 hits (OSA)
+
+    # point/prefix/range work off the mounted artifact too
+    assert ofst.main(["match", "-f", fst, "-q", "hair"]) == 0
+    assert _out_lines(capsys) == ["hair"]
+    assert ofst.main(["prefix", "-f", fst, "-p", "hairb"]) == 0
+    pre_hits = _out_lines(capsys)
+    assert pre_hits and all(k.startswith("hairb") for k in pre_hits)
