@@ -46,6 +46,7 @@ from orchid_fst_spark.operators import (
 from orchid_fst_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    near_dedup,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -456,6 +457,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold_num=1,
         threshold_den=100,
     )
+    # end-to-end keep-one-per-cluster near-dedup: exact collapse ->
+    # MinHash-LSH verified pairs over representatives -> connected
+    # components -> (doc_id, rep_id, keep) for every input doc
+    q["near_dedup"] = lambda spark, sf: near_dedup(
+        _docs(spark, sf),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=8,
+        bands=4,
+        threshold_num=1,
+        threshold_den=100,
+        storage=None,
+    ).select(F.col("id").alias("doc_id"), "rep_id", "keep")
     # winnowing fingerprints (rolling char k-gram hashes, per-window
     # minima) — md5-derived hashes, so both engines produce the exact
     # fingerprint sets; summarized per doc as (count, xor) to keep the
@@ -894,6 +909,57 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 100 >= 1 * (sa.n + sb.n - inter)"""
+
+    # near_dedup: the minhash CTEs re-rooted on exact-dup representatives
+    # (min doc_id per md5(text) group), then the same recursive-CTE
+    # connected components as the er_* oracles; rep_id = min id through
+    # both collapses, keep = 1 iff the doc IS its cluster representative
+    o["near_dedup"] = f"""WITH RECURSIVE
+ex AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS ex_rep
+  FROM documents
+),
+reps AS (SELECT doc_id, text FROM ex WHERE doc_id = ex_rep),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
+  FROM reps
+),
+sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM toks, unnest(generate_series(1, len(l)-2)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+mh AS (SELECT sh.doc_id, {_mh_cols} FROM sh GROUP BY sh.doc_id),
+bands AS ({_band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 100 >= 1 * (sa.n + sb.n - inter)
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT doc_id, doc_id FROM reps
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT e.doc_id, c.component::BIGINT AS rep_id,
+       (CASE WHEN e.doc_id = c.component THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM ex e JOIN comp c ON c.node = e.ex_rep"""
 
     # winnowing twins: g = per-position 60-bit md5 hashes of char
     # 8-grams; wmin = min over each window of 4 consecutive grams;

@@ -385,6 +385,75 @@ def minhash_band_metrics(
     return bucket_profile(_minhash_stacked(sh, num_hashes, bands), bucket_cap)
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    bucket_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: the full keep-one-per-cluster
+    pipeline a training-data run actually executes, as one operator.
+
+    Stages (each one already scale-proven on its own):
+      1. exact collapse — byte-identical copies map to the min id of
+         their md5(text) group BEFORE any LSH work (one hash shuffle;
+         this is what keeps band buckets small — crawl boilerplate is
+         mostly byte-identical),
+      2. ``minhash_lsh_pairs`` over the exact representatives only
+         (banded equi-join + integer-exact Jaccard verify, hot buckets
+         capped),
+      3. alternating-star ``connected_components`` over the verified
+         pairs (O(log n) rounds, checkpointed lineage),
+      4. every doc labeled with its cluster representative
+         (lexicographic-min id through BOTH collapses).
+
+    Returns one row per input doc: ``(id, rep_id, keep)`` with
+    ``keep = 1`` iff the doc is its cluster's representative — filter
+    ``keep = 1`` for the surviving corpus, or join ``rep_id`` back to
+    re-attach cluster context.  Deterministic for a fixed input set.
+    """
+    from ..er.clustering import connected_components
+
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ex = ids.groupBy(F.md5("text").alias("h")).agg(F.min("id").alias("ex_rep"))
+    mapped = _maybe_persist(
+        ids.withColumn("h", F.md5("text")).join(ex, "h").drop("h"), storage
+    )
+    reps = mapped.filter(F.col("id") == F.col("ex_rep")).select("id", "text")
+    pairs = minhash_lsh_pairs(
+        reps,
+        "id",
+        "text",
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        bucket_cap=bucket_cap,
+        storage=storage,
+    )
+    comps = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return (
+        mapped.join(comps.withColumnRenamed("node", "ex_rep"), "ex_rep", "left")
+        .select("id", F.coalesce("component", "ex_rep").alias("rep_id"))
+        .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc, pure Catalyst: per-token md5 -> 64-bit int
     (first 15 hex chars, i.e. 60 usable bits, to stay in signed-long

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from orchid_fst_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    near_dedup,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -532,6 +533,49 @@ def test_cosine_lsh_planted_hot_bucket_cap(spark):
         df, "vec_id", "embedding", dim=8, bucket_cap=cap
     ).collect()[0]
     assert prof.n_hot_buckets >= 1 and prof.dropped_rows >= m
+
+
+def test_near_dedup_end_to_end(spark, docs_df):
+    """Keep-one-per-cluster: exact dups AND verified near-dups collapse
+    to one representative (the lexicographic-min id through both
+    stages), every input doc gets a row, and keep marks exactly the
+    representatives."""
+    out = near_dedup(
+        docs_df,
+        "doc_id",
+        "text",
+        threshold_num=1,
+        threshold_den=100,
+        storage=None,
+    )
+    rows = {r.id: (r.rep_id, r.keep) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # docs 0/2 (exact) and 1/4 (1-token variants sharing shingles) all
+    # reach doc 0 transitively at a permissive threshold
+    assert rows[0] == (0, 1)
+    assert rows[2] == (0, 0)
+    assert rows[1][0] == rows[4][0] == rows[0][0]
+    # the loner keeps itself
+    assert rows[3] == (3, 1)
+    # exactly one keep per cluster
+    kept = [i for i, (_, k) in rows.items() if k == 1]
+    assert sorted(kept) == sorted({rep for rep, _ in rows.values()})
+
+
+def test_near_dedup_strict_threshold_exact_only(spark, docs_df):
+    """At an impossible threshold (> 100%) no near pairs survive, so
+    near_dedup degrades to exact dedup: 0/2 collapse, others keep."""
+    out = near_dedup(
+        docs_df,
+        "doc_id",
+        "text",
+        threshold_num=101,
+        threshold_den=100,
+        storage=None,
+    )
+    rows = {r.id: (r.rep_id, r.keep) for r in out.collect()}
+    assert rows[2] == (0, 0)
+    assert sum(k for _, k in rows.values()) == 4
 
 
 def test_dedup_storage_param_leaves_cache_empty(spark):
