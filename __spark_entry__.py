@@ -65,6 +65,7 @@ from orchid_fst_spark.operators.similarity import (
     cosine_lsh_pairs,
     cosine_threshold_pairs,
     cosine_topk,
+    embedding_dedup,
     ivf_topk,
 )
 from orchid_fst_spark.er.clustering import connected_components
@@ -566,6 +567,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold=0.4,
         dim=64,
     ).select("id_a", "id_b")
+    # end-to-end keep-one-per-cluster embedding dedup: exact vector
+    # collapse -> LSH-verified cosine pairs over representatives ->
+    # connected components -> (vec_id, rep_id, keep) for every vector
+    q["embedding_dedup"] = lambda spark, sf: embedding_dedup(
+        spark.read.parquet(f"{sf}/embeddings.parquet"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        dim=64,
+        storage=None,
+    ).select(F.col("id").alias("vec_id"), "rep_id", "keep")
 
     # --- text analysis over documents ---
     q["token_stats"] = lambda spark, sf: _docs(spark, sf).select(
@@ -1131,6 +1143,70 @@ cdots AS (
 SELECT id_a, id_b
 FROM cdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
 WHERE dot / (na.nrm * nb.nrm) >= 0.4"""
+
+    # embedding_dedup: the cosine_lsh CTEs re-rooted on exact-vector
+    # representatives (min vec_id per identical embedding), then the
+    # same recursive-CTE connected components as near_dedup/er_*;
+    # rep_id = min id through both collapses, keep = 1 iff the vector
+    # IS its cluster representative
+    o["embedding_dedup"] = """WITH RECURSIVE
+exm AS (
+  SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS ex_rep
+  FROM embeddings
+),
+reps AS (SELECT vec_id FROM exm WHERE vec_id = ex_rep),
+x AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id IN (SELECT vec_id FROM reps)
+),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
+planes AS (
+  SELECT j.j AS j, i.i AS i,
+         (('0x' || substr(md5('42|' || j.j || '|' || i.i), 1, 8))::BIGINT
+          - 2147483648)::DOUBLE AS c
+  FROM unnest(generate_series(0, 15)) AS j(j),
+       unnest(generate_series(0, 63)) AS i(i)
+),
+proj AS (
+  SELECT x.vec_id, p.j, sum(x.v * p.c) AS dot
+  FROM x JOIN planes p ON p.i = x.i - 1
+  GROUP BY x.vec_id, p.j
+),
+codes AS (
+  SELECT vec_id, j // 4 AS band,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS code
+  FROM proj GROUP BY vec_id, j // 4
+),
+buckets AS (SELECT vec_id, band::VARCHAR || '|' || code AS bucket FROM codes),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+cdots AS (
+  SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dot
+  FROM cand c JOIN x a ON a.vec_id = c.id_a JOIN x b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+  WHERE dot / (na.nrm * nb.nrm) >= 0.4
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT vec_id, vec_id FROM reps
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT e.vec_id, c.component::BIGINT AS rep_id,
+       (CASE WHEN e.vec_id = c.component THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM exm e JOIN comp c ON c.node = e.ex_rep"""
 
     o["cosine_near_pairs"] = f"""WITH {_sql_embX},
 dots AS (

@@ -88,23 +88,55 @@ def cosine_topk(
 
 
 def ivf_centroids(
-    emb: DataFrame, id_col: str, vec_col: str, n_centroids: int = 4096
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 4096,
+    algo: str = "hash",
+    seed: int = 42,
+    max_iter: int = 10,
 ) -> DataFrame:
     """The ONE definition of the coarse quantizer's centroid set, shared
-    by assignment and query probing — swapping in trained k-means
-    centroids changes only this function, and both sides stay coherent
-    by construction.
+    by assignment and query probing — swapping the algorithm changes
+    only this function, and both sides stay coherent by construction.
 
-    The set is a FIXED-SIZE deterministic sample: the ``n_centroids``
-    ids smallest by md5(id) (tie-break id) — a uniform hash-ordered
-    draw any engine reproduces exactly (DuckDB:
-    ``ORDER BY md5(id::VARCHAR), id LIMIT n``).  ``n_centroids`` is a
-    hard bound independent of corpus size (keep it ≲ 64k): the
-    broadcast in ivf_assign/ivf_topk and the per-vector assignment cost
-    are O(n_centroids), NOT O(corpus) — the property the earlier
-    id-stride subsample (centroids = n/stride) lacked.  Spark executes
-    the orderBy+limit as TakeOrderedAndProject (per-partition top-N,
-    one merge), so deriving the sample is a single cheap pass."""
+    algo='hash' (default): a FIXED-SIZE deterministic sample — the
+    ``n_centroids`` ids smallest by md5(id) (tie-break id), a uniform
+    hash-ordered draw any engine reproduces exactly (DuckDB:
+    ``ORDER BY md5(id::VARCHAR), id LIMIT n``).  Spark executes the
+    orderBy+limit as TakeOrderedAndProject (per-partition top-N, one
+    merge), so deriving the sample is a single cheap pass.
+
+    algo='kmeans': trained coarse quantizer — ``pyspark.ml`` KMeans
+    (k-means||, seeded) over the vector column; centroid ids are the
+    cluster indices 0..k-1 and ``cvec`` the trained centers.  Better
+    cell balance than a uniform sample (fewer over-full cells to probe)
+    at the cost of ``max_iter`` training passes; not reproducible by a
+    plain-SQL engine, so oracle-checked pipelines use 'hash'.
+
+    Either way ``n_centroids`` is a hard bound independent of corpus
+    size (keep it ≲ 64k): the broadcast in ivf_assign/ivf_topk and the
+    per-vector assignment cost are O(n_centroids), NOT O(corpus) — the
+    property the earlier id-stride subsample (centroids = n/stride)
+    lacked."""
+    if algo == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = emb.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+        ).fit(feat)
+        centers = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        return emb.sparkSession.createDataFrame(
+            centers, "cid long, cvec array<float>"
+        )
+    if algo != "hash":
+        raise ValueError(f"unknown centroid algo {algo!r}")
     return (
         emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .withColumn("_h", F.md5(F.col("cid").cast("string")))
@@ -115,19 +147,29 @@ def ivf_centroids(
 
 
 def ivf_assign(
-    emb: DataFrame, id_col: str, vec_col: str, n_centroids: int = 4096
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 4096,
+    centroid_algo: str = "hash",
+    seed: int = 42,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: (id, vec, cell) where ``cell`` is the id
-    of the nearest centroid.  Centroids are the fixed-size hash-ordered
-    sample of ``ivf_centroids`` (data-derived, reproducible in any
-    engine — the k-means training step a production IVF would run
-    offline is orthogonal to the engine mechanics and would only change
-    that frame).  The assignment is a broadcast join against the
-    bounded centroid set + a per-vector argmax window (tie-break:
-    centroid id), so the corpus is scanned once and nothing shuffles
-    except the (id, cell) pairs."""
+    of the nearest centroid.  Centroids come from ``ivf_centroids``
+    (hash sample by default, trained k-means via
+    ``centroid_algo='kmeans'``) unless an explicit ``cents`` frame
+    (cid, cvec) is passed — callers that also probe (ivf_topk) pass the
+    same frame to both stages so a trained quantizer is fit once.
+    The assignment is a broadcast join against the bounded centroid set
+    + a per-vector argmax window (tie-break: centroid id), so the
+    corpus is scanned once and nothing shuffles except the (id, cell)
+    pairs."""
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+    if cents is None:
+        cents = ivf_centroids(
+            emb, id_col, vec_col, n_centroids, algo=centroid_algo, seed=seed
+        )
     scored = src.join(F.broadcast(cents)).withColumn(
         "ccos", cosine(F.col("vec"), F.col("cvec"))
     )
@@ -149,6 +191,8 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 4096,
     n_probe: int = 2,
+    centroid_algo: str = "hash",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in coarse cells
     (``ivf_assign``); each query probes its ``n_probe`` nearest cells
@@ -157,10 +201,14 @@ def ivf_topk(
     heavy join is an equi-join on ``cell``, touching ~n_probe/n_cells
     of the corpus per query instead of all of it.  Recall < 1 by
     construction (a true neighbor can live in an unprobed cell);
-    deterministic given the centroid subsample, so the full pipeline is
-    oracle-checkable."""
-    cells = ivf_assign(emb, id_col, vec_col, n_centroids)
-    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+    deterministic given the centroid set, so the full pipeline is
+    oracle-checkable with the default hash sample
+    (``centroid_algo='kmeans'`` trains the quantizer once and shares it
+    between assignment and probing)."""
+    cents = ivf_centroids(
+        emb, id_col, vec_col, n_centroids, algo=centroid_algo, seed=seed
+    )
+    cells = ivf_assign(emb, id_col, vec_col, n_centroids, cents=cents)
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
     qs = q.join(F.broadcast(cents)).withColumn(
         "ccos", cosine(F.col("qv"), F.col("cvec"))
@@ -319,4 +367,75 @@ def cosine_lsh_band_metrics(
     return bucket_profile(
         _cosine_stacked(emb, id_col, vec_col, dim, n_planes, bands, seed, plane_scheme),
         bucket_cap,
+    )
+
+
+def embedding_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    plane_scheme: str = "md5",
+    bucket_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end embedding near-duplicate removal — the vector-space
+    twin of ``dedup.near_dedup``: keep one representative per cluster of
+    cosine-similar embeddings.
+
+    Stages:
+      1. exact collapse — byte-identical vectors (re-encoded copies,
+         boilerplate pages embedded twice) map to the min id of their
+         value group with one hash shuffle on the vector itself, BEFORE
+         any LSH work (this is what keeps band buckets small: a 10M-copy
+         vector would otherwise share every band),
+      2. ``cosine_lsh_pairs`` over the exact representatives only
+         (hyperplane-signature band equi-join + exact cosine verify,
+         hot buckets capped),
+      3. alternating-star connected components over the verified pairs,
+      4. every input vector labeled with its cluster representative
+         (lexicographic-min id through BOTH collapses).
+
+    Returns one row per input vector: ``(id, rep_id, keep)`` with
+    ``keep = 1`` iff the vector is its cluster's representative.
+    Deterministic for a fixed input set (md5-derived planes by default,
+    so even the LSH candidate set is engine-reproducible)."""
+    from ..er.clustering import connected_components
+    from .dedup import _maybe_persist
+
+    ids = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    ex = ids.groupBy("vec").agg(F.min("id").alias("ex_rep"))
+    mapped = _maybe_persist(ids.join(ex, "vec").drop("vec"), storage)
+    reps = ids.join(
+        mapped.filter(F.col("id") == F.col("ex_rep")).select("id"), "id"
+    )
+    pairs = cosine_lsh_pairs(
+        reps,
+        "id",
+        "vec",
+        threshold,
+        dim,
+        n_planes=n_planes,
+        bands=bands,
+        seed=seed,
+        plane_scheme=plane_scheme,
+        bucket_cap=bucket_cap,
+    )
+    comps = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return (
+        mapped.join(comps.withColumnRenamed("node", "ex_rep"), "ex_rep", "left")
+        .select("id", F.coalesce("component", "ex_rep").alias("rep_id"))
+        .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
     )

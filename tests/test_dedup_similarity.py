@@ -20,6 +20,7 @@ from orchid_fst_spark.operators.similarity import (
     cosine_lsh_pairs,
     cosine_threshold_pairs,
     cosine_topk,
+    embedding_dedup,
 )
 from orchid_fst_spark.operators.sort import sort_metrics, sorted_lines
 from orchid_fst_spark.sources.fixtures import gen_sort_lines
@@ -314,6 +315,99 @@ def test_ivf_topk_semantics(spark, emb_df):
         assert len(got_ids) == len(exp), q
         for ge, ee in zip(got_ids, exp):
             assert abs(S[q, ge] - S[q, ee]) < 1e-9, (q, ge, ee)
+
+
+def test_ivf_kmeans_quantizer(spark, emb_df):
+    """centroid_algo='kmeans' trains a fixed-size quantizer: exactly
+    n_centroids centers with the corpus dim, every vector assigned to
+    its max-cosine center (driver-checked), and ivf_topk results are
+    the brute-force top-k restricted to probed cells — same contract as
+    the hash sample, different centroid frame."""
+    from orchid_fst_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    n_c = 4
+    cents = ivf_centroids(
+        emb_df, "vec_id", "embedding", n_c, algo="kmeans", seed=7
+    ).collect()
+    assert len(cents) == n_c
+    assert sorted(r.cid for r in cents) == list(range(n_c))
+    C = np.array([r.cvec for r in cents], dtype=np.float64)
+    assert C.shape == (n_c, 8)
+    V = np.array([e[1] for e in EMB], dtype=np.float64)
+    cos = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ (
+        C / np.linalg.norm(C, axis=1, keepdims=True)
+    ).T
+    cells = {
+        r.id: r.cell
+        for r in ivf_assign(
+            emb_df, "vec_id", "embedding", n_c, centroid_algo="kmeans", seed=7
+        ).collect()
+    }
+    for i in range(len(EMB)):
+        best = min(range(n_c), key=lambda c: (-cos[i, c], c))
+        assert abs(cos[i, cells[i]] - cos[i, best]) < 1e-9, i
+    out = ivf_topk(
+        emb_df, emb_df.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k=3, n_centroids=n_c, n_probe=2, centroid_algo="kmeans", seed=7,
+    ).collect()
+    S = _np_cos()
+    got = {}
+    for r in out:
+        got.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for q in range(3):
+        probed = sorted(range(n_c), key=lambda c: (-cos[q, c], c))[:2]
+        members = [j for j in range(len(EMB)) if j != q and cells[j] in probed]
+        exp = sorted(members, key=lambda j: (-S[q, j], j))[:3]
+        got_ids = [n for _, n in sorted(got.get(q, []))]
+        assert len(got_ids) == len(exp), q
+        for ge, ee in zip(got_ids, exp):
+            assert abs(S[q, ge] - S[q, ee]) < 1e-9, (q, ge, ee)
+
+
+def test_embedding_dedup_exact_only(spark, emb_df):
+    """EMB repeats with period 11 (vec(i) == vec(i+11)); at an impossible
+    threshold the near stage is empty, so embedding_dedup degrades to
+    exact vector dedup: rep = i % 11, keep marks the first copy."""
+    out = embedding_dedup(
+        emb_df, "vec_id", "embedding", threshold=1.01, dim=8, storage=None
+    )
+    rows = {r.id: (r.rep_id, r.keep) for r in out.collect()}
+    assert set(rows) == set(range(30))
+    for i in range(30):
+        assert rows[i] == (i % 11, 1 if i < 11 else 0)
+
+
+def test_embedding_dedup_clusters_contain_verified_pairs(spark, emb_df):
+    """Every pair cosine_lsh_pairs verifies at the same params must land
+    in the same cluster, clusters are transitively closed over those
+    pairs, and reps are cluster minima."""
+    kw = dict(threshold=0.9, dim=8, n_planes=8, bands=4)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_lsh_pairs(emb_df, "vec_id", "embedding", **kw).collect()
+    }
+    reps = {
+        r.id: r.rep_id
+        for r in embedding_dedup(
+            emb_df, "vec_id", "embedding", storage=None, **kw
+        ).collect()
+    }
+    assert pairs  # the threshold is low enough that candidates exist
+    for a, b in pairs:
+        assert reps[a] == reps[b]
+    # representative is the min member of its cluster
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for i, rep in reps.items():
+        members[rep].append(i)
+    for rep, mem in members.items():
+        assert rep == min(mem)
 
 
 def test_cosine_lsh_recall_and_precision(spark, emb_df):
