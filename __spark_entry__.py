@@ -69,6 +69,7 @@ from orchid_fst_spark.operators.similarity import (
     ivf_topk,
 )
 from orchid_fst_spark.er.clustering import connected_components
+from orchid_fst_spark.er.scoring import score_pairs
 from orchid_fst_spark.streaming.windows import (
     extract_event_props,
     sessionize,
@@ -354,6 +355,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["candidate_pairs_k2"] = lambda spark, sf: fuzzy_self_pairs(
         _dict(spark, sf), "key", k=2, damerau=False
     )
+    # the full ER scoring stage on those candidates: banded edit
+    # distance (carried from blocking) + Jaro-Winkler (Arrow batch,
+    # bit-exact vs DuckDB's jaro_winkler_similarity — differentially
+    # tested in test_distance.py) + token Jaccard (pure Catalyst array
+    # ops); doubles compare hash-exact because both engines evaluate
+    # the same integer-ratio arithmetic in IEEE doubles
+    q["er_scored_pairs"] = lambda spark, sf: score_pairs(
+        fuzzy_self_pairs(_dict(spark, sf), "key", k=2, damerau=False)
+    ).select("key_a", "key_b", "dist", "jw", "token_jaccard")
     # k=3: 4-segment pigeonhole blocking (passjoin generalization) vs a
     # brute-force lev<=3 oracle
     q["candidate_pairs_k3"] = lambda spark, sf: fuzzy_self_pairs(
@@ -763,6 +773,28 @@ SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
 FROM dict a, dict b
 WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2"""
     o["candidate_pairs_passjoin"] = o["candidate_pairs_k2"]
+    # scoring stage: DuckDB's native jaro_winkler_similarity (bit-exact
+    # twin of functions/similarity.batch_jaro_winkler) + token Jaccard
+    # over the same [/-]->space tokenization
+    o["er_scored_pairs"] = f"""WITH {_SQL_DICT},
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
+  FROM dict a, dict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+toks AS (
+  SELECT key_a, key_b, dist,
+    list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '') AS ta,
+    list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '') AS tb
+  FROM pairs
+)
+SELECT key_a, key_b, dist,
+  jaro_winkler_similarity(key_a, key_b) AS jw,
+  CASE WHEN len(list_distinct(ta || tb)) > 0
+       THEN len(list_intersect(list_distinct(ta), list_distinct(tb)))::DOUBLE
+            / len(list_distinct(ta || tb))
+       ELSE 0.0 END AS token_jaccard
+FROM toks"""
     o["candidate_pairs_k3"] = f"""WITH {_SQL_DICT}
 SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist
 FROM dict a, dict b

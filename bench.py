@@ -203,6 +203,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "decode_images",
         "candidate_pairs_k3",
         "candidate_pairs_k4",
+        "near_dedup",
+        "embedding_dedup",
     ]
     out = {}
     for name in headline:
