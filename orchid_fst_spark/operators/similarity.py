@@ -309,6 +309,7 @@ def cosine_lsh_pairs(
     seed: int = 42,
     plane_scheme: str = "md5",
     bucket_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Approximate near-neighbor pairs: random-hyperplane signatures
     (sign of projection) -> band equi-join -> exact cosine verify.
@@ -322,12 +323,20 @@ def cosine_lsh_pairs(
     Buckets hotter than ``bucket_cap`` are dropped before the self-join
     (operators/dedup.cap_hot_buckets — a duplicate-embedding cluster
     shares every band; dedup exact copies first).  Dropped mass is
-    observable via ``cosine_lsh_band_metrics``."""
-    from .dedup import cap_hot_buckets
+    observable via ``cosine_lsh_band_metrics``.  The band rows are
+    persisted under ``storage`` (None = recompute): they are scanned
+    three times (hot-bucket count + both join sides) and the
+    Arrow-batch projection stage above them is the expensive part."""
+    from .dedup import _maybe_persist, cap_hot_buckets
 
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     stacked = cap_hot_buckets(
-        _cosine_stacked(emb, id_col, vec_col, dim, n_planes, bands, seed, plane_scheme),
+        _maybe_persist(
+            _cosine_stacked(
+                emb, id_col, vec_col, dim, n_planes, bands, seed, plane_scheme
+            ),
+            storage,
+        ),
         bucket_cap,
     )
     a = stacked.select(F.col("id").alias("id_a"), "bucket")
@@ -426,6 +435,7 @@ def embedding_dedup(
         seed=seed,
         plane_scheme=plane_scheme,
         bucket_cap=bucket_cap,
+        storage=storage,
     )
     comps = connected_components(
         pairs.select("id_a", "id_b"),
