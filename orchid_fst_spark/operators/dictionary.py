@@ -466,9 +466,15 @@ def fuzzy_join(
     scheme: str = "full",
     window: int = 16,
     sig_cap: int = 1000,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """All (left, right) key pairs within edit distance k.  Returns
     (key_a, key_b, dist).
+
+    ``assume_unique=True`` skips the defensive per-side ``distinct()``
+    when the caller's key columns are already unique (e.g. outputs of a
+    groupBy) — at corpus scale each skipped distinct is a full shuffle
+    of the side.  Duplicate keys under the flag produce duplicate pairs.
 
     algo='deletes' (default; short keys): explode deletion signatures
     both sides -> hot-sig cap -> equi-join on signature -> distinct
@@ -485,18 +491,16 @@ def fuzzy_join(
     falls back to the length-banded brute-force block (complete for any
     k — mirrors the reference CLI's -d 0..100 range)."""
     algo = _banded_routing(algo, k)
-    lk = (
-        left_df.select(F.col(left_key).alias("key"))
-        .filter(F.col(left_key).isNotNull())
-        .distinct()
-        .withColumn("kid", F.xxhash64("key"))
+    lk = left_df.select(F.col(left_key).alias("key")).filter(
+        F.col(left_key).isNotNull()
     )
-    rk = (
-        right_df.select(F.col(right_key).alias("key"))
-        .filter(F.col(right_key).isNotNull())
-        .distinct()
-        .withColumn("kid", F.xxhash64("key"))
+    rk = right_df.select(F.col(right_key).alias("key")).filter(
+        F.col(right_key).isNotNull()
     )
+    if not assume_unique:
+        lk, rk = lk.distinct(), rk.distinct()
+    lk = lk.withColumn("kid", F.xxhash64("key"))
+    rk = rk.withColumn("kid", F.xxhash64("key"))
     if algo == "banded":
         cand_ids = _banded_join_candidates(lk, rk, k)
     elif algo == "passjoin":
