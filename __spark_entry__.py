@@ -279,16 +279,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             except OSError:
                 # either another process won the race (path/_SUCCESS now
                 # present — serve theirs) or a crashed earlier build left
-                # a partial dir without _SUCCESS — clear it and retry so
-                # we never serve a corrupt artifact
+                # a partial dir without _SUCCESS.  Never rmtree whatever
+                # currently sits at `path` (a check-then-delete window
+                # could destroy an artifact a concurrent builder just
+                # published): atomically rename the suspect dir ASIDE,
+                # inspect the private copy, and restore it if it turns
+                # out to be a freshly published good artifact.
                 if _os.path.exists(_os.path.join(path, "_SUCCESS")):
                     _sh.rmtree(tmp, ignore_errors=True)
                 else:
-                    _sh.rmtree(path, ignore_errors=True)
+                    aside = f"{path}.aside{_os.getpid()}"
                     try:
-                        _os.rename(tmp, path)
-                    except OSError:  # lost a second race; theirs is good
+                        _os.rename(path, aside)
+                    except OSError:
+                        aside = None  # path vanished under us
+                    if aside and _os.path.exists(
+                        _os.path.join(aside, "_SUCCESS")
+                    ):
+                        # stole a just-published good artifact: put it
+                        # back (unless a third builder already filled
+                        # path, in which case both copies are good)
+                        try:
+                            _os.rename(aside, path)
+                        except OSError:
+                            _sh.rmtree(aside, ignore_errors=True)
                         _sh.rmtree(tmp, ignore_errors=True)
+                    else:
+                        if aside:
+                            _sh.rmtree(aside, ignore_errors=True)
+                        try:
+                            _os.rename(tmp, path)
+                        except OSError:  # lost again; theirs is good
+                            _sh.rmtree(tmp, ignore_errors=True)
         return index_fuzzy_lookup(load_index(spark, path), "scan", 2).withColumn(
             "dist", F.levenshtein(F.col("key"), F.lit("scan")).cast("long")
         )
@@ -966,7 +988,12 @@ WHERE inter * 100 >= 1 * (sa.n + sb.n - inter)"""
     # both collapses, keep = 1 iff the doc IS its cluster representative
     o["near_dedup"] = f"""WITH RECURSIVE
 ex AS (
-  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS ex_rep
+  -- coalesce twins the Spark side: a NULL text is its own singleton
+  -- group, never pooled with other NULLs or dropped
+  SELECT doc_id, text,
+         min(doc_id) OVER (
+           PARTITION BY coalesce(md5(text), 'null:' || doc_id)
+         ) AS ex_rep
   FROM documents
 ),
 reps AS (SELECT doc_id, text FROM ex WHERE doc_id = ex_rep),
@@ -1189,8 +1216,10 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.4"""
     # IS its cluster representative
     o["embedding_dedup"] = """WITH RECURSIVE
 exm AS (
+  -- NULL-vec rows are handled as singleton keeps in the UNION ALL at
+  -- the end (twin of the Spark side's null split)
   SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS ex_rep
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 reps AS (SELECT vec_id FROM exm WHERE vec_id = ex_rep),
 x AS (
@@ -1244,7 +1273,10 @@ reach(a, b) AS (
 comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
 SELECT e.vec_id, c.component::BIGINT AS rep_id,
        (CASE WHEN e.vec_id = c.component THEN 1 ELSE 0 END)::BIGINT AS keep
-FROM exm e JOIN comp c ON c.node = e.ex_rep"""
+FROM exm e JOIN comp c ON c.node = e.ex_rep
+UNION ALL
+SELECT vec_id, vec_id AS rep_id, 1::BIGINT AS keep
+FROM embeddings WHERE embedding IS NULL"""
 
     o["cosine_near_pairs"] = f"""WITH {_sql_embX},
 dots AS (

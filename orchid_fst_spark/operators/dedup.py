@@ -19,21 +19,12 @@ caps bound the one remaining O(df²) join (ngram_jaccard_pairs.df_cap).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.normalize import tokens
-
-
-def _maybe_persist(df: DataFrame, storage: str | None) -> DataFrame:
-    """Persist an intermediate the operator will scan more than once.
-    ``storage`` is a StorageLevel name ('MEMORY_AND_DISK', ...) or None
-    to skip persistence (the plan is recomputed per scan — the right
-    choice for one-shot pipelines in long-lived sessions, where an
-    operator-internal cache() would otherwise accumulate in the
-    CacheManager forever; see util/caches for the byte-budget story)."""
-    if storage is None:
-        return df
-    return df.persist(getattr(StorageLevel, storage))
+from ..util.storage import maybe_persist as _maybe_persist  # noqa: F401
+# (re-exported under the old private name; every operator-internal
+# persist is registered so util.storage.release_persisted() can free
+# them in long-lived sessions)
 
 
 def cap_hot_buckets(stacked: DataFrame, bucket_cap: int) -> DataFrame:
@@ -91,10 +82,19 @@ def shingle_df(
     """Distinct word n-gram shingles per doc: (id, sh).  Pure Catalyst:
     split -> sequence -> transform -> explode."""
     toks = tokens(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    # guard the window count: sequence(0, -1) is DESCENDING ([0, -1]),
+    # so the old unguarded form emitted two junk shingles (one of them a
+    # partial slice) for every doc with fewer than n tokens — and made
+    # NULL-text docs pairwise identical.  Short/NULL docs carry no
+    # n-gram evidence: emit no shingles (the DuckDB oracle's
+    # generate_series(1, len-2) has exactly these semantics).
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
         .distinct()
@@ -431,10 +431,20 @@ def near_dedup(
     from ..er.clustering import connected_components
 
     ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    ex = ids.groupBy(F.md5("text").alias("h")).agg(F.min("id").alias("ex_rep"))
-    mapped = _maybe_persist(
-        ids.withColumn("h", F.md5("text")).join(ex, "h").drop("h"), storage
+    # null-safe exact-collapse key: md5(NULL) is NULL, so the plain
+    # equi-join below would silently DROP every NULL-text doc from the
+    # output (violating one-row-per-input) and the groupBy would pool
+    # all NULLs into one fake "duplicate" cluster.  A NULL text carries
+    # no content to match on, so each such doc is its own singleton
+    # group (the oracle mirrors the same coalesce).
+    keyed = ids.withColumn(
+        "h",
+        F.coalesce(
+            F.md5("text"), F.concat(F.lit("null:"), F.col("id").cast("string"))
+        ),
     )
+    ex = keyed.groupBy("h").agg(F.min("id").alias("ex_rep"))
+    mapped = _maybe_persist(keyed.join(ex, "h").drop("h"), storage)
     reps = mapped.filter(F.col("id") == F.col("ex_rep")).select("id", "text")
     pairs = minhash_lsh_pairs(
         reps,

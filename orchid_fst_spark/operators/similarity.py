@@ -419,11 +419,19 @@ def embedding_dedup(
     from .dedup import _maybe_persist
 
     ids = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    ex = ids.groupBy("vec").agg(F.min("id").alias("ex_rep"))
-    mapped = _maybe_persist(ids.join(ex, "vec").drop("vec"), storage)
-    reps = ids.join(
-        mapped.filter(F.col("id") == F.col("ex_rep")).select("id"), "id"
+    # a NULL embedding carries no content to match on AND would be
+    # silently dropped by the non-null-safe equi-join below (violating
+    # one-row-per-input): split NULL-vec rows out as their own
+    # singleton keeps and union them back at the end (oracle mirrors)
+    nulls = ids.filter(F.col("vec").isNull()).select(
+        "id", F.col("id").alias("rep_id"), F.lit(1).cast("long").alias("keep")
     )
+    nn = ids.filter(F.col("vec").isNotNull())
+    ex = nn.groupBy("vec").agg(F.min("id").alias("ex_rep"))
+    # mapped keeps vec so the representative frame is a plain filter of
+    # it (no second source scan / join to re-attach the vector)
+    mapped = _maybe_persist(nn.join(ex, "vec"), storage)
+    reps = mapped.filter(F.col("id") == F.col("ex_rep")).select("id", "vec")
     pairs = cosine_lsh_pairs(
         reps,
         "id",
@@ -448,4 +456,5 @@ def embedding_dedup(
         mapped.join(comps.withColumnRenamed("node", "ex_rep"), "ex_rep", "left")
         .select("id", F.coalesce("component", "ex_rep").alias("rep_id"))
         .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
+        .unionByName(nulls)
     )

@@ -201,8 +201,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "dot":
             from orchid_fst_spark.automata.trie import Trie, minimize, to_dot
 
-            keys = sorted(r.key for r in mounted.select("key").collect())
-            root, nodes, _n = minimize(Trie.from_sorted(keys))
+            # map-mode artifacts render with their values, exactly like
+            # the parquet-index dot branch below (dropping them produced
+            # a structurally different value-less DAG)
+            has_vals = "value" in mounted.columns
+            if has_vals:
+                rows = sorted(
+                    (r.key, r.value)
+                    for r in mounted.select("key", "value").collect()
+                )
+                keys = [k for k, _ in rows]
+                vals = [v for _, v in rows]
+            else:
+                keys = sorted(r.key for r in mounted.select("key").collect())
+                vals = None
+            root, nodes, _n = minimize(Trie.from_sorted(keys, vals))
             with open(args.dot_file, "w") as f:
                 f.write(to_dot(root, nodes))
             print(f"wrote {args.dot_file}")

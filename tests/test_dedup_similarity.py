@@ -656,6 +656,41 @@ def test_near_dedup_end_to_end(spark, docs_df):
     assert sorted(kept) == sorted({rep for rep, _ in rows.values()})
 
 
+def test_near_dedup_null_text_rows_are_singleton_keeps(spark):
+    """A NULL text has no content to match on: each such doc must come
+    back as its own singleton keep — never silently dropped (the
+    non-null-safe equi-join failure) and never pooled into one fake
+    'all-NULLs-are-duplicates' cluster (the bare groupBy failure)."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None), (2, None),
+         (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    out = near_dedup(df, "doc_id", "text", threshold_num=1,
+                     threshold_den=100, storage=None)
+    rows = {r.id: (r.rep_id, r.keep) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}  # one row per input, NULLs included
+    assert rows[1] == (1, 1)
+    assert rows[2] == (2, 1)
+    assert rows[0] == (0, 1) and rows[3] == (0, 0)
+
+
+def test_embedding_dedup_null_vec_rows_are_singleton_keeps(spark):
+    """Twin of the NULL-text contract for vectors: NULL embeddings come
+    back as singleton keeps, one row per input."""
+    v = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, v), (1, None), (2, v), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_dedup(df, "vec_id", "embedding", threshold=1.01,
+                          dim=4, storage=None)
+    rows = {r.id: (r.rep_id, r.keep) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[1] == (1, 1) and rows[3] == (3, 1)
+    assert rows[0] == (0, 1) and rows[2] == (0, 0)
+
+
 def test_near_dedup_strict_threshold_exact_only(spark, docs_df):
     """At an impossible threshold (> 100%) no near pairs survive, so
     near_dedup degrades to exact dedup: 0/2 collapse, others keep."""
@@ -688,3 +723,27 @@ def test_dedup_storage_param_leaves_cache_empty(spark):
     ).collect()
     jvm_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert jvm_empty
+
+
+def test_release_persisted_frees_default_storage(spark):
+    """The default storage DOES persist intermediates (they are scanned
+    3x); release_persisted() must free every library-internal entry so a
+    long-lived session can reclaim storage between pipelines without
+    touching user caches."""
+    from orchid_fst_spark.util.storage import release_persisted
+
+    spark.catalog.clearCache()
+    release_persisted()  # drain anything earlier tests registered
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    user_cached = df.persist()
+    user_cached.collect()
+    minhash_lsh_pairs(
+        df, "doc_id", "text", threshold_num=1, threshold_den=100
+    ).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()
+    assert release_persisted() >= 2  # shingles + band rows
+    # library entries gone, the user's own cache untouched
+    assert not cm.isEmpty()
+    user_cached.unpersist()
+    assert cm.isEmpty()
