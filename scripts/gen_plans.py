@@ -146,6 +146,32 @@ def main() -> None:
         winnow_pairs(docs, "doc_id", "text"),
         must_contain=("Window", "LeftAnti"),
     )
+    from orchid_fst_spark.operators.dedup import near_dedup
+    from orchid_fst_spark.operators.similarity import embedding_dedup
+
+    add(
+        "End-to-end keep-one text dedup (`operators.dedup.near_dedup`)",
+        "Final labeling plan: the persisted mapped frame (exact collapse "
+        "= ONE null-safe hash shuffle) left-joins the checkpointed "
+        "connected-components labels — the LSH/verify stages upstream "
+        "are the already-asserted minhash_lsh_pairs plan and the "
+        "alternating-star CC truncates lineage at its checkpoints, so "
+        "the serving plan stays shallow no matter how many CC rounds "
+        "ran.  Every input row survives to the output (NULL texts "
+        "included).",
+        near_dedup(docs, "doc_id", "text"),
+        must_contain=("InMemoryTableScan",),
+    )
+    add(
+        "End-to-end keep-one embedding dedup (`operators.similarity.embedding_dedup`)",
+        "Vector twin of near_dedup: exact collapse groups on the raw "
+        "vector (one shuffle), cosine-LSH pairs over representatives "
+        "only, checkpointed CC, NULL-vec rows re-enter as singleton "
+        "keeps via a union — the plan is a shallow join + union over "
+        "the persisted mapped frame.",
+        embedding_dedup(emb, "vec_id", "embedding", 0.8, dim=64),
+        must_contain=("InMemoryTableScan", "Union"),
+    )
     idx_path = "/tmp/plans_idx"
     build_index(entry._dict(spark, SF), idx_path, n_shards=8)
     add(
