@@ -153,11 +153,13 @@ def main() -> None:
         "End-to-end keep-one text dedup (`operators.dedup.near_dedup`)",
         "Final labeling plan: the persisted mapped frame (exact collapse "
         "= ONE null-safe hash shuffle) left-joins the checkpointed "
-        "connected-components labels — the LSH/verify stages upstream "
-        "are the already-asserted minhash_lsh_pairs plan and the "
-        "alternating-star CC truncates lineage at its checkpoints, so "
-        "the serving plan stays shallow no matter how many CC rounds "
-        "ran.  Every input row survives to the output (NULL texts "
+        "connected-components labels.  At execution time only the "
+        "InMemoryTableScan and the checkpoint scan run — the long "
+        "InMemoryRelation subtree printed below is the cached plan "
+        "echoed for transparency, and the CC iterations never appear "
+        "at all (lineage truncated per round at the checkpoint).  The "
+        "LSH/verify stages are the already-asserted minhash_lsh_pairs "
+        "plan.  Every input row survives to the output (NULL texts "
         "included).",
         near_dedup(docs, "doc_id", "text"),
         must_contain=("InMemoryTableScan",),
@@ -167,8 +169,9 @@ def main() -> None:
         "Vector twin of near_dedup: exact collapse groups on the raw "
         "vector (one shuffle), cosine-LSH pairs over representatives "
         "only, checkpointed CC, NULL-vec rows re-enter as singleton "
-        "keeps via a union — the plan is a shallow join + union over "
-        "the persisted mapped frame.",
+        "keeps via a union.  Execution reads the InMemoryTableScan + "
+        "checkpoint scan (the printed InMemoryRelation subtree is the "
+        "cached plan echoed, not re-executed).",
         embedding_dedup(emb, "vec_id", "embedding", 0.8, dim=64),
         must_contain=("InMemoryTableScan", "Union"),
     )
