@@ -291,6 +291,119 @@ def test_streaming_fuzzy_match_with_ttl(spark, tmp_path):
     assert got == exp
 
 
+def _near_docs():
+    """Small doc corpus with planted near-dups: 12 base texts, each with
+    a one-token-substituted variant (shares most shingles) and one exact
+    length-2 short doc that must produce NO signature."""
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    docs = []
+    did = 0
+    for b in range(12):
+        base = [words[(b + j) % 12] for j in range(8)]
+        docs.append((did, " ".join(base))); did += 1
+        variant = list(base)
+        variant[3] = "xx" + str(b)
+        docs.append((did, " ".join(variant))); did += 1
+    docs.append((did, "too short")); did += 1
+    return docs
+
+
+def test_minhash_row_signature_matches_batch_aggregate(spark):
+    """The per-row Catalyst signature (streaming path) must be
+    componentwise identical to the batch explode+groupBy aggregate —
+    otherwise the streaming band buckets drift from the batch ones."""
+    from orchid_fst_spark.operators.dedup import minhash_signatures, shingle_df
+    from orchid_fst_spark.streaming.stateful import minhash_row_signature
+
+    df = spark.createDataFrame(_near_docs(), "doc_id long, text string")
+    row_sig = {
+        r.id: tuple(r[f"mh{s}"] for s in range(8))
+        for r in df.select(
+            F.col("doc_id").alias("id"), *minhash_row_signature("text", 3, 8)
+        ).collect()
+        if r.mh0 is not None
+    }
+    batch_sig = {
+        r.id: tuple(r[f"mh{s}"] for s in range(8))
+        for r in minhash_signatures(shingle_df(df, "doc_id", "text", 3), 8).collect()
+    }
+    assert row_sig == batch_sig
+    assert len(batch_sig) == 24  # the 2-token doc has no signature
+
+
+def test_streaming_minhash_candidates_stateful(spark, tmp_path):
+    """Streaming band-bucket candidates over two micro-batches must
+    equal the batch same-bucket self-join (operators.dedup
+    _minhash_stacked), including pairs whose members arrive in
+    different batches, and `shared` must count the equal signature
+    components."""
+    import os
+
+    from orchid_fst_spark.operators.dedup import (
+        _minhash_stacked,
+        minhash_signatures,
+        shingle_df,
+    )
+    from orchid_fst_spark.streaming.stateful import streaming_minhash_candidates
+
+    docs = _near_docs()
+    half = len(docs) // 2
+    drops = [docs[:half], docs[half:]]
+    src, out, ck = (str(tmp_path / p) for p in ("docs", "cands", "ck"))
+    for i, chunk in enumerate(drops):
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"drop{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_minhash_candidates(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got_df = spark.read.parquet(out)
+    assert got_df.filter("capped").count() == 0
+    got = {(r.id_a, r.id_b) for r in got_df.filter("NOT capped").collect()}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stacked = _minhash_stacked(shingle_df(df, "doc_id", "text", 3), 8, 4)
+    a = stacked.select(F.col("id").alias("id_a"), "bucket")
+    b = stacked.select(F.col("id").alias("id_b"), "bucket")
+    exp = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert got == exp and exp  # non-trivial fixture
+
+    # shared = componentwise signature agreement
+    sigs = {
+        r.id: [r[f"mh{s}"] for s in range(8)]
+        for r in minhash_signatures(shingle_df(df, "doc_id", "text", 3), 8).collect()
+    }
+    for r in got_df.filter("NOT capped").collect():
+        expect = sum(x == y for x, y in zip(sigs[r.id_a], sigs[r.id_b]))
+        assert r.shared == expect, (r.id_a, r.id_b)
+
+    # state really crossed batches
+    d1 = {i for i, _ in drops[0]}
+    assert any((x in d1) != (y in d1) for x, y in exp), "fixture too easy"
+
+
 def test_session_window_gap_boundary_semantics(spark):
     """Pin the session_window boundary behavior the native sessionizer
     relies on: events exactly `gap` seconds apart MERGE (split happens
