@@ -50,7 +50,13 @@ from orchid_fst_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
+    span_dedup,
 )
+from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms
+
+# the fixed keyword query for the bm25_search oracle entry (terms from
+# the synthetic documents' vocabulary, so every sf has hits)
+BM25_QUERY_TERMS = ("spark", "window", "hash")
 from orchid_fst_spark.operators.multimodal import (
     decode_images,
     extract_audio_features,
@@ -667,6 +673,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["quality_bands"] = _quality_bands
+
+    # --- lexical ranking over documents (operators/ranking.py): all
+    # term statistics are integers; the single ln/divide is rounded to
+    # 6 decimals in BOTH engines so the value hash is deterministic ---
+    q["tf_idf_terms"] = lambda spark, sf: tf_idf_terms(
+        _docs(spark, sf), "doc_id", "text"
+    )
+    q["bm25_search"] = lambda spark, sf: bm25_scores(
+        _docs(spark, sf), "doc_id", "text", list(BM25_QUERY_TERMS)
+    )
+    # --- exact span-level dedup (boilerplate removal; Lee et al.
+    # ACL'22 simplified to tumbling token windows) ---
+    q["span_dedup"] = lambda spark, sf: span_dedup(
+        _docs(spark, sf), "doc_id", "text", span_tokens=10, df_cap=1
+    )
 
     # --- event-time windowed ops over the events table ---
     def _events(spark, sf):
@@ -1293,6 +1314,78 @@ SELECT doc_id,
        len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe
 FROM documents"""
+
+    # lexical ranking twins: same tokenization expression as
+    # token_stats/lang_id (lowered, whitespace-split, empties removed);
+    # integer tf/df/dl everywhere, one ln+divide rounded to 6 decimals
+    o["tf_idf_terms"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n"""
+
+    _bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    o["bm25_search"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dd),
+hits AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+  WHERE term IN ({_bm25_terms})
+  GROUP BY 1, 2, 3
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM hits GROUP BY 1)
+SELECT doc_id,
+       round(sum(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       ), 6) AS score
+FROM hits JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY doc_id"""
+
+    # span dedup twin: spans are 1-based inclusive list slices; DuckDB's
+    # generate_series(0, -1) is empty, so token-less docs re-enter via
+    # the final LEFT JOIN with 0/'' defaults, matching Spark's coalesce
+    o["span_dedup"] = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS span_id,
+         array_to_string(l[(i*10+1):(i*10+10)], ' ') AS span
+  FROM tokd, unnest(generate_series(0, CAST(ceil(len(l) / 10.0) AS BIGINT) - 1)) AS t(i)
+),
+freq AS (SELECT md5(span) AS h, count(*)::BIGINT AS span_df FROM spans GROUP BY 1),
+flagged AS (
+  SELECT s.doc_id, s.span_id, s.span, f.span_df <= 1 AS keep
+  FROM spans s JOIN freq f ON md5(s.span) = f.h
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         coalesce(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_id), '') AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     _stop_lists = {
         lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in STOPWORDS.items()

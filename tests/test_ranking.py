@@ -1,0 +1,148 @@
+"""Lexical ranking (TF-IDF / BM25) and span-dedup semantics against
+driver-side pure-Python oracles — covers the API surface the entry
+contract's DuckDB twins don't (min_df, topk, df_cap > 1, token-less
+documents)."""
+
+import math
+
+import pytest
+
+from orchid_fst_spark.operators.dedup import span_dedup, span_hashes
+from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the mat"),
+    (2, "spark window hash spark"),
+    (3, ""),  # token-less: must survive span_dedup with empty output
+    (4, "the cat sat on the mat"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def rdocs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _toks(t):
+    return [w for w in t.lower().split() if w]
+
+
+def test_tf_idf_matches_python_oracle(spark, rdocs):
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+        for r in tf_idf_terms(rdocs, "doc_id", "text").collect()
+    }
+    n = len(DOCS)
+    tf = {}
+    for i, t in DOCS:
+        for w in _toks(t):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    assert set(got) == set(tf)
+    for (i, w), (gtf, gdf, gtfidf) in got.items():
+        assert gtf == tf[(i, w)]
+        assert gdf == df[w]
+        exp = round(tf[(i, w)] * (math.log((n + 1) / (df[w] + 1)) + 1), 6)
+        assert abs(gtfidf - exp) < 1e-9, (i, w)
+
+
+def test_tf_idf_min_df_filters_terms_not_weights(spark, rdocs):
+    base = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tf_idf_terms(rdocs, "doc_id", "text").collect()
+    }
+    filt = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tf_idf_terms(rdocs, "doc_id", "text", min_df=3).collect()
+    }
+    assert filt  # 'the' etc. appear in >= 3 docs
+    for k, v in filt.items():
+        assert base[k] == v  # weights unchanged by the filter
+    assert all(k in base for k in filt)
+    dropped = set(base) - set(filt)
+    assert dropped and all(t in {"spark", "window", "hash", "dog", "cat"}
+                           or True for _, t in dropped)
+
+
+def _bm25_oracle(query, k1=1.2, b=0.75):
+    toks = {i: _toks(t) for i, t in DOCS}
+    n = len(DOCS)
+    dls = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    df = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in query
+    }
+    scores = {}
+    for i, ts in toks.items():
+        s = 0.0
+        for t in query:
+            f = ts.count(t)
+            if not f or not df[t]:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dls[i] / avgdl))
+        if s:
+            scores[i] = round(s, 6)
+    return scores
+
+
+def test_bm25_scores_and_topk(spark, rdocs):
+    query = ["spark", "cat", "mat"]
+    exp = _bm25_oracle(query)
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(rdocs, "doc_id", "text", query).collect()
+    }
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-9, i
+    top = bm25_scores(rdocs, "doc_id", "text", query, topk=2).collect()
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r.doc_id, r.score) for r in
+            sorted(top, key=lambda r: (-r.score, r.doc_id))] == order
+
+
+def test_bm25_empty_query_raises(spark, rdocs):
+    with pytest.raises(ValueError):
+        bm25_scores(rdocs, "doc_id", "text", [])
+
+
+def test_span_hashes_window_layout(spark, rdocs):
+    rows = {
+        (r.doc_id, r.span_id): r.span
+        for r in span_hashes(rdocs, "doc_id", "text", span_tokens=4).collect()
+    }
+    # doc 0 has 6 tokens -> spans [0..3], [4..5]
+    assert rows[(0, 0)] == "the cat sat on"
+    assert rows[(0, 1)] == "the mat"
+    assert (3, 0) not in rows  # empty doc emits no spans
+
+
+def test_span_dedup_df_cap_and_empty_docs(spark, rdocs):
+    # w=4, df_cap=1: docs 0 and 4 are byte-identical, so both their
+    # spans have corpus df=2 and are removed; doc 1's first span
+    # differs ("the dog sat on") but its tail span "the mat" is shared
+    # with docs 0/4 (df=3) and is struck too — exactly the boilerplate
+    # semantics (a unique page losing its repeated footer)
+    out = {
+        r.doc_id: (r.n_spans, r.n_removed, r.clean_text)
+        for r in span_dedup(rdocs, "doc_id", "text",
+                            span_tokens=4, df_cap=1).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0] == (2, 2, "")
+    assert out[4] == (2, 2, "")
+    assert out[1] == (2, 1, "the dog sat on")
+    assert out[2] == (1, 0, "spark window hash spark")
+    assert out[3] == (0, 0, "")
+    # df_cap=2 tolerates one duplicate: only the df=3 footer span
+    # ("the mat", shared by docs 0, 1 and 4) is still removed
+    out2 = {
+        r.doc_id: r.n_removed
+        for r in span_dedup(rdocs, "doc_id", "text",
+                            span_tokens=4, df_cap=2).collect()
+    }
+    assert out2 == {0: 1, 1: 1, 2: 0, 3: 0, 4: 1}
