@@ -67,6 +67,70 @@ def bucket_profile(stacked: DataFrame, bucket_cap: int) -> DataFrame:
     )
 
 
+def grouped_bucket_pairs(
+    stacked: DataFrame,
+    bucket_cap: int,
+    payload_col: str | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Candidate pairs from an (id[, payload], bucket) LSH band frame in
+    ONE shuffle: groupBy(bucket) -> collect members -> cap -> in-group
+    pair expansion.  Replaces the previous three-stage pipeline
+    (hot-bucket count shuffle + broadcast anti-join + two-sided
+    band self-join), whose extra stages cost ~5 s of AQE driver
+    re-planning per query on this pipeline; the band frame is now
+    scanned exactly once, so callers no longer persist it.
+
+    Cap semantics are identical to ``cap_hot_buckets``: buckets with
+    more than ``bucket_cap`` members contribute nothing (the aggregate
+    builds the member list before the size filter drops it — bounded
+    at ~8 bytes x the hottest bucket's true size in one reducer, the
+    same exposure ``dictionary.grouped_self_candidates`` accepts; keep
+    ``exact_dedup`` upstream so byte-identical mega-clusters never
+    reach LSH).  The expansion is two successive Generates — posexplode
+    of the member array, then explode of its position-sliced tail — so
+    pairs stream through the pipeline row-by-row (never one O(cap**2)
+    array), each array referenced outside any lambda (the
+    CollapseProject HOF re-inline trap).
+
+    Returns (id_a, id_b) with id_a < id_b, plus ``<payload>_a`` /
+    ``<payload>_b`` when ``payload_col`` is given (the payload rides
+    the expansion, saving the per-side join-back for small payloads
+    like a signature long).  ``distinct=False`` skips the final pair
+    dedup for callers that filter (e.g. Hamming-verify) first."""
+    member = (
+        F.struct(F.col("id"), F.col(payload_col)) if payload_col else F.col("id")
+    )
+    grouped = (
+        stacked.groupBy("bucket")
+        .agg(F.collect_list(member).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+    )
+    e1 = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+    e2 = e1.select(
+        "a",
+        F.explode(
+            F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))
+        ).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    if payload_col:
+        swap = a["id"] > b["id"]
+        lo = F.when(swap, b).otherwise(a)
+        hi = F.when(swap, a).otherwise(b)
+        out = e2.select(
+            lo["id"].alias("id_a"),
+            hi["id"].alias("id_b"),
+            lo[payload_col].alias(f"{payload_col}_a"),
+            hi[payload_col].alias(f"{payload_col}_b"),
+        )
+    else:
+        out = e2.select(
+            F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+        )
+    return out.distinct() if distinct else out
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by md5(text): (text_hash, rep_id, n_dups)."""
     return (
@@ -337,27 +401,20 @@ def minhash_lsh_pairs(
     candidates in any engine computing the same md5 minhashes, so the
     final output equals the oracle's despite LSH being 'approximate'.
 
-    Buckets hotter than ``bucket_cap`` are dropped before the self-join
-    (``cap_hot_buckets``): a 10M-copy boilerplate cluster shares ALL its
-    bands, so without the cap a single bucket emits O(m²) join rows.
-    Run ``exact_dedup`` first (identical copies never belong in an LSH
-    join); the residual dropped mass is observable via
-    ``minhash_band_metrics``."""
+    Buckets hotter than ``bucket_cap`` contribute nothing (capped
+    inside the single grouped pass — ``grouped_bucket_pairs``): a
+    10M-copy boilerplate cluster shares ALL its bands, so without the
+    cap a single bucket emits O(m²) join rows.  Run ``exact_dedup``
+    first (identical copies never belong in an LSH join); the dropped
+    mass is observable via ``minhash_band_metrics``."""
     sh = _maybe_persist(shingle_df(df, id_col, text_col, n), storage)
-    # persist the band rows: they are scanned three times (hot-bucket
-    # count, then both sides of the self-join) and the signature
-    # aggregation above them (8 min-of-md5 per id, one shuffle) is the
-    # expensive part — unpersisted it re-ran per scan (measured 2.4x on
-    # the sf0.1 bench when the cap pass landed)
-    stacked = cap_hot_buckets(
-        _maybe_persist(_minhash_stacked(sh, num_hashes, bands), storage),
-        bucket_cap,
-    )
-    a = stacked.select(F.col("id").alias("id_a"), "bucket")
-    b = stacked.select(F.col("id").alias("id_b"), "bucket")
-    cand = (
-        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
+    # the band frame is scanned exactly once by the grouped pair
+    # expansion (cap + pairs in one shuffle — the previous count
+    # shuffle + anti-join + two-sided self-join cost ~5 s of extra AQE
+    # stage re-planning at sf0.1), so it is NOT persisted; only the
+    # shingle frame is (re-scanned by the exact-Jaccard verify below)
+    cand = grouped_bucket_pairs(
+        _minhash_stacked(sh, num_hashes, bands), bucket_cap
     )
     # exact verify on candidates only (hashed shingles: smaller shuffle)
     shh = sh.select("id", F.xxhash64("sh").alias("shh"))
@@ -565,26 +622,31 @@ def simhash_pairs(
     which is the honest cost of a complete large-radius search (radius
     <= 3 keeps the classic 4x15-bit layout).
 
-    Buckets hotter than ``bucket_cap`` are dropped before the self-join
-    (``cap_hot_buckets`` — identical docs share every band; run
-    ``exact_dedup`` first).  The cap bounds join fan-out at the price of
-    completeness for what it drops; ``simhash_band_metrics`` reports the
-    dropped mass."""
+    Buckets hotter than ``bucket_cap`` contribute nothing (capped inside
+    the single grouped pass — ``grouped_bucket_pairs``; identical docs
+    share every band, so run ``exact_dedup`` first).  The cap bounds
+    pair fan-out at the price of completeness for what it drops;
+    ``simhash_band_metrics`` reports the dropped mass."""
     usable = 60
     bands = _simhash_bands(bands, max_hamming, usable)
-    sig = _maybe_persist(simhash(df, id_col, text_col), storage)
-    stacked = cap_hot_buckets(_simhash_stacked(sig, bands, usable), bucket_cap)
-    a = stacked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
-    b = stacked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
-    # Hamming verify BEFORE the distinct: bit_count(xor) is a codegen
-    # scalar on the streamed join output, so filtering first shrinks the
+    sig = simhash(df, id_col, text_col)
+    # the signature long rides the grouped pair expansion as a payload
+    # (16 extra bytes/pair), so there is no per-side join-back; Hamming
+    # verify BEFORE the distinct — bit_count(xor) is a codegen scalar on
+    # the streamed expansion output, so filtering first shrinks the
     # dedup shuffle to the passing pairs only (measured sf0.1: 17.7M
-    # joined rows -> ~2.5M pre-distinct instead of 9.3M distinct
-    # candidates carrying two signature longs each)
+    # candidate rows -> ~2.5M pre-distinct)
+    cand = grouped_bucket_pairs(
+        _simhash_stacked(sig, bands, usable),
+        bucket_cap,
+        payload_col="simhash",
+        distinct=False,
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

@@ -320,32 +320,23 @@ def cosine_lsh_pairs(
     exact buckets; 'gaussian' uses a seeded N(0,1) matrix (statistically
     identical behavior, not SQL-reproducible).
 
-    Buckets hotter than ``bucket_cap`` are dropped before the self-join
-    (operators/dedup.cap_hot_buckets — a duplicate-embedding cluster
-    shares every band; dedup exact copies first).  Dropped mass is
-    observable via ``cosine_lsh_band_metrics``.  The band rows are
-    persisted under ``storage`` (None = recompute): they are scanned
-    three times (hot-bucket count + both join sides) and the
-    Arrow-batch projection stage above them is the expensive part."""
-    from .dedup import _maybe_persist, cap_hot_buckets
+    Buckets hotter than ``bucket_cap`` contribute nothing (capped inside
+    the single grouped pass — operators/dedup.grouped_bucket_pairs; a
+    duplicate-embedding cluster shares every band, so dedup exact
+    copies first).  Dropped mass is observable via
+    ``cosine_lsh_band_metrics``.  The band frame is scanned exactly
+    once by the grouped expansion, so nothing is persisted on this
+    path (``storage`` is kept for API compatibility); vectors are too
+    wide to ride the O(m²) pair fan-out, so the exact-cosine verify
+    joins them back per side on the DISTINCT candidate set."""
+    from .dedup import grouped_bucket_pairs
 
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    stacked = cap_hot_buckets(
-        _maybe_persist(
-            _cosine_stacked(
-                emb, id_col, vec_col, dim, n_planes, bands, seed, plane_scheme
-            ),
-            storage,
+    cand = grouped_bucket_pairs(
+        _cosine_stacked(
+            emb, id_col, vec_col, dim, n_planes, bands, seed, plane_scheme
         ),
         bucket_cap,
-    )
-    a = stacked.select(F.col("id").alias("id_a"), "bucket")
-    b = stacked.select(F.col("id").alias("id_b"), "bucket")
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
     va = src.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = src.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))

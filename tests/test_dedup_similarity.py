@@ -736,8 +736,9 @@ def test_dedup_storage_param_leaves_cache_empty(spark):
 
 
 def test_release_persisted_frees_default_storage(spark):
-    """The default storage DOES persist intermediates (they are scanned
-    3x); release_persisted() must free every library-internal entry so a
+    """The default storage DOES persist intermediates that are scanned
+    more than once (the shingle frame feeding the exact-Jaccard verify);
+    release_persisted() must free every library-internal entry so a
     long-lived session can reclaim storage between pipelines without
     touching user caches."""
     from orchid_fst_spark.util.storage import release_persisted
@@ -752,7 +753,9 @@ def test_release_persisted_frees_default_storage(spark):
     ).collect()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert not cm.isEmpty()
-    assert release_persisted() >= 2  # shingles + band rows
+    # band rows are no longer persisted (single-scan grouped expansion);
+    # only the shingle frame remains registered
+    assert release_persisted() >= 1
     # library entries gone, the user's own cache untouched
     assert not cm.isEmpty()
     user_cached.unpersist()
