@@ -70,32 +70,43 @@ def main() -> None:
     )
     add(
         "SimHash near-dup (`operators.dedup.simhash_pairs`)",
-        "Radius-derived band equi-join (pigeonhole-complete); the "
-        "bit_count(xor) Hamming verify runs BEFORE the distinct so the "
-        "dedup shuffle carries only passing pairs; hot band buckets are "
-        "removed with a broadcast anti-join before the self-join "
-        "(bucket_cap).",
+        "Radius-derived bands (pigeonhole-complete) feed the grouped "
+        "single-shuffle pair expansion (groupBy(bucket) -> member "
+        "collect -> cap -> two successive Generates; no count shuffle, "
+        "no anti-join, no band self-join).  The signature long rides "
+        "the expansion as a payload, so there is no per-side join-back; "
+        "the bit_count(xor) Hamming verify runs BEFORE the distinct so "
+        "the dedup shuffle carries only passing pairs.",
         simhash_pairs(docs, "doc_id", "text", max_hamming=10),
-        must_contain=("LeftAnti",),
+        must_contain=("Generate",),
+        must_not=("CartesianProduct", "LeftAnti"),
     )
     from orchid_fst_spark.operators.dedup import minhash_lsh_pairs
     from orchid_fst_spark.operators.similarity import cosine_lsh_pairs
 
     add(
         "MinHash-LSH near-dup (`operators.dedup.minhash_lsh_pairs`)",
-        "Band-bucket equi-join with hot buckets removed by a broadcast "
-        "anti-join (bucket_cap) before the self-join; exact integer "
-        "Jaccard verify touches candidates only.",
+        "Band buckets go through the grouped single-shuffle pair "
+        "expansion (cap applied inside the ONE groupBy(bucket) "
+        "aggregate; pairs stream out of two successive Generates — no "
+        "hot-bucket count shuffle, no broadcast anti-join, no two-sided "
+        "band self-join, so the band frame is scanned once and is not "
+        "persisted); exact integer Jaccard verify touches candidates "
+        "only.",
         minhash_lsh_pairs(docs, "doc_id", "text"),
-        must_contain=("LeftAnti",),
+        must_contain=("Generate",),
+        must_not=("CartesianProduct", "LeftAnti"),
     )
     add(
         "Cosine hyperplane-LSH pairs (`operators.similarity.cosine_lsh_pairs`)",
-        "Arrow-batched signature stage, band equi-join with the same "
-        "broadcast-anti-join bucket cap, exact cosine verify on "
-        "candidates.",
+        "Arrow-batched signature stage, then the grouped single-shuffle "
+        "band pair expansion (cap inside the aggregate, two Generates); "
+        "vectors are too wide for the O(m^2) pair fan-out, so the exact "
+        "cosine verify joins them back per side on the DISTINCT "
+        "candidate set.",
         cosine_lsh_pairs(emb, "vec_id", "embedding", 0.8, dim=64),
-        must_contain=("LeftAnti",),
+        must_contain=("Generate",),
+        must_not=("CartesianProduct", "LeftAnti"),
     )
     from orchid_fst_spark.operators.dictionary import fuzzy_join
 
@@ -174,6 +185,32 @@ def main() -> None:
         "cached plan echoed, not re-executed).",
         embedding_dedup(emb, "vec_id", "embedding", 0.8, dim=64),
         must_contain=("InMemoryTableScan", "Union"),
+    )
+    from orchid_fst_spark.operators.dedup import span_dedup
+    from orchid_fst_spark.operators.ranking import bm25_scores
+
+    add(
+        "Span-level exact dedup (`operators.dedup.span_dedup`)",
+        "Tumbling token windows built as posexplode -> (doc, span_id) "
+        "aggregate (NOT transform(sequence, slice) — the CollapseProject "
+        "HOF re-inline would make it O(len²/w) per doc, fatal for "
+        "book-length pages); span frequency is a second aggregate on "
+        "the md5 hash; the per-doc rebuild a third.  A mega-cluster of "
+        "identical spans only ever hits aggregates — there is no pair "
+        "join anywhere in the plan.",
+        span_dedup(docs, "doc_id", "text"),
+        must_contain=("Generate",),
+        must_not=("CartesianProduct", "SortMergeJoin("),
+    )
+    add(
+        "BM25 keyword search (`operators.ranking.bm25_scores`)",
+        "The token explode is filtered to the query vocabulary BEFORE "
+        "the tf aggregate (the shuffle carries only query-term hits); "
+        "per-term df and the single-row corpus stats (N, avgdl as exact "
+        "integer sum / count) arrive by broadcast; the scoring "
+        "projection is whole-stage-codegen arithmetic.",
+        bm25_scores(docs, "doc_id", "text", ["spark", "window", "hash"]),
+        must_contain=("BroadcastExchange", "HashAggregate"),
     )
     idx_path = "/tmp/plans_idx"
     build_index(entry._dict(spark, SF), idx_path, n_shards=8)
