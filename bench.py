@@ -205,6 +205,9 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "candidate_pairs_k4",
         "near_dedup",
         "embedding_dedup",
+        "span_dedup",
+        "tf_idf_terms",
+        "bm25_search",
     ]
     out = {}
     for name in headline:
