@@ -395,6 +395,12 @@ def run_scaling(sf_dir: str) -> dict:
             # periods must fit inside the budget too
             timeout=3600,
         )
+        if not out.stdout.strip():
+            raise RuntimeError(
+                f"scaling child local[{cores}] produced no output "
+                f"(rc={out.returncode}); stderr tail:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-15:])
+            )
         line = out.stdout.strip().splitlines()[-1]
         results[cores] = json.loads(line)["er_pipeline"]
     # build-once/query-many amortization at the 4N core count, for the

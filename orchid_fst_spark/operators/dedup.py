@@ -72,6 +72,7 @@ def grouped_bucket_pairs(
     bucket_cap: int,
     payload_col: str | None = None,
     distinct: bool = True,
+    precap: bool = False,
 ) -> DataFrame:
     """Candidate pairs from an (id[, payload], bucket) LSH band frame in
     ONE shuffle: groupBy(bucket) -> collect members -> cap -> in-group
@@ -82,22 +83,32 @@ def grouped_bucket_pairs(
     scanned exactly once, so callers no longer persist it.
 
     Cap semantics are identical to ``cap_hot_buckets``: buckets with
-    more than ``bucket_cap`` members contribute nothing (the aggregate
-    builds the member list before the size filter drops it — bounded
-    at ~8 bytes x the hottest bucket's true size in one reducer, the
-    same exposure ``dictionary.grouped_self_candidates`` accepts; keep
-    ``exact_dedup`` upstream so byte-identical mega-clusters never
-    reach LSH).  The expansion is two successive Generates — posexplode
-    of the member array, then explode of its position-sliced tail — so
-    pairs stream through the pipeline row-by-row (never one O(cap**2)
-    array), each array referenced outside any lambda (the
-    CollapseProject HOF re-inline trap).
+    more than ``bucket_cap`` members contribute nothing.  The default
+    path builds the member list BEFORE the size filter drops it —
+    bounded at ~8-16 bytes x the hottest bucket's true size in one
+    aggregation buffer (the same exposure
+    ``dictionary.grouped_self_candidates`` accepts).  ``exact_dedup``
+    upstream keeps byte-identical mega-clusters out of LSH, but a
+    NEAR-identical boilerplate cluster (same bands, different bytes)
+    still reaches this aggregate: if such clusters can plausibly exceed
+    ~1M members, pass ``precap=True`` to run the constant-memory
+    ``cap_hot_buckets`` count + anti-join first, trading the two extra
+    stages for a hard memory bound.  The expansion itself is two
+    successive Generates — posexplode of the member array, then explode
+    of its position-sliced tail — so pairs stream through the pipeline
+    row-by-row (never one O(cap**2) array), each array referenced
+    outside any lambda (the CollapseProject HOF re-inline trap).
 
     Returns (id_a, id_b) with id_a < id_b, plus ``<payload>_a`` /
     ``<payload>_b`` when ``payload_col`` is given (the payload rides
     the expansion, saving the per-side join-back for small payloads
-    like a signature long).  ``distinct=False`` skips the final pair
-    dedup for callers that filter (e.g. Hamming-verify) first."""
+    like a signature long).  Duplicate (id, bucket) input rows never
+    produce self-pairs (id_a == id_b is filtered, matching the old
+    ``id_a < id_b`` join predicate).  ``distinct=False`` skips the
+    final pair dedup for callers that filter (e.g. Hamming-verify)
+    first."""
+    if precap:
+        stacked = cap_hot_buckets(stacked, bucket_cap)
     member = (
         F.struct(F.col("id"), F.col(payload_col)) if payload_col else F.col("id")
     )
@@ -118,14 +129,14 @@ def grouped_bucket_pairs(
         swap = a["id"] > b["id"]
         lo = F.when(swap, b).otherwise(a)
         hi = F.when(swap, a).otherwise(b)
-        out = e2.select(
+        out = e2.filter(a["id"] != b["id"]).select(
             lo["id"].alias("id_a"),
             hi["id"].alias("id_b"),
             lo[payload_col].alias(f"{payload_col}_a"),
             hi[payload_col].alias(f"{payload_col}_b"),
         )
     else:
-        out = e2.select(
+        out = e2.filter(a != b).select(
             F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
         )
     return out.distinct() if distinct else out
@@ -626,7 +637,11 @@ def simhash_pairs(
     the single grouped pass — ``grouped_bucket_pairs``; identical docs
     share every band, so run ``exact_dedup`` first).  The cap bounds
     pair fan-out at the price of completeness for what it drops;
-    ``simhash_band_metrics`` reports the dropped mass."""
+    ``simhash_band_metrics`` reports the dropped mass.
+
+    ``storage`` is retained for API compatibility but is a no-op on
+    this path since the grouped expansion scans the signature frame
+    exactly once (mirrors cosine_lsh_pairs)."""
     usable = 60
     bands = _simhash_bands(bands, max_hamming, usable)
     sig = simhash(df, id_col, text_col)
@@ -713,6 +728,7 @@ def span_dedup(
     text_col: str,
     span_tokens: int = 10,
     df_cap: int = 1,
+    storage: str | None = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Exact span-level dedup: drop every token window whose text occurs
     more than ``df_cap`` times across the corpus (counting repeats
@@ -729,9 +745,15 @@ def span_dedup(
     count is a second aggregate keyed on the 32-char hash (8+32-byte
     shuffle rows, never the span text); the rebuild is a third per-doc
     aggregate.  A mega-cluster of identical spans only ever hits
-    aggregates — there is no pair join anywhere, so no O(df^2) term."""
+    aggregates — there is no pair join anywhere, so no O(df^2) term.
+
+    The hashed span frame feeds BOTH the frequency count and the
+    keep/strike join, so it is persisted under ``storage`` (None =
+    recompute; registered with util.storage.release_persisted like
+    every other operator-internal persist) — otherwise the dominant
+    explode+aggregate stage runs twice."""
     spans = span_hashes(df, id_col, text_col, span_tokens)
-    h = spans.withColumn("h", F.md5(F.col("span")))
+    h = _maybe_persist(spans.withColumn("h", F.md5(F.col("span"))), storage)
     freq = h.groupBy("h").agg(F.count("*").alias("span_df"))
     flagged = h.join(freq, "h").withColumn(
         "keep", F.col("span_df") <= F.lit(df_cap)

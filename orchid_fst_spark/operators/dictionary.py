@@ -571,35 +571,23 @@ def fuzzy_join(
 
 def grouped_self_candidates(variants: DataFrame, sig_cap: int = 1000) -> DataFrame:
     """Candidate pairs from a (key, sig) variants frame in ONE shuffle:
-    groupBy(sig) -> collect keys -> explode in-group pairs with Catalyst
-    higher-order functions (no self-join, no second scan of the variant
-    UDF).  Groups hotter than ``sig_cap`` are dropped (skew cap — a
-    degenerate signature would contribute O(cap²) pairs); the drop is
-    observable via blocking metrics, never silent."""
-    grouped = (
-        variants.groupBy("sig")
-        .agg(F.collect_list("key").alias("ks"))
-        .filter((F.size("ks") >= 2) & (F.size("ks") <= sig_cap))
-    )
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                "ks",
-                lambda x, i: F.transform(
-                    F.slice("ks", i + 2, F.size("ks")),
-                    lambda y: F.struct(
-                        F.least(x, y).alias("key_a"), F.greatest(x, y).alias("key_b")
-                    ),
-                ),
-            )
-        )
-    )
-    return (
-        grouped.select(pairs.alias("p"))
-        .select("p.key_a", "p.key_b")
-        .filter(F.col("key_a") != F.col("key_b"))  # dup variants of one key
-        .distinct()
-    )
+    groupBy(sig) -> collect keys -> explode in-group pairs.  Groups
+    hotter than ``sig_cap`` are dropped (skew cap — a degenerate
+    signature would contribute O(cap²) pairs); the drop is observable
+    via blocking metrics, never silent.
+
+    Delegates to ``operators.dedup.grouped_bucket_pairs`` (the one
+    definition of the grouped cap-and-expand shape): its two-Generate
+    expansion streams pairs row-by-row instead of materializing the
+    O(cap²) pair array per group that the previous nested-transform
+    flatten built, and self-pairs from duplicate variants of one key
+    are filtered the same way."""
+    from .dedup import grouped_bucket_pairs
+
+    return grouped_bucket_pairs(
+        variants.select(F.col("key").alias("id"), F.col("sig").alias("bucket")),
+        sig_cap,
+    ).select(F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b"))
 
 
 def fuzzy_self_pairs(

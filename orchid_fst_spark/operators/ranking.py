@@ -109,6 +109,9 @@ def bm25_scores(
     is whole-stage-codegen arithmetic over the tf rows."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # document tokens are lowercased below, so match the query side —
+    # otherwise a capitalized query term silently matches nothing
+    query_terms = [t.lower() for t in query_terms]
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("toks"),

@@ -62,9 +62,15 @@ def test_tf_idf_min_df_filters_terms_not_weights(spark, rdocs):
     for k, v in filt.items():
         assert base[k] == v  # weights unchanged by the filter
     assert all(k in base for k in filt)
-    dropped = set(base) - set(filt)
-    assert dropped and all(t in {"spark", "window", "hash", "dog", "cat"}
-                           or True for _, t in dropped)
+    # exactly the terms with document frequency < 3 are dropped
+    df = {}
+    for i, t in DOCS:
+        for w in set(_toks(t)):
+            df[w] = df.get(w, 0) + 1
+    dropped_terms = {t for _, t in set(base) - set(filt)}
+    kept_terms = {t for _, t in filt}
+    assert dropped_terms == {t for t, n in df.items() if n < 3}
+    assert kept_terms == {t for t, n in df.items() if n >= 3}
 
 
 def _bm25_oracle(query, k1=1.2, b=0.75):
