@@ -28,8 +28,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from orchid_fst_spark.er import resolve
 from orchid_fst_spark.functions.text import (
     BPE_RE,
+    EMAIL_RE,
+    IPV4_RE,
     PUNCT_CLASS,
     STOPWORDS,
+    URL_RE,
+    pattern_count,
+    scrub_pii,
     token_count,
 )
 from orchid_fst_spark.functions.normalize import tokens
@@ -45,6 +50,7 @@ from orchid_fst_spark.operators import (
 )
 from orchid_fst_spark.operators.dedup import (
     exact_dedup,
+    keep_latest,
     minhash_lsh_pairs,
     near_dedup,
     ngram_jaccard_pairs,
@@ -52,7 +58,7 @@ from orchid_fst_spark.operators.dedup import (
     simhash_pairs,
     span_dedup,
 )
-from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms
+from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms, vocab_topk
 
 # the fixed keyword query for the bm25_search oracle entry (terms from
 # the synthetic documents' vocabulary, so every sf has hits)
@@ -688,6 +694,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = lambda spark, sf: span_dedup(
         _docs(spark, sf), "doc_id", "text", span_tokens=10, df_cap=1
     )
+    # --- vocabulary / n-gram LM statistics (operators/ranking.py):
+    # integer counts ranked by an explicit total order, so the global
+    # top-N set is engine-independent ---
+    q["vocab_topk"] = lambda spark, sf: vocab_topk(
+        _docs(spark, sf), "doc_id", "text", n=100
+    )
+    q["bigram_topk"] = lambda spark, sf: vocab_topk(
+        _docs(spark, sf), "doc_id", "text", n=100, ngram=2
+    )
+
+    # --- PII pattern scrubbing (functions/text.py): emails / URLs /
+    # IPv4 literals are injected deterministically from doc_id
+    # arithmetic (the same trick the multimodal entries use), so both
+    # engines regex-scan the identical augmented text and the counts
+    # are non-trivial at every sf ---
+    def _pii_stats(spark, sf):
+        docs = _docs(spark, sf)
+        did = F.col("doc_id").cast("string")
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" mail user"), did, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" see https://example.org/p/"), did),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return docs.select(
+            "doc_id",
+            pattern_count(aug, EMAIL_RE).cast("long").alias("n_email"),
+            pattern_count(aug, URL_RE).cast("long").alias("n_url"),
+            pattern_count(aug, IPV4_RE).cast("long").alias("n_ipv4"),
+            F.length(scrub_pii(aug)).cast("long").alias("clean_len"),
+        )
+
+    q["pii_stats"] = _pii_stats
 
     # --- event-time windowed ops over the events table ---
     def _events(spark, sf):
@@ -710,6 +762,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_event_id",
     )
     q["events_props"] = lambda spark, sf: extract_event_props(_events(spark, sf), "k")
+    # crawl-snapshot compaction: one latest row per key (latest page per
+    # URL on a Common-Crawl changelog; here latest event per user).
+    # ONE hash aggregate via max(struct(order.., payload..)) — map-side
+    # partial combine, no per-key window sort
+    q["latest_events"] = lambda spark, sf: keep_latest(
+        _events(spark, sf),
+        ["user_id"],
+        ["ts", "event_id"],
+        ["event_type", "value"],
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+    )
 
     # --- multimodal: REAL stdlib codecs (BMP/PPM/WAV/PVID).  Payloads
     # are deterministic media generated from doc_id; Spark recovers
@@ -889,6 +957,21 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2"""
+    # keep_latest = max(struct(ts, event_id, event_type, value)) per
+    # user: the struct comparison is lexicographic over ALL emitted
+    # fields, so the ORDER BY mirrors every column (payload included)
+    # to match the tie semantics exactly
+    o["latest_events"] = """
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1"""
     o["events_sessions"] = """
 WITH g AS (
   SELECT user_id, event_id, ts,
@@ -1386,6 +1469,63 @@ SELECT d.doc_id,
        coalesce(a.n_removed, 0)::BIGINT AS n_removed,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    # vocabulary / n-gram statistics: integer counts, explicit
+    # (tf DESC, term ASC) total order -> the top-100 SET is unambiguous
+    _vocab_tail = """
+pd AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+ag AS (SELECT term, sum(tf)::BIGINT AS tf, count(*)::BIGINT AS df
+       FROM pd GROUP BY term)
+SELECT term, tf, df FROM ag ORDER BY tf DESC, term LIMIT 100"""
+    o["vocab_topk"] = (
+        r"""WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),"""
+        + _vocab_tail
+    )
+    o["bigram_topk"] = (
+        r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+t AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS term
+  FROM toks, unnest(generate_series(1, len(l) - 1)) AS g(i)
+),"""
+        + _vocab_tail
+    )
+
+    # PII scrub: the same doc_id-arithmetic augmented text in both
+    # engines; patterns live in functions/text.py (Java∩RE2 dialect).
+    # DuckDB regexp_replace needs the 'g' flag (Spark's is global).
+    _pii_aug = """
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' mail user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://example.org/p/' || doc_id::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                 ELSE '' END AS t
+  FROM documents
+)"""
+    o["pii_stats"] = f"""WITH {_pii_aug}
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{URL_RE}'))::BIGINT AS n_url,
+       len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+       length(regexp_replace(regexp_replace(regexp_replace(t,
+           '{EMAIL_RE}', '<redacted>', 'g'),
+           '{URL_RE}', '<redacted>', 'g'),
+           '{IPV4_RE}', '<redacted>', 'g'))::BIGINT AS clean_len
+FROM aug"""
 
     _stop_lists = {
         lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in STOPWORDS.items()

@@ -215,6 +215,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "span_dedup",
         "tf_idf_terms",
         "bm25_search",
+        "vocab_topk",
+        "bigram_topk",
+        "pii_stats",
+        "latest_events",
     ]
     out = {}
     for name in headline:

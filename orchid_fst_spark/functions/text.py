@@ -81,6 +81,39 @@ def quality_score(col) -> Column:
     return (len_ok + punct_ok + tok_ok) / F.lit(3.0)
 
 
+# PII-ish patterns shared with the DuckDB oracle SQL (kept inside the
+# Java∩RE2 common dialect: no backreferences, no lookaround — change
+# both engines or neither)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^\\s]+"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def pattern_count(col, regex: str) -> Column:
+    """Occurrences of ``regex`` in the column (0 for empty/NULL-free
+    rows) — JVM ``regexp_count``, codegen'd, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(regex))
+
+
+def redact(col, regex: str, token: str = "<redacted>") -> Column:
+    """Replace every match of ``regex`` with ``token`` (global, same as
+    DuckDB ``regexp_replace(..., 'g')``).  ``token`` must not contain
+    ``$`` (Java replacement backreference syntax)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, regex, token)
+
+
+def scrub_pii(col, token: str = "<redacted>") -> Column:
+    """Chain-redact emails, then URLs, then IPv4 literals.  Order
+    matters and is part of the contract (an email inside a URL is
+    redacted by the URL pass only if the email pass left it intact);
+    the DuckDB oracle applies the same three passes in the same
+    order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return redact(redact(redact(c, EMAIL_RE, token), URL_RE, token), IPV4_RE, token)
+
+
 def fingerprint(col) -> Column:
     """Order/duplication-insensitive document fingerprint: md5 of the
     sorted distinct lowercase tokens (OpenRefine-style key collision

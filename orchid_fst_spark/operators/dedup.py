@@ -787,3 +787,36 @@ def span_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def keep_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Crawl-snapshot compaction: one row per key — the row with the
+    lexicographically greatest ``order_cols`` tuple (e.g. latest
+    ``warc_ts`` per ``url``, the classic latest-page-per-URL cut over a
+    Common-Crawl-style changelog).
+
+    Returns ``key_cols + order_cols + payload_cols``.  Deterministic
+    always: if ``order_cols`` is not unique within a key group the
+    payload columns extend the comparison, so ties break on payload
+    bytes rather than partition order.
+
+    Scale notes (100 TB): implemented as ``max(struct(order..,
+    payload..))`` in ONE aggregate (Spark plans SortAggregate — struct
+    max has no mutable hash buffer — but keeps the map-side
+    ``partial_max``), so each map partition ships ONE candidate row per
+    local key, unlike the window formulation (``row_number() OVER
+    (PARTITION BY key ORDER BY ts DESC)``), which shuffles EVERY
+    version of every page and sorts per key.  No skew cliff: a hot key
+    (a URL recrawled millions of times) reduces map-side first, so the
+    reduce side sees at most one row per key per map partition."""
+    s = F.struct(*[F.col(c) for c in order_cols + payload_cols])
+    out = df.groupBy(*[F.col(c) for c in key_cols]).agg(F.max(s).alias("_latest"))
+    return out.select(
+        *key_cols,
+        *[F.col(f"_latest.{c}").alias(c) for c in order_cols + payload_cols],
+    )

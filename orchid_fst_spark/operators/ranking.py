@@ -80,6 +80,55 @@ def tf_idf_terms(
     )
 
 
+def vocab_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 100,
+    ngram: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary builder: the global top-``n`` terms by total
+    occurrence count, as ``(term, tf, df)`` — ``tf`` the corpus-wide
+    occurrence count and ``df`` the number of documents containing the
+    term.  ``ngram=2`` counts space-joined token bigrams instead (the
+    n-gram LM / tokenizer-training statistic).
+
+    Determinism: ranked by ``(tf DESC, term ASC)`` — a total order, so
+    the emitted top-``n`` set is engine-independent.
+
+    Scale notes: explode -> (doc, term) hash aggregate -> term aggregate
+    (both with map-side partial combine), then the global cut executes
+    as TakeOrderedAndProject (per-partition top-``n`` + single merge on
+    the driver of ``partitions * n`` rows) — no full sort, no global
+    window, linear in total token count.  Bigrams come from
+    ``zip_with(slice(toks, 1, len-1), slice(toks, 2, len-1), concat)``:
+    the token array appears only as a plain argument of slice/zip_with,
+    never INSIDE a lambda body, so Catalyst's CollapseProject re-inline
+    (the recorded O(n²)-per-doc HOF trap) cannot multiply the split."""
+    if ngram not in (1, 2):
+        raise ValueError("vocab_topk supports ngram in (1, 2)")
+    toks = tokens(F.lower(F.col(text_col)))
+    if ngram == 1:
+        terms = toks
+    else:
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        terms = F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    t = docs.select(F.col(id_col).alias("doc_id"), F.explode(terms).alias("term"))
+    per_doc = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    agg = per_doc.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("tf"), F.count("*").cast("long").alias("df")
+    )
+    return (
+        agg.orderBy(F.desc("tf"), F.asc("term"))
+        .limit(int(n))
+        .select("term", "tf", "df")
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     id_col: str,

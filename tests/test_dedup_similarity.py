@@ -760,3 +760,92 @@ def test_release_persisted_frees_default_storage(spark):
     assert not cm.isEmpty()
     user_cached.unpersist()
     assert cm.isEmpty()
+
+
+# --- keep_latest (crawl-snapshot compaction) ---
+
+
+def test_keep_latest_picks_max_order_tuple(spark):
+    from orchid_fst_spark.operators.dedup import keep_latest
+
+    rows = [
+        ("u/a", 10, 1, "v1"),
+        ("u/a", 20, 2, "v2"),   # latest ts wins
+        ("u/b", 30, 3, "v3"),
+        ("u/b", 30, 4, "v4"),   # ts tie -> larger version id wins
+        ("u/c", 5, 5, "v5"),    # singleton passes through
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, ver long, body string")
+    got = {
+        r.url: (r.ts, r.ver, r.body)
+        for r in keep_latest(df, ["url"], ["ts", "ver"], ["body"]).collect()
+    }
+    assert got == {"u/a": (20, 2, "v2"), "u/b": (30, 4, "v4"), "u/c": (5, 5, "v5")}
+
+
+def test_keep_latest_payload_breaks_residual_ties(spark):
+    from orchid_fst_spark.operators.dedup import keep_latest
+
+    # order_cols identical -> the payload column itself decides,
+    # deterministically (never partition order)
+    rows = [("k", 1, "a"), ("k", 1, "b")]
+    df = spark.createDataFrame(rows, "url string, ts long, body string")
+    out = keep_latest(df, ["url"], ["ts"], ["body"]).collect()
+    assert [(r.url, r.ts, r.body) for r in out] == [("k", 1, "b")]
+
+
+def test_keep_latest_is_single_hash_aggregate(spark):
+    from orchid_fst_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame(
+        [("k", 1, "a")], "url string, ts long, body string"
+    )
+    plan = (
+        keep_latest(df, ["url"], ["ts"], ["body"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial (map-side) + final aggregate around ONE exchange, and no
+    # Window operator (struct-max has no mutable hash buffer, so Spark
+    # picks SortAggregate — the partial combine is what matters: the
+    # shuffle carries one row per key per map partition, not every
+    # version of every key like the window formulation would)
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+
+
+# --- PII pattern functions ---
+
+
+def test_pii_pattern_counts_and_scrub(spark):
+    from orchid_fst_spark.functions.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        URL_RE,
+        pattern_count,
+        scrub_pii,
+    )
+
+    rows = [
+        (0, "write a@b.com or c.d-e@f.org, see https://x.io/p?q=1 from 10.0.0.1"),
+        (1, "no pii here"),
+        (2, "http://plain.example and 255.255.255.255 and user@host.co"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: (r.ne, r.nu, r.ni, r.clean)
+        for r in df.select(
+            "id",
+            pattern_count(F.col("t"), EMAIL_RE).alias("ne"),
+            pattern_count(F.col("t"), URL_RE).alias("nu"),
+            pattern_count(F.col("t"), IPV4_RE).alias("ni"),
+            scrub_pii(F.col("t")).alias("clean"),
+        ).collect()
+    }
+    assert got[0][:3] == (2, 1, 1)
+    assert got[1] == (0, 0, 0, "no pii here")
+    assert got[2][:3] == (1, 1, 1)
+    assert "<redacted>" in got[0][3]
+    assert "@" not in got[0][3] and "https://" not in got[0][3]

@@ -152,3 +152,43 @@ def test_span_dedup_df_cap_and_empty_docs(spark, rdocs):
                             span_tokens=4, df_cap=2).collect()
     }
     assert out2 == {0: 1, 1: 1, 2: 0, 3: 0, 4: 1}
+
+
+def test_vocab_topk_unigram(spark, rdocs):
+    from orchid_fst_spark.operators.ranking import vocab_topk
+
+    rows = vocab_topk(rdocs, "doc_id", "text", n=3).collect()
+    # corpus tf: the=6 (2 each in docs 0/1/4), mat=3, on=3, sat=3,
+    # cat=2 ... top-3 by (tf DESC, term ASC) = the(6), mat(3), on(3)
+    assert [(r.term, r.tf, r.df) for r in rows] == [
+        ("the", 6, 3),
+        ("mat", 3, 3),
+        ("on", 3, 3),
+    ]
+
+
+def test_vocab_topk_bigrams(spark, rdocs):
+    from orchid_fst_spark.operators.ranking import vocab_topk
+
+    rows = vocab_topk(rdocs, "doc_id", "text", n=100, ngram=2).collect()
+    got = {r.term: (r.tf, r.df) for r in rows}
+    # python oracle over the same docs
+    tf, df = {}, {}
+    for i, t in DOCS:
+        ws = _toks(t)
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        for g in grams:
+            tf[g] = tf.get(g, 0) + 1
+        for g in set(grams):
+            df[g] = df.get(g, 0) + 1
+    assert got == {g: (tf[g], df[g]) for g in tf}
+    # empty + single-token docs emit no bigrams and must not error
+    one = spark.createDataFrame([(0, "solo"), (1, "")], "doc_id long, text string")
+    assert vocab_topk(one, "doc_id", "text", ngram=2).count() == 0
+
+
+def test_vocab_topk_rejects_bad_ngram(spark, rdocs):
+    from orchid_fst_spark.operators.ranking import vocab_topk
+
+    with pytest.raises(ValueError):
+        vocab_topk(rdocs, "doc_id", "text", ngram=3)
