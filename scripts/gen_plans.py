@@ -212,6 +212,33 @@ def main() -> None:
         bm25_scores(docs, "doc_id", "text", ["spark", "window", "hash"]),
         must_contain=("BroadcastExchange", "HashAggregate"),
     )
+    from orchid_fst_spark.operators.dedup import keep_latest
+    from orchid_fst_spark.operators.ranking import vocab_topk
+
+    add(
+        "Vocabulary top-N (`operators.ranking.vocab_topk`, ngram=2)",
+        "Bigrams via zip_with over two slices of the token array (the "
+        "array is only ever a plain slice argument, never referenced "
+        "inside a lambda body — the CollapseProject re-inline cannot "
+        "multiply the split); two hash aggregates with map-side partial "
+        "combine; the global cut is TakeOrderedAndProject (per-partition "
+        "top-N + one merge), NOT a full sort or a global window.",
+        vocab_topk(docs, "doc_id", "text", n=100, ngram=2),
+        must_contain=("TakeOrderedAndProject", "partial_"),
+        must_not=("CartesianProduct", "Window"),
+    )
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    add(
+        "Crawl-snapshot compaction (`operators.dedup.keep_latest`)",
+        "Latest row per key as max(struct(order.., payload..)): ONE "
+        "exchange, with a map-side partial_max so each map partition "
+        "ships at most one candidate row per key — the window "
+        "formulation (row_number over key) would shuffle every version "
+        "of every page.  No Window operator in the plan.",
+        keep_latest(events, ["user_id"], ["ts", "event_id"], ["event_type", "value"]),
+        must_contain=("partial_max",),
+        must_not=("CartesianProduct", "Window"),
+    )
     idx_path = "/tmp/plans_idx"
     build_index(entry._dict(spark, SF), idx_path, n_shards=8)
     add(
