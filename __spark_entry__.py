@@ -59,10 +59,18 @@ from orchid_fst_spark.operators.dedup import (
     span_dedup,
 )
 from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms, vocab_topk
+from orchid_fst_spark.operators.decontam import contamination_stats
+from orchid_fst_spark.operators.sampling import stratified_sample, train_eval_split
+from orchid_fst_spark.operators.stats import repetition_stats, rollup_stats
 
 # the fixed keyword query for the bm25_search oracle entry (terms from
 # the synthetic documents' vocabulary, so every sf has hits)
 BM25_QUERY_TERMS = ("spark", "window", "hash")
+
+# per-language sampling rates for the sample_stratified oracle entry —
+# a single dict drives BOTH engines (Spark broadcast join / SQL VALUES)
+SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 1.0}
+SAMPLE_DEFAULT_RATE = 0.1
 from orchid_fst_spark.operators.multimodal import (
     decode_images,
     extract_audio_features,
@@ -740,6 +748,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_stats"] = _pii_stats
+
+    # --- benchmark decontamination (operators/decontam.py): the
+    # "benchmark" is the doc_id % 17 slice of the corpus itself, so
+    # near-duplicate training docs of a benchmark doc light up with
+    # partial overlap at every sf; n=5 token grams (docs are 25-100
+    # tokens), benchmark gram set broadcast ---
+    q["decontam_overlap"] = lambda spark, sf: contamination_stats(
+        _docs(spark, sf),
+        _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("text"),
+        n=5,
+    )
+
+    # --- Gopher-style repetition signals (operators/stats.py):
+    # integer token/bigram counting, one rounded division at the end ---
+    q["repetition_stats"] = lambda spark, sf: repetition_stats(
+        _docs(spark, sf), "doc_id", "text"
+    )
+
+    # --- multi-level ROLLUP corpus stats: one Expand + hash aggregate
+    # (not len(dims)+1 scans); subtotals labelled via grouping() ---
+    q["docs_rollup"] = lambda spark, sf: rollup_stats(
+        _docs(spark, sf),
+        ["lang", "source"],
+        {
+            "n_docs": F.count("*").cast("long"),
+            "total_chars": F.sum("n_chars").cast("long"),
+        },
+    )
+
+    # --- deterministic hash sampling (operators/sampling.py): md5-unit
+    # draws, per-language rates broadcast — selection is partitioning-
+    # independent and reproduced bit-for-bit by the DuckDB oracle ---
+    q["sample_stratified"] = lambda spark, sf: stratified_sample(
+        _docs(spark, sf),
+        "lang",
+        SAMPLE_RATES,
+        "doc_id",
+        default_rate=SAMPLE_DEFAULT_RATE,
+    ).select("doc_id", "lang", "source")
+    q["train_eval_counts"] = lambda spark, sf: (
+        train_eval_split(_docs(spark, sf), "doc_id", 0.2)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
 
     # --- event-time windowed ops over the events table ---
     def _events(spark, sf):
@@ -1526,6 +1578,82 @@ SELECT doc_id,
            '{URL_RE}', '<redacted>', 'g'),
            '{IPV4_RE}', '<redacted>', 'g'))::BIGINT AS clean_len
 FROM aug"""
+
+    # decontamination: 5-token grams, benchmark = the doc_id % 17 slice
+    o["decontam_overlap"] = f"""WITH {_SQL_TOKS},
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+4], ' ') AS sh
+  FROM toks, unnest(generate_series(1, len(l)-4)) AS t(i)
+),
+bg AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 17 = 0),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM grams g LEFT JOIN bg b ON g.sh = b.sh GROUP BY g.doc_id
+)
+SELECT d.doc_id AS id,
+       coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(per.n_hits, 0)::BIGINT AS n_hits,
+       round(CASE WHEN coalesce(per.n_grams, 0) > 0
+                  THEN per.n_hits / per.n_grams ELSE 0.0 END, 6)
+         AS overlap_frac,
+       coalesce(per.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""
+
+    # Gopher-style repetition signals: integer counts, rounded division
+    o["repetition_stats"] = f"""WITH {_SQL_TOKS},
+tk AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+ta AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+              max(c) AS top_tok FROM tc GROUP BY doc_id),
+bg0 AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+  FROM toks, unnest(generate_series(1, len(l)-1)) AS t(i)
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY doc_id, bg),
+ba AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM bc GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       coalesce(ta.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(ta.n_distinct, 0)::BIGINT AS n_distinct,
+       round(CASE WHEN coalesce(ta.n_tokens, 0) > 0
+                  THEN (ta.n_tokens - ta.n_distinct) / ta.n_tokens
+                  ELSE 0.0 END, 6) AS dup_token_frac,
+       round(CASE WHEN coalesce(ta.n_tokens, 0) > 0
+                  THEN ta.top_tok / ta.n_tokens ELSE 0.0 END, 6)
+         AS top_token_frac,
+       round(CASE WHEN coalesce(ba.n_bg, 0) > 0
+                  THEN ba.top_bg / ba.n_bg ELSE 0.0 END, 6)
+         AS top_bigram_frac
+FROM documents d
+LEFT JOIN ta ON ta.doc_id = d.doc_id
+LEFT JOIN ba ON ba.doc_id = d.doc_id"""
+
+    # ROLLUP corpus stats: subtotals labelled via GROUPING()
+    o["docs_rollup"] = """
+SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)"""
+
+    # deterministic md5-unit stratified sample: the same SAMPLE_RATES
+    # dict drives the VALUES rate table
+    _rate_rows = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    o["sample_stratified"] = f"""
+WITH r(lang, rate) AS (VALUES {_rate_rows})
+SELECT doc_id, d.lang, d.source
+FROM documents d LEFT JOIN r ON r.lang = d.lang
+WHERE ('0x' || substr(md5('s1|' || doc_id::VARCHAR), 1, 8))::BIGINT
+        / 4294967296.0
+      < coalesce(r.rate, {SAMPLE_DEFAULT_RATE})"""
+
+    o["train_eval_counts"] = """
+SELECT CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.2
+            THEN 'eval' ELSE 'train' END AS split,
+       lang, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2"""
 
     _stop_lists = {
         lg: ", ".join(f"'{w}'" for w in ws) for lg, ws in STOPWORDS.items()

@@ -1,0 +1,77 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+Hash-based Bernoulli sampling keyed on a stable id — the reproducible
+alternative to ``df.sample()`` (whose RNG draw depends on partitioning
+and Spark version).  The unit hash is md5-derived exactly like the
+engine's LSH hyperplanes, so DuckDB oracles reproduce the selection
+bit-for-bit: ``unit = int(md5(seed|key)[:8], 16) / 2^32``.
+
+Scale design: the per-stratum rate table is a tiny broadcast join (a
+rates map over languages/domains is ≤1e6 rows), the filter itself is a
+pure Catalyst predicate evaluated map-side — no shuffle of the corpus
+at all, and the selection is stable under repartitioning, insertion
+order, and cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_UNIT_DEN = float(2**32)
+
+
+def hash_unit(key: Column, seed: str = "s1") -> Column:
+    """Deterministic uniform [0, 1) draw from ``md5(seed|key)`` (first
+    8 hex chars as a 32-bit integer)."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_UNIT_DEN)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, seed: str = "s1"
+) -> DataFrame:
+    """Keep each row iff its key's unit hash < ``rate`` — deterministic,
+    partitioning-independent Bernoulli sampling."""
+    return df.filter(hash_unit(F.col(key_col), seed) < float(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: str = "s1",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: row kept iff
+    ``hash_unit(key) < rates.get(stratum, default_rate)``.  The rates
+    map joins in as a broadcast table (scales to ~1e6 strata — per-
+    domain rates — without a driver-side literal CASE of that size).
+    Strata absent from ``rates`` fall back to ``default_rate``.
+    """
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{stratum_col} string, _rate double",
+    )
+    return (
+        df.join(F.broadcast(rate_df), stratum_col, "left")
+        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
+        .filter(hash_unit(F.col(key_col), seed) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def train_eval_split(
+    df: DataFrame, key_col: str, eval_frac: float, seed: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column ('eval' iff the key's unit hash <
+    ``eval_frac``, else 'train') — the standard leakage-safe holdout
+    assignment: a key always lands in the same split regardless of
+    partitioning, re-runs, or corpus growth."""
+    return df.withColumn(
+        "split",
+        F.when(hash_unit(F.col(key_col), seed) < float(eval_frac), "eval")
+        .otherwise("train"),
+    )

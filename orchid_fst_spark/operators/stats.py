@@ -1,0 +1,135 @@
+"""Corpus-statistics operators for training-data pipelines.
+
+Repetition signals (the Gopher-rules family of quality heuristics:
+duplicate-token fraction, most-frequent-token fraction, most-frequent-
+bigram fraction — published data-quality practice, no reference-file
+grounding) and multi-level rollup aggregation over corpus dimensions.
+
+All pure Catalyst: integer counting until one final rounded division,
+so the DuckDB oracle twins are bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.normalize import tokens
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals:
+
+    ``(id, n_tokens, n_distinct, dup_token_frac, top_token_frac,
+    top_bigram_frac)`` where ``dup_token_frac = 1 - distinct/total``
+    (mass sitting in repeats), ``top_token_frac`` = occurrence share of
+    the single most frequent token, and ``top_bigram_frac`` = share of
+    the most frequent space-joined token bigram among all bigrams.
+    Fractions are rounded to 6 dp; docs with no tokens (or no bigrams)
+    report 0.0 for the corresponding fractions.  Every input doc
+    appears exactly once.
+
+    Scale notes: explode → (doc, term) hash aggregate → (doc) hash
+    aggregate, both with map-side partial combine — linear in token
+    count, no window, no sort.  Bigrams come from
+    ``zip_with(slice(toks,1,m), slice(toks,2,m), concat)``: the token
+    array appears only as a plain argument of slice/zip_with, never
+    inside a lambda body, so Catalyst's CollapseProject re-inline (the
+    recorded O(n²)-per-doc HOF trap) cannot multiply the split.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_t"),
+                       bigrams.alias("_b"))
+
+    tok_counts = (
+        base.select("id", F.explode("_t").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("_top_tok"),
+        )
+    )
+    bg_counts = (
+        base.select("id", F.explode("_b").alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("_n_bg"),
+            F.max("c").cast("long").alias("_top_bg"),
+        )
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        )
+
+    return (
+        base.select("id")
+        .join(tok_counts, "id", "left")
+        .join(bg_counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+            F.coalesce("_top_tok", F.lit(0).cast("long")).alias("_top_tok"),
+            F.coalesce("_n_bg", F.lit(0).cast("long")).alias("_n_bg"),
+            F.coalesce("_top_bg", F.lit(0).cast("long")).alias("_top_bg"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_distinct",
+            _frac(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens"))
+            .alias("dup_token_frac"),
+            _frac(F.col("_top_tok"), F.col("n_tokens")).alias("top_token_frac"),
+            _frac(F.col("_top_bg"), F.col("_n_bg")).alias("top_bigram_frac"),
+        )
+    )
+
+
+def rollup_stats(
+    df: DataFrame,
+    dims: list[str],
+    measures: dict[str, Column] | None = None,
+    total_label: str = "<all>",
+) -> DataFrame:
+    """Multi-level ROLLUP aggregate over ``dims`` (finest → grand
+    total) with subtotal rows labelled ``total_label`` via
+    ``grouping()`` — so a genuine NULL dim value stays distinguishable
+    from a subtotal.  ``measures`` maps output name → aggregate Column
+    (default: ``n_rows`` count).
+
+    Scale notes: Spark plans ROLLUP as a single Expand + hash aggregate
+    with map-side partial combine — one shuffle for every subtotal
+    level, instead of len(dims)+1 separate groupBy jobs over the 100 TB
+    input.
+    """
+    if measures is None:
+        measures = {"n_rows": F.count("*")}
+    # grouping() is only legal inside the rollup aggregate itself, so
+    # the subtotal flags come out as aggregate columns and the labels
+    # are applied in a follow-up projection
+    aggs = [F.grouping(d).alias(f"_g_{d}") for d in dims] + [
+        c.alias(name) for name, c in measures.items()
+    ]
+    labelled = [
+        F.when(F.col(f"_g_{d}") == 1, F.lit(total_label))
+        .otherwise(F.col(d))
+        .alias(d)
+        for d in dims
+    ]
+    return df.rollup(*dims).agg(*aggs).select(
+        *labelled, *[F.col(n) for n in measures]
+    )

@@ -1,0 +1,153 @@
+"""Operator-level tests for decontam / stats / sampling: edge cases the
+sf-data oracle parity can't reach (empty and sub-n docs, genuine NULL
+dim values vs rollup subtotals, partitioning-independence of the hash
+sample)."""
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from orchid_fst_spark.operators.decontam import (  # noqa: E402
+    contamination_stats,
+    decontaminate,
+)
+from orchid_fst_spark.operators.sampling import (  # noqa: E402
+    deterministic_sample,
+    stratified_sample,
+    train_eval_split,
+)
+from orchid_fst_spark.operators.stats import (  # noqa: E402
+    repetition_stats,
+    rollup_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "a b c d e f g"),          # clean
+        (1, "a b c d e x y"),          # shares the 5-gram "a b c d e"
+        (2, "zz zz zz zz zz zz"),      # pure repetition, no bench overlap
+        (3, "tiny"),                   # < n tokens: no gram evidence
+        (4, ""),                       # empty
+        (5, None),                     # NULL text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_stats_flags_and_short_docs(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("a b c d e q r s",)], "text string"
+    )
+    out = {
+        r["id"]: r
+        for r in contamination_stats(docs, bench, n=5).collect()
+    }
+    assert len(out) == 6  # every doc exactly once
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert out[0]["n_hits"] == 1  # only "a b c d e" collides
+    assert not out[2]["contaminated"]
+    for i in (3, 4, 5):  # no gram evidence -> clean, zeroed stats
+        assert (out[i]["n_grams"], out[i]["n_hits"]) == (0, 0)
+        assert out[i]["overlap_frac"] == 0.0
+        assert not out[i]["contaminated"]
+
+
+def test_contamination_threshold_and_filter(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame([("a b c d e q r s",)], "text string")
+    # doc 0 has 3 grams, 1 hit (1/3); doc 1 has 3 grams, 1 hit
+    strict = contamination_stats(docs, bench, n=5, threshold=0.5)
+    assert not any(r["contaminated"] for r in strict.collect())
+    kept = decontaminate(docs, bench, n=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4, 5]
+
+
+def test_repetition_stats_edges(spark):
+    out = {r["id"]: r for r in repetition_stats(_docs(spark)).collect()}
+    assert len(out) == 6
+    r2 = out[2]  # "zz" x 6
+    assert (r2["n_tokens"], r2["n_distinct"]) == (6, 1)
+    assert r2["dup_token_frac"] == round(5 / 6, 6)
+    assert r2["top_token_frac"] == 1.0
+    assert r2["top_bigram_frac"] == 1.0
+    r0 = out[0]  # all distinct
+    assert r0["dup_token_frac"] == 0.0
+    assert r0["top_token_frac"] == round(1 / 7, 6)
+    r3 = out[3]  # single token: no bigrams
+    assert (r3["n_tokens"], r3["top_bigram_frac"]) == (1, 0.0)
+    for i in (4, 5):  # empty / NULL text
+        assert (out[i]["n_tokens"], out[i]["n_distinct"]) == (0, 0)
+        assert out[i]["dup_token_frac"] == 0.0
+
+
+def test_rollup_null_dim_vs_subtotal(spark):
+    # a genuine NULL dim value must stay distinct from the <all> subtotal
+    df = spark.createDataFrame(
+        [("en", "s1"), ("en", None), (None, "s1")],
+        "lang string, source string",
+    )
+    rows = rollup_stats(df, ["lang", "source"]).collect()
+    by_key = {(r["lang"], r["source"]): r["n_rows"] for r in rows}
+    assert by_key[("<all>", "<all>")] == 3          # grand total
+    assert by_key[("en", "<all>")] == 2             # lang subtotal
+    assert by_key[("en", None)] == 1                # real NULL source
+    assert by_key[(None, "s1")] == 1                # real NULL lang
+    assert ("<all>", "s1") not in by_key            # ROLLUP, not CUBE
+
+
+def test_hash_sample_partitioning_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(
+        r["k"] for r in deterministic_sample(df, "k", 0.3).collect()
+    )
+    b = sorted(
+        r["k"]
+        for r in deterministic_sample(df.repartition(17), "k", 0.3).collect()
+    )
+    assert a == b and 0 < len(a) < 2000
+    # monotone in rate: the 0.3 sample contains the 0.1 sample
+    c = set(r["k"] for r in deterministic_sample(df, "k", 0.1).collect())
+    assert c <= set(a)
+
+
+def test_stratified_sample_rates_and_default(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(
+        df, "lang", {"en": 1.0}, "doc_id", default_rate=0.0
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(0, 2000, 2))
+    assert all(r["lang"] == "en" for r in out)
+
+
+def test_train_eval_split_stable_and_exhaustive(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s1 = {r["k"]: r["split"] for r in train_eval_split(df, "k", 0.2).collect()}
+    s2 = {
+        r["k"]: r["split"]
+        for r in train_eval_split(df.repartition(7), "k", 0.2).collect()
+    }
+    assert s1 == s2 and len(s1) == 1000
+    n_eval = sum(1 for v in s1.values() if v == "eval")
+    assert 100 < n_eval < 300  # ~20%
+    # growing the corpus never reassigns an existing key
+    s3 = {
+        r["k"]: r["split"]
+        for r in train_eval_split(
+            spark.range(0, 2000).withColumnRenamed("id", "k"), "k", 0.2
+        ).collect()
+    }
+    assert all(s3[k] == v for k, v in s1.items())
+
+
+def test_contamination_broadcast_plan(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame([("a b c d e q r s",)], "text string")
+    plan = contamination_stats(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the bench gram set is broadcast
