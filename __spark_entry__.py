@@ -59,6 +59,7 @@ from orchid_fst_spark.operators.dedup import (
     span_dedup,
 )
 from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms, vocab_topk
+from orchid_fst_spark.operators.asof import asof_join
 from orchid_fst_spark.operators.decontam import contamination_stats
 from orchid_fst_spark.operators.sampling import stratified_sample, train_eval_split
 from orchid_fst_spark.operators.stats import repetition_stats, rollup_stats
@@ -796,6 +797,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- event-time windowed ops over the events table ---
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")
+
+    # --- as-of join (operators/asof.py): every click gets the latest
+    # prior error of the same user — union-tag-window formulation (one
+    # key shuffle, streaming carry-forward), oracled against DuckDB's
+    # NATIVE ASOF LEFT JOIN.  The right side is pre-aggregated unique
+    # per (user, ts) as the operator contract requires ---
+    def _events_asof(spark, sf):
+        ev = _events(spark, sf)
+        left = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(
+                F.max("event_id").alias("err_id"),
+                F.max("value").alias("err_value"),
+            )
+        )
+        return asof_join(
+            left, right, ["user_id"], "ts", "ts", ["err_id", "err_value"]
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("ts_r").cast("timestamp_ntz").alias("err_ts"),
+            F.col("err_id_r").alias("err_id"),
+            F.round(F.col("err_value_r"), 6).alias("err_value"),
+        )
+
+    q["events_asof"] = _events_asof
 
     q["events_hourly_counts"] = lambda spark, sf: windowed_event_counts(
         _events(spark, sf), window="1 hour"
@@ -1647,6 +1679,20 @@ FROM documents d LEFT JOIN r ON r.lang = d.lang
 WHERE ('0x' || substr(md5('s1|' || doc_id::VARCHAR), 1, 8))::BIGINT
         / 4294967296.0
       < coalesce(r.rate, {SAMPLE_DEFAULT_RATE})"""
+
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle (ts >=
+    # matches the operator's inclusive backward bound)
+    o["events_asof"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(event_id) AS err_id, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS err_ts, r.err_id, round(r.err_value, 6) AS err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
     o["train_eval_counts"] = """
 SELECT CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -16,17 +16,36 @@ Scale design (100 TB training corpus, ~MB-scale benchmark):
   shuffled on the gram key.
 * Per-doc totals and hit counts are hash aggregates with map-side
   partial combine keyed by the 8-byte doc id.
-* Gram explosion reuses :func:`dedup.shingle_df` (split → sequence →
-  transform → explode, the repo's CollapseProject-safe shingler) —
-  linear in token count, distinct-per-doc so boilerplate repetition
-  inside one doc doesn't multiply join rows.
+* Per-doc gram dedup happens ROW-LOCALLY via ``array_distinct`` before
+  the explode (unlike ``dedup.shingle_df``'s cross-row ``distinct()``),
+  so the training corpus is never hash-partitioned on the gram key —
+  its only exchange is the final id-keyed aggregate.  The one gram-
+  keyed exchange in the whole plan is the benchmark side's distinct,
+  which is small by construction and feeds the BroadcastExchange.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import shingle_df
+from ..functions.normalize import tokens
+
+
+def _gram_array(text_col: str, n: int) -> Column:
+    """Per-row DISTINCT token n-grams as an array — split → sequence →
+    transform → array_distinct, all row-local (no shuffle).  Docs with
+    fewer than ``n`` tokens carry no gram evidence (empty array), the
+    same semantics as the shared shingler and its DuckDB twin."""
+    toks = tokens(F.col(text_col))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
 
 
 def benchmark_grams(
@@ -35,8 +54,10 @@ def benchmark_grams(
     """The DISTINCT token ``n``-gram set of a benchmark corpus, as a
     single-column frame ``(sh)`` ready to broadcast into
     :func:`contamination_stats`."""
-    b = bench.select(F.monotonically_increasing_id().alias("_bid"), text_col)
-    return shingle_df(b, "_bid", text_col, n).select("sh").distinct()
+    return (
+        bench.select(F.explode(_gram_array(text_col, n)).alias("sh"))
+        .distinct()
+    )
 
 
 def contamination_stats(
@@ -65,7 +86,10 @@ def contamination_stats(
     ``broadcast_bench=False`` falls back to a shuffled semi join for
     the rare huge-benchmark case.
     """
-    grams = shingle_df(docs, id_col, text_col, n)  # (id, sh) distinct
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_array(text_col, n)).alias("sh"),
+    )  # (id, sh), distinct per doc by row-local array_distinct
     bg = benchmark_grams(bench, bench_text_col, n).withColumn(
         "_hit", F.lit(1).cast("long")
     )

@@ -41,12 +41,15 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     sections = []
 
-    def add(title, notes, df, must_contain=(), must_not=("CartesianProduct",)):
+    def add(title, notes, df, must_contain=(), must_not=("CartesianProduct",),
+            at_most=None):
         plan = formatted(df)
         for frag in must_contain:
             assert frag in plan, (title, frag)
         for frag in must_not:
             assert frag not in plan, (title, frag)
+        for frag, cap in (at_most or {}).items():
+            assert plan.count(frag) <= cap, (title, frag, plan.count(frag))
         sections.append((title, notes, plan))
 
     pages = entry._pages_from_docs(spark, SF)
@@ -249,6 +252,79 @@ def main() -> None:
         "decoded worker-side through the LRU.",
         index_match_lookup(load_index(spark, idx_path), "scan"),
         must_contain=("lo_key", "hi_key"),
+    )
+
+    from orchid_fst_spark.operators.decontam import contamination_stats
+    from orchid_fst_spark.operators.sampling import stratified_sample
+    from orchid_fst_spark.operators.stats import rollup_stats
+
+    add(
+        "Benchmark decontamination (`operators.decontam.contamination_stats`)",
+        "The benchmark's distinct gram set builds the BROADCAST side of "
+        "a LEFT join against the exploded corpus grams; per-doc gram "
+        "dedup is row-local array_distinct, so the TRAINING side is "
+        "never hash-partitioned on the gram key — the single gram-keyed "
+        "exchange in the plan is the tiny benchmark distinct feeding "
+        "the BroadcastExchange.  Hits and totals come out of ONE hash "
+        "aggregate keyed by the 8-byte doc id, with map-side partial "
+        "combine.",
+        contamination_stats(
+            docs, docs.filter(F.col("doc_id") % 17 == 0).select("text"), n=5
+        ),
+        must_contain=("BroadcastHashJoin", "partial_count"),
+        at_most={"hashpartitioning(sh": 1},
+    )
+    add(
+        "Rollup corpus stats (`operators.stats.rollup_stats`)",
+        "Multi-level ROLLUP plans as ONE Expand + hash aggregate with "
+        "map-side partial combine — a single scan and a single shuffle "
+        "produce every subtotal level, instead of len(dims)+1 separate "
+        "groupBy jobs over the input.",
+        rollup_stats(
+            docs,
+            ["lang", "source"],
+            {"n_docs": F.count("*"), "total_chars": F.sum("n_chars")},
+        ),
+        must_contain=("Expand", "partial_count"),
+        must_not=("CartesianProduct", "Window"),
+    )
+    add(
+        "Stratified hash sample (`operators.sampling.stratified_sample`)",
+        "The per-stratum rate table is a tiny BroadcastExchange; the "
+        "md5-unit draw and the rate comparison run as a map-side Filter "
+        "— the corpus is never shuffled at all (no hash-partitioned "
+        "Exchange in the plan), so the sample is partitioning-"
+        "independent by construction.",
+        stratified_sample(
+            docs, "lang", {"en": 0.5, "es": 0.25, "zh": 1.0}, "doc_id", 0.1
+        ),
+        must_contain=("BroadcastHashJoin", "Filter"),
+        must_not=("CartesianProduct", "Exchange hashpartitioning"),
+    )
+
+    from orchid_fst_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    asof_left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    asof_right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    add(
+        "As-of join (`operators.asof.asof_join`)",
+        "Union-tag-window formulation: ONE hash shuffle of the tagged "
+        "union on the join key + a per-key sort, then a streaming "
+        "last(..., ignorenulls) carry-forward over `rows unbounded "
+        "preceding` — no range self-join (which is O(|L|·|R|) per key), "
+        "no nested-loop or cartesian operator anywhere.",
+        asof_join(
+            asof_left, asof_right, ["user_id"], "ts", "ts", ["err_id"]
+        ),
+        must_contain=("Window", "hashpartitioning(user_id"),
+        must_not=("CartesianProduct", "BroadcastNestedLoop"),
     )
 
     with open(OUT, "w") as f:
