@@ -62,7 +62,12 @@ from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms, vocab_
 from orchid_fst_spark.operators.asof import asof_join
 from orchid_fst_spark.operators.decontam import contamination_stats
 from orchid_fst_spark.operators.sampling import stratified_sample, train_eval_split
-from orchid_fst_spark.operators.stats import repetition_stats, rollup_stats
+from orchid_fst_spark.operators.stats import (
+    numeric_profile,
+    repetition_stats,
+    rollup_stats,
+    value_histogram,
+)
 
 # the fixed keyword query for the bm25_search oracle entry (terms from
 # the synthetic documents' vocabulary, so every sf has hits)
@@ -828,6 +833,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_asof"] = _events_asof
+
+    # --- numeric profiling (operators/stats.py): exact percentile
+    # (linear interpolation = DuckDB quantile_cont) in ONE aggregate;
+    # approx_percentile is the documented constant-memory scale path ---
+    q["events_value_profile"] = lambda spark, sf: numeric_profile(
+        _events(spark, sf), ["event_type"], "value"
+    )
+    # fixed-width histogram: closed-form double binning, identical
+    # expression both engines; under/overflow buckets 0 and n+1
+    q["events_value_hist"] = lambda spark, sf: value_histogram(
+        _events(spark, sf), "value", 0.0, 200.0, 20, ["event_type"]
+    )
 
     q["events_hourly_counts"] = lambda spark, sf: windowed_event_counts(
         _events(spark, sf), window="1 hour"
@@ -1693,6 +1710,31 @@ r AS (
 SELECT l.event_id, l.user_id, l.ts,
        r.ts AS err_ts, r.err_id, round(r.err_value, 6) AS err_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    # exact numeric profile: Spark percentile == DuckDB quantile_cont
+    # (both linear interpolation), doubles rounded to 6 dp
+    o["events_value_profile"] = """
+SELECT event_type, count(value)::BIGINT AS n,
+       round(avg(value), 6) AS mean, round(stddev_samp(value), 6) AS sd,
+       round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p5,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type"""
+
+    # histogram: the same closed-form double binning expression
+    o["events_value_hist"] = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 200.0 THEN 21
+              ELSE floor((value - 0.0) / 10.0)::BIGINT + 1 END AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bucket, round(0.0 + (bucket - 1) * 10.0, 6) AS bucket_lo,
+       count(*)::BIGINT AS n
+FROM b GROUP BY event_type, bucket"""
 
     o["train_eval_counts"] = """
 SELECT CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -219,6 +219,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "bigram_topk",
         "pii_stats",
         "latest_events",
+        "decontam_overlap",
+        "repetition_stats",
+        "sample_stratified",
+        "events_asof",
     ]
     out = {}
     for name in headline:

@@ -99,6 +99,88 @@ def repetition_stats(
     )
 
 
+def numeric_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group numeric profile: ``n``, ``mean``, ``sd``, ``vmin``,
+    ``vmax`` and one ``p{q}`` column per requested quantile, all
+    rounded to 6 dp.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear-
+    interpolation semantics, matching DuckDB ``quantile_cont`` — the
+    oracle twin) — it buffers each group's values, so reserve it for
+    bounded group sizes.  ``exact=False`` switches to
+    ``approx_percentile`` (GK sketch, ``accuracy`` trades memory for
+    error) — the constant-memory 100 TB path, same plan shape, no
+    cross-engine oracle.
+    """
+    pcols = []
+    for qt in quantiles:
+        name = f"p{str(qt).replace('0.', '').rstrip('0') or '0'}"
+        if exact:
+            c = F.percentile(value_col, F.lit(float(qt)))
+        else:
+            c = F.approx_percentile(
+                value_col, F.lit(float(qt)), F.lit(int(accuracy))
+            )
+        pcols.append(F.round(c, 6).alias(name))
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).cast("long").alias("n"),
+        F.round(F.avg(value_col), 6).alias("mean"),
+        F.round(F.stddev_samp(value_col), 6).alias("sd"),
+        F.round(F.min(value_col), 6).alias("vmin"),
+        F.round(F.max(value_col), 6).alias("vmax"),
+        *pcols,
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram: bucket 0 = underflow (< lo), buckets
+    1..n = [lo, hi) in equal widths, bucket n+1 = overflow (>= hi);
+    returns ``(group…, bucket, bucket_lo, n)``, empty buckets omitted.
+    One hash aggregate with map-side partial combine — the binning
+    arithmetic is a closed-form double expression (identical in the
+    DuckDB oracle), not a per-row UDF or a join against bucket bounds.
+    NULL values are dropped (no bucket).
+    """
+    if not (hi > lo and n_buckets > 0):
+        raise ValueError("need hi > lo and n_buckets > 0")
+    width = (float(hi) - float(lo)) / int(n_buckets)
+    v = F.col(value_col)
+    bucket = (
+        F.when(v < float(lo), F.lit(0))
+        .when(v >= float(hi), F.lit(n_buckets + 1))
+        .otherwise(F.floor((v - float(lo)) / F.lit(width)) + 1)
+        .cast("long")
+    )
+    gcols = list(group_cols or [])
+    return (
+        df.filter(v.isNotNull())
+        .select(*gcols, bucket.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "bucket_lo",
+            F.round(
+                F.lit(float(lo)) + (F.col("bucket") - 1) * F.lit(width), 6
+            ),
+        )
+        .select(*gcols, "bucket", "bucket_lo", "n")
+    )
+
+
 def rollup_stats(
     df: DataFrame,
     dims: list[str],

@@ -20,8 +20,10 @@ from orchid_fst_spark.operators.sampling import (  # noqa: E402
     train_eval_split,
 )
 from orchid_fst_spark.operators.stats import (  # noqa: E402
+    numeric_profile,
     repetition_stats,
     rollup_stats,
+    value_histogram,
 )
 
 
@@ -144,6 +146,42 @@ def test_train_eval_split_stable_and_exhaustive(spark):
         ).collect()
     }
     assert all(s3[k] == v for k, v in s1.items())
+
+
+def test_numeric_profile_exact_and_approx(spark):
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)] + [("a", None), ("b", 5.0)],
+        "k string, v double",
+    )
+    out = {r["k"]: r for r in numeric_profile(df, ["k"], "v").collect()}
+    a = out["a"]
+    assert a["n"] == 100 and a["mean"] == 50.5  # NULL excluded from n
+    assert a["p5"] == 50.5 and a["p95"] == round(95.05, 6)
+    b = out["b"]  # single-value group: sd is NULL, quantiles degenerate
+    assert (b["n"], b["p25"], b["p95"]) == (1, 5.0, 5.0)
+    assert b["sd"] is None
+    # approx path: same schema, sane values (no oracle claim)
+    ap = {
+        r["k"]: r
+        for r in numeric_profile(df, ["k"], "v", exact=False).collect()
+    }
+    assert ap["a"].asDict().keys() == a.asDict().keys()
+    assert abs(ap["a"]["p5"] - 50.5) <= 1.0
+
+
+def test_value_histogram_bounds_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (9.99,), (10.0,), (99.9,), (100.0,), (250.0,),
+         (None,)],
+        "v double",
+    )
+    rows = {r["bucket"]: r for r in value_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert rows[0]["n"] == 1                       # underflow (-1.0)
+    assert rows[1]["n"] == 2 and rows[1]["bucket_lo"] == 0.0   # [0,10)
+    assert rows[2]["n"] == 1                       # 10.0 lands in [10,20)
+    assert rows[10]["n"] == 1                      # 99.9 in [90,100)
+    assert rows[11]["n"] == 2                      # overflow: 100.0, 250.0
+    assert sum(r["n"] for r in rows.values()) == 7  # NULL dropped
 
 
 def test_contamination_broadcast_plan(spark):
