@@ -58,7 +58,12 @@ from orchid_fst_spark.operators.dedup import (
     simhash_pairs,
     span_dedup,
 )
-from orchid_fst_spark.operators.ranking import bm25_scores, tf_idf_terms, vocab_topk
+from orchid_fst_spark.operators.ranking import (
+    bm25_scores,
+    group_topk,
+    tf_idf_terms,
+    vocab_topk,
+)
 from orchid_fst_spark.operators.asof import asof_join
 from orchid_fst_spark.operators.decontam import contamination_stats
 from orchid_fst_spark.operators.sampling import stratified_sample, train_eval_split
@@ -717,6 +722,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_topk"] = lambda spark, sf: vocab_topk(
         _docs(spark, sf), "doc_id", "text", n=100, ngram=2
     )
+
+    # --- per-group top-k (operators/ranking.py): explicit total order
+    # (n_chars DESC, doc_id ASC), WindowGroupLimit partial pushdown
+    # bounds the shuffle at k rows per group per map partition ---
+    q["top_docs_per_lang"] = lambda spark, sf: group_topk(
+        _docs(spark, sf).select("doc_id", "lang", "n_chars"),
+        ["lang"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        3,
+    ).withColumn("rank", F.col("rank").cast("long"))
 
     # --- PII pattern scrubbing (functions/text.py): emails / URLs /
     # IPv4 literals are injected deterministically from doc_id
@@ -1710,6 +1725,14 @@ r AS (
 SELECT l.event_id, l.user_id, l.ts,
        r.ts AS err_ts, r.err_id, round(r.err_value, 6) AS err_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    # per-group top-k under a total order (QUALIFY = Spark row_number)
+    o["top_docs_per_lang"] = """
+SELECT doc_id, lang, n_chars,
+       row_number() OVER (
+         PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+       )::BIGINT AS rank
+FROM documents QUALIFY rank <= 3"""
 
     # exact numeric profile: Spark percentile == DuckDB quantile_cont
     # (both linear interpolation), doubles rounded to 6 dp

@@ -202,3 +202,34 @@ def bm25_scores(
         .limit(int(topk))
         .select("doc_id", "score")
     )
+
+
+def group_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows per group under an explicit total order — the
+    per-group twin of ``vocab_topk``'s global TakeOrderedAndProject
+    (e.g. top documents per domain by quality).
+
+    ``order_cols`` must define a TOTAL order (add a unique id as the
+    final tiebreak) or the emitted set is nondeterministic; the rank is
+    ``row_number`` (dense, no gaps), returned as ``rank_col``.
+
+    Scale notes: ONE hash shuffle on the group key.  Spark plans the
+    ``row_number <= k`` filter as WindowGroupLimit (partial mode runs
+    BEFORE the exchange), so each map partition forwards at most ``k``
+    rows per group instead of the whole group — a planted-skew group
+    costs k rows of shuffle, not its full size.  Asserted in
+    tests/test_ranking.py.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= int(k))
+    )

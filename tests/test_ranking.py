@@ -192,3 +192,26 @@ def test_vocab_topk_rejects_bad_ngram(spark, rdocs):
 
     with pytest.raises(ValueError):
         vocab_topk(rdocs, "doc_id", "text", ngram=3)
+
+
+def test_group_topk_total_order_and_partial_limit(spark):
+    import pyspark.sql.functions as F
+
+    from orchid_fst_spark.operators.ranking import group_topk
+
+    # planted skew: group "hot" has 5,000 rows, "cold" has 2
+    rows = [(i, "hot", i % 97) for i in range(5000)] + [
+        (9001, "cold", 1), (9002, "cold", 2)]
+    df = spark.createDataFrame(rows, "id long, g string, score long")
+    out = group_topk(df, ["g"], [F.desc("score"), F.asc("id")], 3)
+    got = sorted((r["g"], r["rank"], r["id"]) for r in out.collect())
+    # hot: score 96 at ids 96, 193, 290 (ascending tiebreak)
+    assert got == [
+        ("cold", 1, 9002), ("cold", 2, 9001),
+        ("hot", 1, 96), ("hot", 2, 193), ("hot", 3, 290),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the row_number<=k filter must push a PARTIAL WindowGroupLimit
+    # below the exchange: a skewed group ships k rows per map
+    # partition, never its full size
+    assert "WindowGroupLimit" in plan and "Partial" in plan
