@@ -65,14 +65,23 @@ from orchid_fst_spark.operators.ranking import (
     vocab_topk,
 )
 from orchid_fst_spark.operators.asof import asof_join
+from orchid_fst_spark.operators.chunking import chunk_documents, pack_sequences
 from orchid_fst_spark.operators.decontam import contamination_stats
-from orchid_fst_spark.operators.sampling import stratified_sample, train_eval_split
+from orchid_fst_spark.operators.interval import interval_join
+from orchid_fst_spark.operators.sampling import (
+    stratified_sample,
+    train_eval_split,
+    weighted_sample,
+)
+from orchid_fst_spark.operators.setsim import jaccard_prefix_pairs
 from orchid_fst_spark.operators.stats import (
+    cube_stats,
     numeric_profile,
     repetition_stats,
     rollup_stats,
     value_histogram,
 )
+from orchid_fst_spark.functions.normalize import url_host
 
 # the fixed keyword query for the bm25_search oracle entry (terms from
 # the synthetic documents' vocabulary, so every sf has hits)
@@ -798,6 +807,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         },
     )
 
+    # --- CUBE twin of docs_rollup: every subset of (lang, source) in
+    # one Expand + hash aggregate, subtotals labelled via grouping() ---
+    q["docs_cube"] = lambda spark, sf: cube_stats(
+        _docs(spark, sf),
+        ["lang", "source"],
+        {
+            "n_docs": F.count("*").cast("long"),
+            "total_chars": F.sum("n_chars").cast("long"),
+        },
+    )
+
+    # --- lossless prefix-filter set-similarity join (operators/
+    # setsim.py, AllPairs/PPJoin family): every 3-gram-Jaccard >= 1/2
+    # pair with NO df-cap recall trade; integer-exact threshold ---
+    q["jaccard_prefix_pairs"] = lambda spark, sf: jaccard_prefix_pairs(
+        _docs(spark, sf), "doc_id", "text", n=3,
+        threshold_num=1, threshold_den=2,
+    )
+
+    # --- context-window chunking (operators/chunking.py): 16-token
+    # windows, stride 8 (sliding overlap); row-local, shuffle-free ---
+    q["docs_chunks"] = lambda spark, sf: chunk_documents(
+        _docs(spark, sf), "doc_id", "text", chunk_tokens=16, stride=8
+    )
+
+    # --- sequence-packing manifest (operators/chunking.py): global
+    # running token total via the two-pass distributed cumsum (no
+    # single-partition window), cut into 2048-token sequences ---
+    q["packed_sequences"] = lambda spark, sf: pack_sequences(
+        _docs(spark, sf), "doc_id", "text", seq_tokens=2048
+    )
+
+    # --- weighted sampling without replacement (operators/sampling.py):
+    # Efraimidis-Spirakis priorities from md5-unit draws, global top-k
+    # as TakeOrderedAndProject (never a full sort) ---
+    q["sample_weighted"] = lambda spark, sf: weighted_sample(
+        _docs(spark, sf), "doc_id", "n_chars", 100
+    ).select("doc_id", "n_chars", "es_key")
+
+    # --- per-host corpus stats over the Common-Crawl-shaped pages
+    # table: host extracted by the shared HOST_RE regex (normalize.
+    # url_host), one hash aggregate ---
+    q["host_stats"] = lambda spark, sf: (
+        _pages_from_docs(spark, sf)
+        .groupBy(url_host(F.col("url")).alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
     # --- deterministic hash sampling (operators/sampling.py): md5-unit
     # draws, per-language rates broadcast — selection is partitioning-
     # independent and reproduced bit-for-bit by the DuckDB oracle ---
@@ -848,6 +908,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_asof"] = _events_asof
+
+    # --- bucketed interval join (operators/interval.py): every click
+    # inside a 2-hour window opened by an error of the same user.  Both
+    # sides shuffle once on (user_id, hour-bucket) — never the key-only
+    # equi-join whose hot keys go quadratic; the DuckDB oracle is the
+    # plain non-equi range join ---
+    def _events_interval(spark, sf):
+        ev = _events(spark, sf)
+        left = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", F.col("ts").alias("win_start"))
+            .agg(F.max("event_id").alias("err_id"))
+            .withColumn(
+                "win_end", F.col("win_start") + F.expr("INTERVAL 2 HOURS")
+            )
+        )
+        return interval_join(
+            left, right, ["user_id"], "ts", "win_start", "win_end",
+            bucket_seconds=3600,
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+            "err_id",
+        )
+
+    q["events_interval"] = _events_interval
 
     # --- numeric profiling (operators/stats.py): exact percentile
     # (linear interpolation = DuckDB quantile_cont) in ONE aggregate;
@@ -1164,6 +1255,22 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 50 >= 1 * (sa.n + sb.n - inter)"""
+
+    # lossless prefix-filter set-similarity join: the oracle is the
+    # uncapped brute-force shared-shingle join with the same
+    # integer-exact threshold compare (inter * den >= num * union)
+    o["jaccard_prefix_pairs"] = f"""WITH {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter::BIGINT AS inter,
+       (sa.n + sb.n - inter)::BIGINT AS "union"
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 2 >= 1 * (sa.n + sb.n - inter)"""
 
     o["ngram_shingle_metrics"] = f"""WITH {_SQL_SHINGLES},
 dfq AS (SELECT s, count(*) AS sh_df FROM sh GROUP BY s)
@@ -1699,6 +1806,20 @@ SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY ROLLUP(lang, source)"""
 
+    o["docs_cube"] = """
+SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY CUBE(lang, source)"""
+
+    # host stats over the derived pages table: the oracle rebuilds the
+    # host from the same deterministic url construction
+    o["host_stats"] = """
+SELECT source || '.example.com' AS host,
+       count(*)::BIGINT AS n_pages,
+       sum(length(text))::BIGINT AS total_chars
+FROM documents GROUP BY 1"""
+
     # deterministic md5-unit stratified sample: the same SAMPLE_RATES
     # dict drives the VALUES rate table
     _rate_rows = ", ".join(
@@ -1711,6 +1832,41 @@ FROM documents d LEFT JOIN r ON r.lang = d.lang
 WHERE ('0x' || substr(md5('s1|' || doc_id::VARCHAR), 1, 8))::BIGINT
         / 4294967296.0
       < coalesce(r.rate, {SAMPLE_DEFAULT_RATE})"""
+
+    # weighted sampling without replacement: the same md5-derived
+    # Efraimidis-Spirakis priority ln(u)/w, rounded to 6 dp in BOTH
+    # engines so the top-k cut and the emitted key agree bit-for-bit
+    o["sample_weighted"] = """
+SELECT doc_id, n_chars,
+       round(ln((('0x' || substr(md5('w1|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0) / n_chars::DOUBLE, 6) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 100"""
+
+    # context-window chunking: 16-token windows at stride 8 (DuckDB list
+    # slicing clamps at the list end exactly like Spark's F.slice)
+    o["docs_chunks"] = f"""WITH {_SQL_TOKS}
+SELECT doc_id AS id, (i - 1)::BIGINT AS chunk_id,
+       len(l[(i-1)*8 + 1 : (i-1)*8 + 16])::BIGINT AS n_tokens,
+       array_to_string(l[(i-1)*8 + 1 : (i-1)*8 + 16], ' ') AS chunk_text
+FROM toks, unnest(generate_series(1, (len(l) - 1) // 8 + 1)) AS t(i)
+WHERE len(l) > 0"""
+
+    # sequence packing: the oracle's single-window cumsum is the truth
+    # twin of the two-pass distributed scan (exclusive running total in
+    # doc_id order, cut into 2048-token sequences)
+    o["packed_sequences"] = f"""WITH {_SQL_TOKS}
+SELECT doc_id AS id, len(l)::BIGINT AS n_tokens,
+       (b // 2048)::BIGINT AS seq_id,
+       (b % 2048)::BIGINT AS seq_offset
+FROM (
+  SELECT doc_id, l,
+         coalesce(sum(len(l)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+  FROM toks
+)"""
 
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle (ts >=
     # matches the operator's inclusive backward bound)
@@ -1725,6 +1881,21 @@ r AS (
 SELECT l.event_id, l.user_id, l.ts,
        r.ts AS err_ts, r.err_id, round(r.err_value, 6) AS err_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    # interval join: the oracle is the plain non-equi range join the
+    # bucket decomposition must reproduce pair-for-pair
+    o["events_interval"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts AS win_start, ts + INTERVAL 2 HOUR AS win_end,
+         max(event_id) AS err_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, r.win_start, r.err_id
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.ts >= r.win_start AND l.ts < r.win_end"""
 
     # per-group top-k under a total order (QUALIFY = Spark row_number)
     o["top_docs_per_lang"] = """

@@ -223,6 +223,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "repetition_stats",
         "sample_stratified",
         "events_asof",
+        "jaccard_prefix_pairs",
+        "packed_sequences",
+        "docs_chunks",
+        "events_interval",
     ]
     out = {}
     for name in headline:

@@ -1,0 +1,93 @@
+"""Bucketed interval (range) join — point events against ``[start,
+end)`` intervals sharing equi-key columns.
+
+Spark has no range-join optimization for ``l.key = r.key AND l.ts >=
+r.start AND l.ts < r.end``: the built-in plan is a key-only equi-join
+with a post-filter (every event meets every interval of its key — hot
+keys go quadratic), or a broadcast-nested-loop when the planner gives
+up.  The standard fix (public pattern used by time-series engines and
+documented Spark folklore) is BUCKET DECOMPOSITION: quantize time into
+fixed buckets, explode each interval to the buckets it covers, tag each
+event with its single bucket, and equi-join on ``(key…, bucket)``.
+
+Scale design (100 TB):
+
+* both sides shuffle ONCE on ``(key…, bucket)``; a hot key's traffic is
+  subdivided across its active time buckets instead of colliding on one
+  reducer, and AQE skew-join splits whatever residual skew remains;
+* each qualifying (event, interval) pair is produced EXACTLY once —
+  the event has one bucket and an interval emits each covered bucket
+  once — so no distinct pass is needed;
+* the fan-out is ``interval_span / bucket_seconds`` rows per interval:
+  choose ``bucket_seconds`` near the typical interval length (a span
+  cap guards against a pathological interval exploding to millions of
+  rows — it raises, never silently truncates).
+
+All bucket/bound arithmetic is on ``unix_micros`` (exact integers), so
+the DuckDB oracle twin (a plain non-equi join) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """Inner-join ``left`` rows (point timestamp ``left_ts``) to
+    ``right`` rows (interval ``[right_start, right_end)``) matching on
+    the ``on`` key columns — the half-open containment the reference's
+    range iterators use (ts >= start AND ts < end).
+
+    Column contract: ``left`` and ``right`` must not share non-key
+    column names (rename before calling); the result carries every
+    column of both sides.  Empty or inverted intervals (``end <=
+    start``) match nothing.  An interval spanning more than
+    ``max_span_buckets`` buckets raises at run time (a deliberately
+    loud guard — see module docstring).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("need bucket_seconds > 0")
+    b_us = int(bucket_seconds) * 1_000_000
+
+    def _us(name: str):
+        # unix_micros rejects TIMESTAMP_NTZ; the cast applies the same
+        # session-zone interpretation to every column, so the compare
+        # and bucket arithmetic stay mutually consistent
+        return F.unix_micros(F.col(name).cast("timestamp"))
+
+    lt = _us(left_ts)
+    rs = _us(right_start)
+    re = _us(right_end)
+    first_b = F.floor(rs / b_us)
+    last_b = F.floor((re - 1) / b_us)  # end-exclusive
+    span_ok = F.when(
+        last_b - first_b < max_span_buckets, F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interval_join: interval spans more than "),
+                F.lit(str(max_span_buckets)),
+                F.lit(" buckets; raise bucket_seconds or max_span_buckets"),
+            )
+        )
+    )
+    r_bucketed = (
+        right.filter(re > rs)
+        .filter(span_ok)
+        .withColumn("_bkt", F.explode(F.sequence(first_b, last_b)))
+    )
+    l_bucketed = left.withColumn("_bkt", F.floor(lt / b_us))
+    return (
+        l_bucketed.join(r_bucketed, [*on, "_bkt"])
+        .filter((lt >= rs) & (lt < re))
+        .drop("_bkt")
+    )

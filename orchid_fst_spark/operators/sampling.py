@@ -63,6 +63,51 @@ def stratified_sample(
     )
 
 
+def es_priority(key: Column, weight: Column, seed: str = "w1") -> Column:
+    """Efraimidis–Spirakis A-Res selection priority for weighted
+    sampling without replacement: ``ln(u) / w`` — the monotone twin of
+    the textbook ``u^(1/w)`` key (TOMS 2006; public literature).  The
+    uniform draw ``u = (h + 0.5) / 2^32`` is md5-derived like
+    :func:`hash_unit` but offset half a step so ``u`` is strictly
+    inside (0, 1) (``ln(0)`` can never appear).  Rounded to 6 dp so the
+    DuckDB oracle twin orders identically (ties are broken by the key
+    column at the call sites)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_UNIT_DEN)
+    return F.round(F.ln(u) / weight.cast("double"), 6)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int, seed: str = "w1"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the ``k``
+    rows with the largest :func:`es_priority` (ties broken by the key
+    ascending), i.e. row ``i`` wins with probability proportional to
+    its weight, jointly correct for all ``k`` (A-Res).  Rows with
+    non-positive or NULL weight are excluded.
+
+    Scale notes: ``orderBy(...).limit(k)`` plans as
+    TakeOrderedAndProject — a per-partition top-k heap plus a driver
+    merge of ``n_partitions * k`` rows; the corpus is never globally
+    sorted and never shuffled.  Selection is partitioning-independent
+    (pure function of key, weight, seed), so re-runs and cluster
+    resizes reproduce the identical sample.
+    """
+    pri = es_priority(F.col(key_col), F.col(weight_col), seed)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", pri)
+        .orderBy(F.desc("es_key"), F.col(key_col))
+        .limit(int(k))
+    )
+
+
 def train_eval_split(
     df: DataFrame, key_col: str, eval_frac: float, seed: str = "split"
 ) -> DataFrame:

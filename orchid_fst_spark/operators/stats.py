@@ -181,6 +181,29 @@ def value_histogram(
     )
 
 
+def _grouping_stats(
+    grouped, dims: list[str], measures: dict[str, Column] | None,
+    total_label: str,
+) -> DataFrame:
+    if measures is None:
+        measures = {"n_rows": F.count("*")}
+    # grouping() is only legal inside the rollup/cube aggregate itself,
+    # so the subtotal flags come out as aggregate columns and the labels
+    # are applied in a follow-up projection
+    aggs = [F.grouping(d).alias(f"_g_{d}") for d in dims] + [
+        c.alias(name) for name, c in measures.items()
+    ]
+    labelled = [
+        F.when(F.col(f"_g_{d}") == 1, F.lit(total_label))
+        .otherwise(F.col(d))
+        .alias(d)
+        for d in dims
+    ]
+    return grouped.agg(*aggs).select(
+        *labelled, *[F.col(n) for n in measures]
+    )
+
+
 def rollup_stats(
     df: DataFrame,
     dims: list[str],
@@ -198,20 +221,18 @@ def rollup_stats(
     level, instead of len(dims)+1 separate groupBy jobs over the 100 TB
     input.
     """
-    if measures is None:
-        measures = {"n_rows": F.count("*")}
-    # grouping() is only legal inside the rollup aggregate itself, so
-    # the subtotal flags come out as aggregate columns and the labels
-    # are applied in a follow-up projection
-    aggs = [F.grouping(d).alias(f"_g_{d}") for d in dims] + [
-        c.alias(name) for name, c in measures.items()
-    ]
-    labelled = [
-        F.when(F.col(f"_g_{d}") == 1, F.lit(total_label))
-        .otherwise(F.col(d))
-        .alias(d)
-        for d in dims
-    ]
-    return df.rollup(*dims).agg(*aggs).select(
-        *labelled, *[F.col(n) for n in measures]
-    )
+    return _grouping_stats(df.rollup(*dims), dims, measures, total_label)
+
+
+def cube_stats(
+    df: DataFrame,
+    dims: list[str],
+    measures: dict[str, Column] | None = None,
+    total_label: str = "<all>",
+) -> DataFrame:
+    """CUBE twin of :func:`rollup_stats`: subtotals for EVERY subset of
+    ``dims`` (2^len(dims) grouping sets), labelled through the same
+    ``grouping()`` discipline.  Planned as one Expand + hash aggregate —
+    the Expand fan-out is 2^len(dims) rows per input row, so keep the
+    dim list short at scale (the standard CUBE cost model)."""
+    return _grouping_stats(df.cube(*dims), dims, measures, total_label)
