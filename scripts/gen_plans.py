@@ -327,6 +327,104 @@ def main() -> None:
         must_not=("CartesianProduct", "BroadcastNestedLoop"),
     )
 
+    from orchid_fst_spark.operators.chunking import chunk_documents, pack_sequences
+    from orchid_fst_spark.operators.interval import interval_join
+    from orchid_fst_spark.operators.sampling import weighted_sample
+    from orchid_fst_spark.operators.setsim import jaccard_prefix_pairs
+
+    add(
+        "Prefix-filter set-similarity join (`operators.setsim.jaccard_prefix_pairs`)",
+        "Lossless AllPairs/PPJoin: candidates come from exploding ONLY "
+        "each doc's rarest (df-ascending prefix) shingles, hashed to "
+        "8-byte longs before the equi-join, with the AllPairs length "
+        "filter applied inside the join condition; the shingle base and "
+        "the per-doc array frame are each persisted once "
+        "(InMemoryRelation) instead of recomputing the tokenize->shingle "
+        "pipeline per consumer; verification is a JVM `array_intersect` "
+        "over the hashed arrays — no Python, no cartesian, no lambda "
+        "over a computed array column (the transform lambdas bind only "
+        "their own element argument).",
+        jaccard_prefix_pairs(docs, "doc_id", "text", 3, 1, 2),
+        must_contain=("Generate", "array_intersect", "InMemoryRelation"),
+        must_not=("CartesianProduct", "BroadcastNestedLoop"),
+    )
+
+    add(
+        "Context-window chunking (`operators.chunking.chunk_documents`)",
+        "Row-local: tokenize -> explode a per-doc offset sequence -> "
+        "slice.  ZERO exchanges of any kind — chunking a 100 TB corpus "
+        "is pure map-side work whose output size is the inherent chunk "
+        "count.",
+        chunk_documents(docs, "doc_id", "text", 64, 32),
+        must_contain=("Generate",),
+        must_not=("CartesianProduct", "Exchange"),
+    )
+
+    add(
+        "Sequence packing (`operators.chunking.pack_sequences`)",
+        "The global running token total is the two-pass distributed "
+        "cumsum: range partition by id, one per-partition counting job, "
+        "then a partition-LOCAL window (partitionBy _pid — fully "
+        "parallel) shifted by broadcast offsets.  No single-partition "
+        "exchange anywhere, so the manifest computes at any corpus "
+        "size.",
+        pack_sequences(docs, "doc_id", "text", 2048),
+        must_contain=("Window", "BroadcastHashJoin"),
+        must_not=("CartesianProduct", "Exchange SinglePartition"),
+    )
+
+    add(
+        "Bucketed interval join (`operators.interval.interval_join`)",
+        "Bucket decomposition: intervals explode to the buckets they "
+        "cover (Generate over `sequence`), points tag exactly one "
+        "bucket, and the join is an equi-join on (key…, bucket) with "
+        "the half-open range compare as the join residual — never the "
+        "key-only join whose hot keys go quadratic, never a "
+        "nested-loop.  Each qualifying pair is produced exactly once, "
+        "so there is no distinct pass.",
+        interval_join(
+            asof_left,
+            asof_right.withColumnRenamed("ts", "win_start").withColumn(
+                "win_end", F.col("win_start") + F.expr("INTERVAL 2 HOURS")
+            ),
+            ["user_id"],
+            "ts",
+            "win_start",
+            "win_end",
+            bucket_seconds=3600,
+        ),
+        must_contain=("Generate", "sequence(", "_bkt"),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+    add(
+        "Weighted sample without replacement (`operators.sampling.weighted_sample`)",
+        "Efraimidis-Spirakis priorities are a map-side projection "
+        "(md5-derived, partitioning-independent); the global top-k is "
+        "TakeOrderedAndProject — a per-partition heap plus a driver "
+        "merge of n_partitions*k rows.  The corpus is never globally "
+        "sorted (no range-partitioned exchange) and never hash-shuffled; "
+        "the weight filter is pushed into the parquet scan.",
+        weighted_sample(docs, "doc_id", "n_chars", 100),
+        must_contain=("TakeOrderedAndProject", "GreaterThan(n_chars,0)"),
+        must_not=("CartesianProduct", "Exchange rangepartitioning",
+                  "Exchange hashpartitioning"),
+    )
+
+    add(
+        "CUBE corpus stats (`operators.stats.cube_stats`)",
+        "All 2^d grouping sets in ONE Expand + partial/final hash "
+        "aggregate (map-side combine before the single shuffle) — not "
+        "2^d separate scans of the 100 TB input; `grouping()` flags ride "
+        "the aggregate so genuine NULL dims stay distinguishable from "
+        "subtotal rows.",
+        __import__("orchid_fst_spark.operators.stats", fromlist=["cube_stats"]).cube_stats(
+            docs, ["lang", "source"]
+        ),
+        must_contain=("Expand", "partial_count"),
+        must_not=("CartesianProduct", "Window"),
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"
