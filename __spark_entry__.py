@@ -81,11 +81,26 @@ from orchid_fst_spark.operators.stats import (
     rollup_stats,
     value_histogram,
 )
-from orchid_fst_spark.functions.normalize import url_host
+from orchid_fst_spark.functions.normalize import canonical_url, url_host
+from orchid_fst_spark.operators.ranking import lm_doc_logprob
+from orchid_fst_spark.operators.sketch import (
+    cms_lookup,
+    cms_sketch,
+    hll_estimate,
+    hll_registers,
+    hll_summary,
+)
 
 # the fixed keyword query for the bm25_search oracle entry (terms from
 # the synthetic documents' vocabulary, so every sf has hits)
 BM25_QUERY_TERMS = ("spark", "window", "hash")
+
+# sketch parameters shared by the Spark entries and the DuckDB oracles —
+# change both or neither
+HLL_P = 9
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBE_TERMS = ("spark", "hash", "window", "table", "zzz-absent")
 
 # per-language sampling rates for the sample_stratified oracle entry —
 # a single dict drives BOTH engines (Spark broadcast join / SQL VALUES)
@@ -1027,6 +1042,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.length("payload").cast("long").alias("n_bytes"),
         "pix_sum",
     )
+
+    # --- mergeable sketches (operators/sketch.py): HyperLogLog distinct
+    # count and Count-Min term frequencies.  Every sketch cell is an
+    # integer derived from the engine's md5 idiom, so the oracle
+    # reproduces registers/buckets bit-for-bit; the HLL estimate itself
+    # is one literal/integer division (+ the ln linear-counting branch,
+    # same branch both engines because the branch condition is exact) ---
+    def _hll(spark, sf):
+        d = _docs(spark, sf)
+        s = hll_estimate(hll_summary(hll_registers(d, "text", p=HLL_P)), p=HLL_P)
+        exact = d.agg(
+            F.count_distinct("text").cast("long").alias("exact_distinct")
+        )
+        return s.crossJoin(F.broadcast(exact)).select(
+            "m", "n_zero", "s_num", "est", "exact_distinct"
+        )
+
+    q["hll_distinct_texts"] = _hll
+
+    def _cms(spark, sf):
+        terms = _docs(spark, sf).select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        sk = cms_sketch(terms, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
+        est = cms_lookup(sk, list(CMS_PROBE_TERMS), depth=CMS_DEPTH, width=CMS_WIDTH)
+        true = (
+            terms.filter(F.col("term").isin(list(CMS_PROBE_TERMS)))
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("true_c"))
+        )
+        return est.join(true, "term", "left").select(
+            "term", "est", F.coalesce("true_c", F.lit(0).cast("long")).alias("true_c")
+        )
+
+    q["cms_term_counts"] = _cms
+
+    # --- bigram LM quality scoring (operators/ranking.py): the CCNet-
+    # style perplexity filter signal, LM trained on the corpus itself;
+    # integer counts until the final ln/divide rounded to 6 dp ---
+    q["lm_doc_scores"] = lambda spark, sf: lm_doc_logprob(
+        _docs(spark, sf), "doc_id", "text"
+    )
+
+    # --- crawl URL canonicalization (functions/normalize.py): messy
+    # deterministic URLs from doc_id arithmetic (scheme/www/tracking-
+    # param/fragment/trailing-slash noise), collapsed per canonical
+    # form — one regexp projection + one hash aggregate ---
+    def _canon(spark, sf):
+        d = _docs(spark, sf)
+        url = F.concat(
+            F.when(F.col("doc_id") % 3 == 0, "https://www.").otherwise("http://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("?utm_source=feed&x="), (F.col("doc_id") % 5).cast("string")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit("?x="),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit("&utm_campaign=c"),
+                ),
+            )
+            .otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+        )
+        return (
+            d.select(F.col("doc_id"), canonical_url(url).alias("curl"))
+            .groupBy("curl")
+            .agg(
+                F.count("*").cast("long").alias("n_pages"),
+                F.min("doc_id").cast("long").alias("keep_id"),
+            )
+        )
+
+    q["canonical_url_dedup"] = _canon
 
     def _with_shipped(fn):
         def g(spark, sf):
@@ -2031,5 +2126,133 @@ SELECT id, frame_idx::BIGINT AS frame_idx, 8::BIGINT AS width, 6::BIGINT AS heig
              FROM unnest(generate_series(0, 7)) AS x(i),
                   unnest(generate_series(0, 5)) AS y(i)))::BIGINT AS pix_sum
 FROM fr"""
+
+    # --- sketches: every cell is an integer from the md5 idiom, so the
+    # register/bucket tables compare exactly; the HLL estimate's raw
+    # branch is one literal/integer division (bit-identical IEEE op) and
+    # the branch condition is exact, so both engines take the same arm
+    _m = 1 << HLL_P
+    _q = 32 - HLL_P
+    _alpha = 0.7213 / (1.0 + 1.079 / _m)
+    _hll_num = _alpha * _m * _m * float(1 << (_q + 1))
+    o["hll_distinct_texts"] = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5('hll|' || text), 1, 8))::BIGINT AS h32
+  FROM documents WHERE text IS NOT NULL
+),
+regs AS (
+  SELECT h32 >> {_q} AS register,
+         max(CASE WHEN (h32 & {(1 << _q) - 1}) = 0 THEN {_q + 1}
+                  ELSE {_q + 1} - length(printf('%b', h32 & {(1 << _q) - 1}))
+             END)::BIGINT AS rho
+  FROM h GROUP BY register
+),
+s AS (
+  SELECT {_m}::BIGINT AS m,
+         ({_m} - count(*))::BIGINT AS n_zero,
+         (sum((1::BIGINT << ({_q + 1} - rho)))
+          + ({_m} - count(*)) * {1 << (_q + 1)})::BIGINT AS s_num
+  FROM regs
+)
+SELECT m, n_zero, s_num,
+       CASE WHEN {_hll_num!r} / s_num <= {2.5 * _m!r} AND n_zero > 0
+            THEN round({float(_m)!r} * ln({float(_m)!r} / n_zero), 4)
+            ELSE round({_hll_num!r} / s_num, 4) END AS est,
+       (SELECT count(DISTINCT text) FROM documents)::BIGINT AS exact_distinct
+FROM s"""
+
+    _cms_addr = " UNION ALL ".join(
+        f"SELECT term, {j} AS depth, ('0x' || substr(md5('cms{j}|' || term), 1, 8))"
+        f"::BIGINT % {CMS_WIDTH} AS bucket FROM {{src}}"
+        for j in range(CMS_DEPTH)
+    )
+    _cms_probe_rows = ", ".join(f"('{t}')" for t in CMS_PROBE_TERMS)
+    o["cms_term_counts"] = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+addr AS ({_cms_addr.format(src='t')}),
+sk AS (SELECT depth, bucket, count(*)::BIGINT AS c FROM addr GROUP BY 1, 2),
+probe(term) AS (VALUES {_cms_probe_rows}),
+paddr AS ({_cms_addr.format(src='probe')}),
+est AS (
+  SELECT p.term, min(coalesce(sk.c, 0))::BIGINT AS est
+  FROM paddr p LEFT JOIN sk ON sk.depth = p.depth AND sk.bucket = p.bucket
+  GROUP BY p.term
+),
+truec AS (SELECT term, count(*)::BIGINT AS true_c FROM t
+          WHERE term IN (SELECT term FROM probe) GROUP BY term)
+SELECT e.term, e.est, coalesce(tc.true_c, 0)::BIGINT AS true_c
+FROM est e LEFT JOIN truec tc ON tc.term = e.term"""
+
+    # bigram LM scoring: integer counts, one ln/divide rounded to 6 dp
+    o["lm_doc_scores"] = """
+WITH bg AS (
+  SELECT doc_id, w1, w2, count(*)::BIGINT AS c FROM (
+    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) GROUP BY 1, 2, 3
+),
+corpus AS (SELECT w1, w2, sum(c)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM corpus GROUP BY 1),
+v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM corpus),
+scored AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         round(sum(c * ln((c2 + 0.5) / (c1 + 0.5 * v))) / sum(c), 6)
+           AS avg_logprob
+  FROM bg JOIN corpus USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+    # URL canonicalization dedup: the same regexp chain (DuckDB needs
+    # the 'g' flag — its regexp_replace is first-match-only by default)
+    o["canonical_url_dedup"] = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'https://www.' ELSE 'http://' END)
+         || source || '.example.com/p/' || (doc_id % 40)::VARCHAR
+         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&x=' || (doc_id % 5)::VARCHAR
+                  WHEN doc_id % 4 = 1 THEN '?x=' || (doc_id % 5)::VARCHAR || '&utm_campaign=c'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(trim(url)), '#.*$', ''),
+               '^[a-z][a-z0-9+.-]*://', ''),
+             '^www\\.', ''),
+           '\\?', '&', 'g'),
+         '&(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*', '', 'g') AS u
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+           CASE WHEN rest = '' THEN path ELSE path || '?' || rest END,
+           '/\\?', '?'), '/$', '') AS curl
+  FROM (
+    SELECT doc_id, regexp_extract(u, '^[^&]*') AS path,
+           substr(u, length(regexp_extract(u, '^[^&]*')) + 2) AS rest
+    FROM st
+  )
+)
+SELECT curl, count(*)::BIGINT AS n_pages, min(doc_id)::BIGINT AS keep_id
+FROM canon GROUP BY curl"""
 
     return o

@@ -31,6 +31,44 @@ def url_host(col) -> Column:
     return F.regexp_extract(c, HOST_RE, 1)
 
 
+# tracking query parameters stripped by canonical_url — shared with the
+# DuckDB oracle twin (change both or neither)
+TRACKING_PARAM_RE = "&(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*"
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a URL for crawl-level dedup: lower-cased,
+    fragment stripped, scheme and leading ``www.`` dropped, tracking
+    query parameters (``utm_*``, ``fbclid``, ``gclid``) removed, and
+    any trailing slash trimmed.  Two pages that differ only in these
+    presentational details collapse to one canonical key.
+
+    Pure Catalyst regexp chain in the Java∩RE2 common dialect (no
+    backreferences, no lookaround), so the DuckDB oracle applies the
+    byte-identical patterns (with the ``'g'`` flag — DuckDB's
+    ``regexp_replace`` is first-match-only by default, Spark's is
+    global).  The parameter surgery unifies ``?``/``&`` separators
+    first, strips tracking params, then restores the first separator —
+    avoiding the classic "``?utm_x=1&real=2`` leaves ``&real=2``
+    dangling" bug.  Ports and percent-encoding normalization are out of
+    scope (documented).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(F.trim(c))
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, "^[a-z][a-z0-9+.-]*://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"\?", "&")
+    c = F.regexp_replace(c, TRACKING_PARAM_RE, "")
+    path = F.regexp_extract(c, "^[^&]*", 0)
+    rest = F.substring(c, F.length(path) + 2, F.lit(1 << 30))
+    c = F.concat(
+        path, F.when(rest == "", "").otherwise(F.concat(F.lit("?"), rest))
+    )
+    c = F.regexp_replace(c, r"/\?", "?")
+    return F.regexp_replace(c, "/$", "")
+
+
 def block_key(col, prefix_len: int) -> Column:
     """Blocking key = first ``prefix_len`` chars of the normalized key —
     the Spark realization of the reference's ``samePrefixLen`` pinned

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.normalize import tokens
+from ..util.storage import maybe_persist as _maybe_persist
 
 
 def _term_freq(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -201,6 +202,90 @@ def bm25_scores(
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(topk))
         .select("doc_id", "score")
+    )
+
+
+def lm_doc_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Bigram language-model quality score per document — the CCNet /
+    Wikipedia-LM filtering signal (public practice: score each page
+    under a corpus LM and band by perplexity; here the LM is trained on
+    the corpus itself in the same pass).
+
+    Returns ``(id, n_bigrams, avg_logprob)`` where ``avg_logprob`` is
+    the mean over the document's bigram occurrences of
+    ``ln((C(w1,w2) + alpha) / (Cctx(w1) + alpha * V))`` — add-alpha
+    smoothed conditional probability with ``C`` corpus bigram counts,
+    ``Cctx(w1)`` the context count (total bigrams starting at ``w1``)
+    and ``V`` the distinct-successor vocabulary size.  Higher (closer
+    to 0) = more typical text; repeated boilerplate scores high,
+    gibberish low.  Docs with < 2 tokens report 0 bigrams and 0.0.
+    Rounded to 6 dp (integer counts until the final ln/divide — the
+    engine-wide float discipline, same as tf_idf/bm25).
+
+    Scale notes: bigrams via the zip_with-over-slices idiom (the token
+    array never appears inside a lambda body — the recorded
+    CollapseProject trap); one (doc, bigram) hash aggregate, one
+    corpus-level (w1, w2) aggregate, a (w1) context aggregate derived
+    from it, then two key-shuffled equi-joins back onto the per-doc
+    rows and one per-doc aggregate — every stage map-side-combining,
+    nothing quadratic, no windows.  V and nothing else is a single-row
+    broadcast.  The corpus LM frames are reusable artifacts: persist
+    them bucketed (sources/bucketed.py) to score later crawls with no
+    recompute and no Exchange on the probability side.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    base = docs.select(F.col(id_col).alias("id"), bigrams.alias("_b"))
+    # doc_bg feeds FOUR consumers (corpus counts, ctx counts, the join
+    # left side, and the per-doc totals) — without persisting it each
+    # one re-scans and re-tokenizes the corpus (measured: 5 parquet
+    # scans, 0 ReusedExchange).  It is the compact (id, w1, w2, c)
+    # frame, far smaller than the text it came from.
+    doc_bg = _maybe_persist(
+        base.select("id", F.explode("_b").alias("r"))
+        .select("id", "r.w1", "r.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count("*").alias("c")),
+        storage,
+    )
+    corpus = doc_bg.groupBy("w1", "w2").agg(F.sum("c").cast("long").alias("c2"))
+    ctx = corpus.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = corpus.agg(
+        F.count_distinct("w2").cast("long").alias("v")
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(float(alpha)))
+        / (F.col("c1") + F.lit(float(alpha)) * F.col("v"))
+    )
+    scored = (
+        doc_bg.join(corpus, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * logp) / F.sum("c"), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
     )
 
 

@@ -1,0 +1,218 @@
+"""Mergeable probabilistic sketches: HyperLogLog and Count-Min.
+
+The two constant-memory summaries a 100 TB corpus pipeline leans on —
+distinct counting (how many unique hosts / normalized keys / shingles?)
+without a giant ``distinct`` shuffle, and frequency estimation (how
+often does this token appear?) without materializing the full term
+dictionary.  Public-literature constructions only (Flajolet et al.
+AofA'07 HyperLogLog; Cormode–Muthukrishnan J.Alg'05 Count-Min); no
+reference-file grounding — this is the training-data-pipeline family.
+
+Determinism discipline (the engine's md5 idiom, see sampling.hash_unit):
+every hash is ``int(md5(seed|value)[:8], 16)`` — a 32-bit draw both
+Spark and DuckDB compute bit-identically — and every sketch cell is an
+INTEGER (register max-rank, bucket count), so the oracle compares
+exactly.  The only doubles appear in the final HLL estimate, which is
+one literal-over-integer division (single IEEE op, identical in both
+engines) plus the documented linear-counting ``ln`` branch.
+
+Scale notes: both sketches are one hash aggregate with map-side partial
+combine down to a fixed number of rows (``2^p`` registers / ``d*w``
+cells) — mergeable across partitions, days, and crawls by construction
+(max for HLL, sum for CMS), so incremental corpus accounting never
+re-scans history.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "hll_registers",
+    "hll_summary",
+    "hll_estimate",
+    "cms_sketch",
+    "cms_lookup",
+]
+
+
+def _h32(value: Column, seed: str) -> Column:
+    """32-bit integer draw from md5(seed|value) — the engine-wide idiom."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, p: int = 9, seed: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table for the values of ``value_col``:
+    ``(register, rho)`` with ``register`` = top ``p`` bits of the 32-bit
+    md5 draw and ``rho`` = max over the register's values of
+    (leading zeros of the remaining ``q = 32 - p`` bits) + 1.
+
+    Only registers that saw at least one value appear (absent register
+    == rank 0); :func:`hll_summary` accounts for the missing ones.
+    ``rho`` is computed as ``q + 1 - bitlength(w)`` with ``bitlength``
+    = length of the base-2 string (``conv(w, 10, 2)``) — pure integer/
+    string ops, so the DuckDB twin (``length(printf('%b', w))``) is
+    bit-exact.  One hash aggregate, output is at most ``2^p`` rows.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    q = 32 - p
+    h = _h32(F.col(value_col), seed)
+    reg = F.shiftright(h, q)
+    w = h.bitwiseAND(F.lit((1 << q) - 1))
+    # bitlength(w) = len(base-2 repr); w == 0 -> rho = q + 1 (all zeros)
+    rho = F.when(w == 0, F.lit(q + 1)).otherwise(
+        F.lit(q + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(reg.cast("long").alias("register"), rho.cast("long").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Integer-exact one-row summary of an HLL register table:
+    ``(m, n_zero, s_num)`` where ``m = 2^p``, ``n_zero`` counts
+    registers never hit, and ``s_num = sum(2^(q + 1 - rho))`` over hit
+    registers **plus** ``n_zero * 2^(q+1)`` — i.e. the harmonic-mean
+    denominator ``sum(2^-rho)`` scaled by ``2^(q+1)`` so it stays a
+    BIGINT (max ``2^p * 2^(q+1) = 2^34`` at p=9).  Everything the
+    estimator needs, no floats — the oracle-comparable form.
+    """
+    m = 1 << p
+    q = 32 - p
+    return registers.agg(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.count("*")).cast("long").alias("n_zero"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, {q + 1} - rho)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << (q + 1))
+        )
+        .cast("long")
+        .alias("s_num"),
+    )
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(summary: DataFrame, p: int = 9) -> DataFrame:
+    """Cardinality estimate from :func:`hll_summary`: the standard
+    ``alpha_m * m^2 / sum(2^-rho)`` raw estimate with the small-range
+    linear-counting correction (``m * ln(m / n_zero)`` when the raw
+    estimate <= 2.5m and some register is empty).  Adds ``est``
+    (rounded to 4 dp) to the summary row.  The raw branch is one
+    literal/EXACT-integer division (bit-identical across engines); only
+    the linear-counting branch touches ``ln``.
+    """
+    m = 1 << p
+    q = 32 - p
+    num = _alpha(m) * m * m * float(1 << (q + 1))
+    raw = F.lit(num) / F.col("s_num")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
+    est = F.when((raw <= 2.5 * m) & (F.col("n_zero") > 0), linear).otherwise(raw)
+    return summary.withColumn("est", F.round(est, 4))
+
+
+def hll_error_bound(p: int = 9) -> float:
+    """Published relative standard error of HLL at ``m = 2^p``."""
+    return 1.04 / math.sqrt(float(1 << p))
+
+
+# --------------------------------------------------------------------------
+# Count-Min
+# --------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch of the ``term_col`` frequency distribution:
+    ``(depth, bucket, c)`` rows with ``bucket = h32(cms{j}|term) % width``
+    per hash row ``j`` — at most ``depth * width`` rows regardless of
+    corpus size.  Point estimates are upper bounds (min over rows
+    overestimates by at most ``e * N / width`` w.h.p.).
+
+    Scale notes: one Expand (``depth`` rows per occurrence — a static
+    constant, not data-dependent) into one hash aggregate with map-side
+    partial combine; sketches from different corpus slices merge by
+    summing cells.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("depth"),
+                (_h32(F.col(term_col), f"{seed}{j}") % width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(term_col).isNotNull())
+        .select(F.explode(rows).alias("r"))
+        .select("r.depth", "r.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    terms: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for a literal probe list: ``(term, est)``
+    with ``est = min`` over the ``depth`` rows of the addressed cell
+    (0 when a cell was never touched).  The probe table is tiny and
+    broadcast; the sketch side is at most ``depth * width`` rows — the
+    whole lookup is a broadcast join plus one aggregate, never a scan
+    of the corpus.
+    """
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame([(t,) for t in terms], "term string")
+    addr = probe.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("depth"),
+                        (_h32(F.col("term"), f"{seed}{j}") % width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("r"),
+    ).select("term", "r.depth", "r.bucket")
+    return (
+        addr.join(sketch, ["depth", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("c", F.lit(0).cast("long"))).alias("est"))
+    )

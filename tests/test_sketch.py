@@ -1,0 +1,196 @@
+"""Sketch-family tests: HyperLogLog accuracy/merge, Count-Min
+overestimate/merge, URL canonicalization, bigram LM scoring sanity."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from orchid_fst_spark.functions.normalize import canonical_url  # noqa: E402
+from orchid_fst_spark.operators.ranking import lm_doc_logprob  # noqa: E402
+from orchid_fst_spark.operators.sketch import (  # noqa: E402
+    cms_lookup,
+    cms_sketch,
+    hll_error_bound,
+    hll_estimate,
+    hll_registers,
+    hll_summary,
+)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [200, 5000])
+def test_hll_accuracy(spark, n):
+    df = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    est = hll_estimate(hll_summary(hll_registers(df, "v", p=9), p=9), p=9)
+    got = est.collect()[0]["est"]
+    # 5 standard errors of the published bound — deterministic hashes,
+    # so this is a fixed fact about the seed, not a flaky draw
+    assert abs(got - n) / n < 5 * hll_error_bound(9)
+
+
+def test_hll_duplicates_dont_count(spark):
+    uniq = spark.range(300).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    dup = uniq.union(uniq).union(uniq)
+    a = hll_summary(hll_registers(uniq, "v"), p=9).collect()[0]
+    b = hll_summary(hll_registers(dup, "v"), p=9).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_hll_merge_by_max(spark):
+    """Registers of a union == per-slice registers merged by max —
+    the property that makes day-over-day incremental counting work."""
+    s1 = spark.range(0, 400).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    s2 = spark.range(200, 700).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    whole = hll_registers(s1.union(s2), "v", p=8)
+    merged = (
+        hll_registers(s1, "v", p=8)
+        .union(hll_registers(s2, "v", p=8))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_p_validation(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError):
+        hll_registers(df, "v", p=2)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    # planted zipf-ish frequencies: term t_i appears i times
+    rows = [(f"t{i}",) for i in range(1, 40) for _ in range(i)]
+    df = spark.createDataFrame(rows, "term string")
+    sk = cms_sketch(df, "term", depth=4, width=64)  # narrow -> collisions
+    est = {r["term"]: r["est"] for r in cms_lookup(
+        sk, [f"t{i}" for i in range(1, 40)], depth=4, width=64).collect()}
+    for i in range(1, 40):
+        assert est[f"t{i}"] >= i
+
+
+def test_cms_exact_when_wide(spark):
+    rows = [(f"t{i}",) for i in range(1, 20) for _ in range(i)]
+    df = spark.createDataFrame(rows, "term string")
+    sk = cms_sketch(df, "term", depth=4, width=4096)
+    est = {r["term"]: r["est"] for r in cms_lookup(
+        sk, [f"t{i}" for i in range(1, 20)], depth=4, width=4096).collect()}
+    assert est == {f"t{i}": i for i in range(1, 20)}
+
+
+def test_cms_merge_by_sum(spark):
+    s1 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "term string")
+    s2 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "term string")
+    whole = cms_sketch(s1.union(s2), "term", depth=3, width=128)
+    merged = (
+        cms_sketch(s1, "term", depth=3, width=128)
+        .union(cms_sketch(s2, "term", depth=3, width=128))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    est = {r["term"]: r["est"] for r in cms_lookup(
+        whole, ["a", "b", "c"], depth=3, width=128).collect()}
+    assert est == {"a": 8, "b": 2, "c": 4}
+
+
+def test_cms_bounded_size(spark):
+    df = spark.range(10000).select(F.concat(F.lit("t"), F.col("id")).alias("term"))
+    sk = cms_sketch(df, "term", depth=4, width=256)
+    assert sk.count() <= 4 * 256
+
+
+# ---------------------------------------------------------------------------
+# canonical_url
+# ---------------------------------------------------------------------------
+
+
+CANON_CASES = [
+    "HTTPS://WWW.Example.com/A/b/?utm_source=x&q=1#frag",
+    "http://example.com/a/b?q=1",
+    "https://example.com/a/b/?utm_campaign=z",
+    "example.com/plain/",
+    "https://www.example.com/?utm_a=1",
+    "https://site.org/p?x=1&utm_medium=m&y=2",
+    "https://site.org/p?fbclid=abc",
+    "ftp://site.org/file",
+    "https://site.org",
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u in CANON_CASES], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    want = [
+        "example.com/a/b?q=1",
+        "example.com/a/b?q=1",
+        "example.com/a/b",
+        "example.com/plain",
+        "example.com",
+        "site.org/p?x=1&y=2",
+        "site.org/p",
+        "site.org/file",
+        "site.org",
+    ]
+    assert got == want
+
+
+def test_canonical_url_collapses_variants(spark):
+    variants = [
+        "https://www.shop.example/item/42",
+        "http://shop.example/item/42/",
+        "https://shop.example/item/42?utm_source=mail",
+        "HTTPS://Shop.example/item/42#reviews",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    assert (
+        df.select(canonical_url("url").alias("c")).distinct().count() == 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_lm_boilerplate_scores_above_gibberish(spark):
+    # 10 identical boilerplate docs + 1 doc of unseen-bigram gibberish:
+    # the boilerplate's bigrams dominate the LM, so its avg logprob must
+    # be far above the gibberish doc's
+    rows = [(i, "terms of service apply to all pages") for i in range(10)]
+    rows.append((99, "qq zz xx qq yy aa"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["avg_logprob"] for r in
+           lm_doc_logprob(df, "doc_id", "text").collect()}
+    assert got[0] > got[99] + 1.0
+
+
+def test_lm_short_docs_report_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["n_bigrams"], r["avg_logprob"]) for r in
+           lm_doc_logprob(df, "doc_id", "text").collect()}
+    assert got[1] == (0, 0.0)
+    assert got[2] == (0, 0.0)
+    assert got[3][0] == 1
+
+
+def test_lm_every_doc_appears_once(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_doc_logprob(docs, "doc_id", "text")
+    assert out.count() == docs.count()
+    assert out.select("id").distinct().count() == docs.count()
