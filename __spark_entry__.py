@@ -122,6 +122,7 @@ from orchid_fst_spark.operators.similarity import (
     cosine_topk,
     embedding_dedup,
     ivf_topk,
+    pq_topk,
 )
 from orchid_fst_spark.er.clustering import connected_components
 from orchid_fst_spark.er.scoring import score_pairs
@@ -642,6 +643,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
     q["ann_ivf_topk"] = _ann_ivf
+
+    # PQ compression path: vectors become m=8 centroid codes (the
+    # 10^12-vector regime where codes fit in memory and floats don't);
+    # queries rank candidates by summed subspace-distance lookups
+    # (ADC).  Codebook = the same md5 hash sample as IVF, distances
+    # rounded to 6 dp before every argmin/rank so both engines agree.
+    def _pq(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 20),
+            "vec_id",
+            "embedding",
+            "vec_id",
+            "embedding",
+            dim=64,
+            m=8,
+            ksub=16,
+            k=3,
+        ).select(
+            "q_id", "n_id", F.col("rank").cast("long").alias("rank"), "adist"
+        )
+
+    q["pq_topk"] = _pq
     q["cosine_near_pairs"] = lambda spark, sf: (
         cosine_threshold_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet"),
@@ -1593,6 +1618,51 @@ SELECT q_id, n_id, rnk::BIGINT AS rank FROM (
   SELECT q_id, n_id,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
   FROM pd
+) WHERE rnk <= 3"""
+
+    # PQ/ADC: the dists CTE (per-vector per-subspace distance to every
+    # sub-centroid, rounded to 6 dp like the Spark fold) serves both the
+    # encoding argmin and — because the queries are corpus members —
+    # the query lookup table
+    o["pq_topk"] = """
+WITH x AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+cents AS (
+  SELECT vec_id AS tid,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+),
+cx AS (
+  SELECT c.cid, (x.i - 1) // 8 AS sub, x.i, x.v
+  FROM cents c JOIN x ON x.vec_id = c.tid
+),
+vx AS (SELECT vec_id AS id, (i - 1) // 8 AS sub, i, v FROM x),
+dists AS (
+  SELECT vx.id, vx.sub, cx.cid,
+         round(sum((vx.v - cx.v) * (vx.v - cx.v)), 6) AS dist
+  FROM vx JOIN cx ON cx.sub = vx.sub AND cx.i = vx.i
+  GROUP BY vx.id, vx.sub, cx.cid
+),
+codes AS (
+  SELECT id, sub, cid AS code FROM (
+    SELECT id, sub, cid,
+           row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qd AS (SELECT id AS q_id, sub, cid AS code, dist AS d FROM dists WHERE id < 20),
+ad AS (
+  SELECT qd.q_id, c.id, round(sum(qd.d), 6) AS adist
+  FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code = c.code
+                      AND qd.q_id <> c.id
+  GROUP BY qd.q_id, c.id
+)
+SELECT q_id, id AS n_id, rnk::BIGINT AS rank, adist FROM (
+  SELECT q_id, id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, id) AS rnk
+  FROM ad
 ) WHERE rnk <= 3"""
 
     # md5-derived hyperplanes: component (j, i) = md5('42|j|i')[:8] as a

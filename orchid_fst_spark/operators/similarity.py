@@ -232,6 +232,197 @@ def ivf_topk(
     )
 
 
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al., PAMI'11 — public
+    literature): the vector space is split into ``m`` contiguous
+    subspaces of ``dim/m`` components; each subspace gets ``ksub``
+    sub-centroids.  Returns ``(sub, cid, cvec)`` with ``cvec`` already
+    cast to double.
+
+    Training set = the ``ksub`` ids smallest by md5(id) (tie-break id)
+    — the same fixed-size hash-ordered sample as ``ivf_centroids``, so
+    the codebook is corpus-size-independent (``m * ksub`` rows, a
+    guaranteed-tiny broadcast) and any SQL engine reproduces it exactly
+    (``ORDER BY md5(id), id LIMIT ksub`` + ``row_number() - 1`` as the
+    centroid id).  The single-partition window over ``ksub`` rows is
+    deliberate: it orders a constant-size frame, never the corpus.
+    A k-means-trained codebook would slot in here exactly like
+    ``ivf_centroids(algo='kmeans')`` — same output shape, not
+    SQL-reproducible, so oracle-checked pipelines use the hash sample.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    sample = (
+        emb.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tvec"))
+        .withColumn("_h", F.md5(F.col("tid").cast("string")))
+        .orderBy("_h", "tid")
+        .limit(int(ksub))
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy("_h", "tid")) - 1,
+        )
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                F.transform(
+                    F.slice("tvec", j * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("cvec"),
+            )
+            for j in range(m)
+        ]
+    )
+    return sample.select(
+        F.col("cid").cast("long").alias("cid"), F.explode(subs).alias("r")
+    ).select("r.sub", "cid", "r.cvec")
+
+
+def _sub_l2(a, b) -> Column:
+    """Squared L2 distance between two double arrays as a sequential
+    left fold (deterministic summation order), rounded to 6 dp so
+    cross-engine last-ulp noise cannot flip an argmin or a rank."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """PQ encoding: ``(id, sub, code)`` — each vector compressed to
+    ``m`` centroid indices (``m * ceil(log2 ksub)`` bits ≈ ``m`` bytes
+    instead of ``dim`` floats; at 10^12 vectors the codes table is what
+    fits in cluster memory, the raw vectors do not).
+
+    One Generate explodes each vector into its ``m`` subvectors (the
+    exploded column is a concrete attribute, so the fold below never
+    re-inlines a computed array — the recorded CollapseProject trap);
+    the codebook joins in as an ``m * ksub``-row broadcast; the argmin
+    is ``min(struct(dist, cid))`` per (id, sub) — one hash aggregate,
+    corpus scanned exactly once, nothing shuffles but (id, sub, dist,
+    cid) rows."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    if codebook is None:
+        codebook = pq_codebook(emb, id_col, vec_col, dim, m=m, ksub=ksub)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                F.transform(
+                    F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("svec"),
+            )
+            for j in range(m)
+        ]
+    )
+    exploded = emb.select(
+        F.col(id_col).alias("id"), F.explode(subs).alias("r")
+    ).select("id", "r.sub", "r.svec")
+    return (
+        exploded.join(F.broadcast(codebook), "sub")
+        .withColumn("dist", _sub_l2(F.col("svec"), F.col("cvec")))
+        .groupBy("id", "sub")
+        .agg(F.min(F.struct("dist", "cid")).alias("mn"))
+        .select("id", "sub", F.col("mn.cid").alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    corpus vectors are m-byte PQ codes; each query precomputes an
+    ``m × ksub`` table of exact subspace distances to every
+    sub-centroid, and a candidate's approximate distance is the sum of
+    ``m`` table lookups — no full-vector arithmetic per candidate.
+
+    Plan shape: the distance table (|Q| * m * ksub rows) broadcasts;
+    the heavy join is codes ⋈ table on ``(sub, cid)`` — a broadcast
+    hash join over the codes frame, never a shuffle of the corpus —
+    followed by one (q_id, id) hash aggregate that folds the ``m``
+    per-subspace distances in ascending ``sub`` order (deterministic
+    summation) and a per-query top-k window.  Returns
+    ``(q_id, n_id, rank, adist)`` ranked by (rounded distance ASC,
+    n_id) — recall < 1 by construction (quantization error), the
+    documented trade for scanning bytes instead of floats."""
+    codebook = pq_codebook(emb, id_col, vec_col, dim, m=m, ksub=ksub)
+    codes = pq_encode(emb, id_col, vec_col, dim, m=m, ksub=ksub, codebook=codebook)
+    d_sub = dim // m
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                F.transform(
+                    F.slice(F.col(q_vec_col), j * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("svec"),
+            )
+            for j in range(m)
+        ]
+    )
+    dtable = (
+        queries.select(F.col(q_id_col).alias("q_id"), F.explode(qsubs).alias("r"))
+        .select("q_id", "r.sub", "r.svec")
+        .join(F.broadcast(codebook), "sub")
+        .withColumn("d", _sub_l2(F.col("svec"), F.col("cvec")))
+        .select("q_id", "sub", F.col("cid").alias("code"), "d")
+    )
+    adist = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("q_id") != F.col("id"))
+        .groupBy("q_id", "id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "d"))).alias("ds"))
+        .withColumn(
+            "adist",
+            F.round(
+                F.aggregate(
+                    F.col("ds"), F.lit(0.0), lambda acc, s: acc + s["d"]
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("id").alias("n_id"), "rank", "adist")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

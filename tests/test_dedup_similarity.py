@@ -849,3 +849,122 @@ def test_pii_pattern_counts_and_scrub(spark):
     assert got[2][:3] == (1, 1, 1)
     assert "<redacted>" in got[0][3]
     assert "@" not in got[0][3] and "https://" not in got[0][3]
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_truth(m=4, ksub=4):
+    """Driver-side PQ truth over EMB: hash-sampled codebook, per-sub
+    argmin codes, ADC distances — the same rounded-fold arithmetic as
+    the operator."""
+    import hashlib
+
+    d = len(EMB[0][1])
+    d_sub = d // m
+    train = sorted(
+        (i for i, _, _ in EMB),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:ksub]
+    book = {}  # (sub, cid) -> subvec
+    for cid, tid in enumerate(train):
+        v = EMB[tid][1]
+        for s in range(m):
+            book[(s, cid)] = v[s * d_sub : (s + 1) * d_sub]
+
+    def sub_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    codes = {}
+    dists = {}
+    for i, v, _ in EMB:
+        for s in range(m):
+            sv = v[s * d_sub : (s + 1) * d_sub]
+            ds = [(sub_l2(sv, book[(s, c)]), c) for c in range(ksub)]
+            dists[(i, s)] = ds
+            codes[(i, s)] = min(ds)[1]
+    return codes, dists
+
+
+def test_pq_encode_matches_truth(spark, emb_df):
+    from orchid_fst_spark.operators.similarity import pq_encode
+
+    codes, _ = _pq_truth()
+    got = {
+        (r.id, r.sub): r.code
+        for r in pq_encode(emb_df, "vec_id", "embedding", dim=8, m=4, ksub=4).collect()
+    }
+    assert len(got) == len(EMB) * 4
+    assert got == codes
+
+
+def test_pq_topk_matches_adc_truth(spark, emb_df):
+    from orchid_fst_spark.operators.similarity import pq_topk
+
+    codes, dists = _pq_truth()
+    qids = [0, 1, 2]
+    got = {}
+    res = pq_topk(
+        emb_df,
+        emb_df.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim=8, m=4, ksub=4, k=3,
+    ).collect()
+    for r in res:
+        got.setdefault(r.q_id, []).append((r.rank, r.n_id, r.adist))
+    for q in qids:
+        exp = []
+        for i, _, _ in EMB:
+            if i == q:
+                continue
+            a = round(
+                sum(
+                    dict(
+                        (c, dd) for dd, c in dists[(q, s)]
+                    )[codes[(i, s)]]
+                    for s in range(4)
+                ),
+                6,
+            )
+            exp.append((a, i))
+        exp = [(rk + 1, i, a) for rk, (a, i) in enumerate(sorted(exp)[:3])]
+        assert sorted(got[q]) == exp, q
+
+
+def test_pq_recall_vs_bruteforce(spark, emb_df):
+    """PQ with a generous codebook must recover most exact-L2 top-3
+    neighbors on this tiny set — a sanity bound, not a precision
+    claim."""
+    from orchid_fst_spark.operators.similarity import pq_topk
+
+    V = np.array([e[1] for e in EMB], dtype=np.float64)
+    res = pq_topk(
+        emb_df,
+        emb_df.filter(F.col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim=8, m=4, ksub=16, k=3,
+    ).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    hits = total = 0
+    for q in range(5):
+        d2 = ((V - V[q]) ** 2).sum(axis=1)
+        exact = sorted(
+            (j for j in range(len(EMB)) if j != q), key=lambda j: (d2[j], j)
+        )[:3]
+        hits += len(got[q] & set(exact))
+        total += 3
+    assert hits / total >= 0.5
+
+
+def test_pq_dim_validation(spark, emb_df):
+    from orchid_fst_spark.operators.similarity import pq_codebook
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(emb_df, "vec_id", "embedding", dim=8, m=3)
