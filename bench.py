@@ -227,6 +227,11 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "packed_sequences",
         "docs_chunks",
         "events_interval",
+        "hll_distinct_texts",
+        "cms_term_counts",
+        "lm_doc_scores",
+        "pq_topk",
+        "canonical_url_dedup",
     ]
     out = {}
     for name in headline:

@@ -425,6 +425,88 @@ def main() -> None:
         must_not=("CartesianProduct", "Window"),
     )
 
+    from orchid_fst_spark.operators.ranking import lm_doc_logprob
+    from orchid_fst_spark.operators.similarity import pq_topk
+    from orchid_fst_spark.operators.sketch import (
+        cms_sketch,
+        hll_registers,
+        hll_summary,
+    )
+
+    add(
+        "HyperLogLog summary (`operators.sketch.hll_registers` + `hll_summary`)",
+        "Constant-memory distinct counting: one partial/final hash "
+        "aggregate folds the corpus to at most 2^p register rows (the "
+        "only data-sized shuffle), then a single-row aggregate derives "
+        "the integer harmonic-sum summary.  Pure Catalyst md5/bit "
+        "arithmetic — no Python, and sketches merge by max so "
+        "incremental day-over-day counting never re-scans history.",
+        hll_summary(hll_registers(docs, "text", p=9), p=9),
+        must_contain=("HashAggregate", "partial_max"),
+        must_not=("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas"),
+        # formatted explain names each node twice (tree + details):
+        # 2 real exchanges = register shuffle + single-row final
+        at_most={"Exchange": 4},
+    )
+
+    add(
+        "Count-Min sketch (`operators.sketch.cms_sketch`)",
+        "Frequency sketching: a static depth-way Generate (constant "
+        "fan-out, not data-dependent) feeds ONE partial/final hash "
+        "aggregate bounded at depth*width cells — the corpus shuffles "
+        "once and only (depth, bucket) pairs ride the wire.  Cells are "
+        "integer counts (mergeable by sum); lookups broadcast the probe "
+        "list against the bounded sketch.",
+        cms_sketch(
+            docs.select(
+                F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+            ),
+            "term",
+        ),
+        must_contain=("Generate", "HashAggregate"),
+        must_not=("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas"),
+        # one real exchange (the cell aggregate), named twice
+        at_most={"Exchange": 2},
+    )
+
+    add(
+        "Bigram LM quality scoring (`operators.ranking.lm_doc_logprob`)",
+        "The corpus is tokenized ONCE into the compact (id, w1, w2, c) "
+        "frame, persisted for its four consumers (InMemoryTableScan "
+        "below) — corpus/context counts derive from it, probabilities "
+        "join back onto it, and every stage is a map-side-combining "
+        "hash aggregate or key-shuffled equi-join; the vocabulary size "
+        "is the only broadcast.  No window, nothing quadratic, and the "
+        "bigram split uses the zip_with-over-slices idiom so the "
+        "CollapseProject HOF re-inline cannot multiply tokenization.",
+        lm_doc_logprob(docs, "doc_id", "text"),
+        must_contain=("InMemoryTableScan",),
+        must_not=("CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "MapInPandas", "Window"),
+    )
+
+    add(
+        "PQ ANN — asymmetric distance top-k (`operators.similarity.pq_topk`)",
+        "Every join is an explicit broadcast: the m*ksub codebook joins "
+        "the exploded subvectors (corpus scanned once, argmin per "
+        "(id, sub) is one hash aggregate), and the per-query distance "
+        "table (|Q|*m*ksub rows) joins the codes frame — the corpus "
+        "vectors themselves never shuffle, only (id, sub, code) rows "
+        "do.  The final per-query top-k is a bounded window over "
+        "candidate rows.  No SortMergeJoin, no cartesian, no Python.",
+        pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 20),
+            "vec_id", "embedding", "vec_id", "embedding",
+            dim=64, m=8, ksub=16, k=3,
+        ),
+        must_contain=("BroadcastHashJoin",),
+        must_not=("CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"
