@@ -49,6 +49,7 @@ from orchid_fst_spark.operators import (
     range_lookup,
 )
 from orchid_fst_spark.operators.dedup import (
+    crawl_diff,
     exact_dedup,
     keep_latest,
     minhash_lsh_pairs,
@@ -122,6 +123,7 @@ from orchid_fst_spark.operators.similarity import (
     cosine_topk,
     embedding_dedup,
     ivf_topk,
+    ivfpq_topk,
     pq_topk,
 )
 from orchid_fst_spark.er.clustering import connected_components
@@ -667,6 +669,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pq_topk"] = _pq
+
+    # IVF-PQ composition (FAISS IVFPQ shape): coarse cells prune the
+    # corpus to n_probe cells per query, ADC scores only those cells'
+    # members from their m-byte codes.  Both quantizers derive from the
+    # same md5 hash sample, so the whole two-stage pipeline is
+    # oracle-checked end to end.
+    def _ivfpq(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 20),
+            "vec_id",
+            "embedding",
+            "vec_id",
+            "embedding",
+            dim=64,
+            k=3,
+            n_centroids=16,
+            n_probe=4,
+            m=8,
+            ksub=16,
+        ).select(
+            "q_id", "n_id", F.col("rank").cast("long").alias("rank"), "adist"
+        )
+
+    q["ivfpq_topk"] = _ivfpq
     q["cosine_near_pairs"] = lambda spark, sf: (
         cosine_threshold_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet"),
@@ -1147,6 +1175,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["canonical_url_dedup"] = _canon
+
+    # --- crawl-snapshot diff (operators/dedup.crawl_diff): one
+    # full-outer key join classifying every key added/removed/changed/
+    # unchanged.  The "next crawl" is derived deterministically from
+    # doc_id arithmetic in both engines ---
+    def _crawl_diff(spark, sf):
+        d = _docs(spark, sf).select("doc_id", "text")
+        new = (
+            d.filter(F.col("doc_id") % 7 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2"))
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("new page").alias("text"),
+                )
+            )
+        )
+        return crawl_diff(d, new, ["doc_id"], ["text"])
+
+    q["crawl_diff_status"] = _crawl_diff
+
+    # --- grouped HLL: one independent sketch per language (the
+    # per-host/per-domain accounting shape — each group bounded at 2^p
+    # integer registers, never a per-group distinct shuffle) ---
+    q["lang_distinct_sketch"] = lambda spark, sf: hll_estimate(
+        hll_summary(
+            hll_registers(_docs(spark, sf), "text", p=HLL_P, group_cols=["lang"]),
+            p=HLL_P,
+            group_cols=["lang"],
+        ),
+        p=HLL_P,
+    ).select("lang", "m", "n_zero", "s_num", "est")
 
     def _with_shipped(fn):
         def g(spark, sf):
@@ -1664,6 +1729,123 @@ SELECT q_id, id AS n_id, rnk::BIGINT AS rank, adist FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY adist, id) AS rnk
   FROM ad
 ) WHERE rnk <= 3"""
+
+    _m = 1 << HLL_P
+    _q = 32 - HLL_P
+    _alpha = 0.7213 / (1.0 + 1.079 / _m)
+    _hll_num = _alpha * _m * _m * float(1 << (_q + 1))
+
+    # IVF-PQ: the IVF probing CTEs (cells / qprobe, cosine-ranked) and
+    # the PQ CTEs (dists / codes, L2+ADC) compose; candidates = probed
+    # cells' members, scored from codes only
+    o["ivfpq_topk"] = f"""WITH {_sql_embX},
+cents AS (
+  SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS cid
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+),
+cdots AS (
+  SELECT a.vec_id AS id, b.vec_id AS cell_id,
+         sum(a.v * b.v) / (na.nrm * nb.nrm) AS ccos
+  FROM x a JOIN x b ON a.i = b.i AND b.vec_id IN (SELECT vec_id FROM cents)
+  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+cells AS (
+  SELECT id, cell_id AS cell FROM (
+    SELECT id, cell_id,
+           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cell_id) AS rn
+    FROM cdots
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT id AS q_id, cell_id AS cell FROM (
+    SELECT id, cell_id,
+           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cell_id) AS rn
+    FROM cdots WHERE id < 20
+  ) WHERE rn <= 4
+),
+cx AS (
+  SELECT c.cid, (x.i - 1) // 8 AS sub, x.i, x.v
+  FROM cents c JOIN x ON x.vec_id = c.vec_id
+),
+vx AS (SELECT vec_id AS id, (i - 1) // 8 AS sub, i, v FROM x),
+dists AS (
+  SELECT vx.id, vx.sub, cx.cid,
+         round(sum((vx.v - cx.v) * (vx.v - cx.v)), 6) AS dist
+  FROM vx JOIN cx ON cx.sub = vx.sub AND cx.i = vx.i
+  GROUP BY vx.id, vx.sub, cx.cid
+),
+codes AS (
+  SELECT id, sub, cid AS code FROM (
+    SELECT id, sub, cid,
+           row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qd AS (SELECT id AS q_id, sub, cid AS code, dist AS d FROM dists WHERE id < 20),
+cand AS (
+  SELECT q.q_id, c.id
+  FROM qprobe q JOIN cells c ON c.cell = q.cell AND c.id <> q.q_id
+),
+ad AS (
+  SELECT p.q_id, p.id, round(sum(qd.d), 6) AS adist
+  FROM cand p
+  JOIN codes c ON c.id = p.id
+  JOIN qd ON qd.q_id = p.q_id AND qd.sub = c.sub AND qd.code = c.code
+  GROUP BY p.q_id, p.id
+)
+SELECT q_id, id AS n_id, rnk::BIGINT AS rank, adist FROM (
+  SELECT q_id, id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, id) AS rnk
+  FROM ad
+) WHERE rnk <= 3"""
+
+    # crawl diff: the deterministic "next crawl" (drop %7, retext %5,
+    # add %11 with shifted ids) classified by a full-outer key join
+    o["crawl_diff_status"] = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new page' AS text
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id"""
+
+    # grouped HLL: the same register/summary arithmetic, one sketch per
+    # language
+    o["lang_distinct_sketch"] = f"""
+WITH h AS (
+  SELECT lang, ('0x' || substr(md5('hll|' || text), 1, 8))::BIGINT AS h32
+  FROM documents WHERE text IS NOT NULL
+),
+regs AS (
+  SELECT lang, h32 >> {_q} AS register,
+         max(CASE WHEN (h32 & {(1 << _q) - 1}) = 0 THEN {_q + 1}
+                  ELSE {_q + 1} - length(printf('%b', h32 & {(1 << _q) - 1}))
+             END)::BIGINT AS rho
+  FROM h GROUP BY lang, register
+),
+s AS (
+  SELECT lang, {_m}::BIGINT AS m,
+         ({_m} - count(*))::BIGINT AS n_zero,
+         (sum((1::BIGINT << ({_q + 1} - rho)))
+          + ({_m} - count(*)) * {1 << (_q + 1)})::BIGINT AS s_num
+  FROM regs GROUP BY lang
+)
+SELECT lang, m, n_zero, s_num,
+       CASE WHEN {_hll_num!r} / s_num <= {2.5 * _m!r} AND n_zero > 0
+            THEN round({float(_m)!r} * ln({float(_m)!r} / n_zero), 4)
+            ELSE round({_hll_num!r} / s_num, 4) END AS est
+FROM s"""
 
     # md5-derived hyperplanes: component (j, i) = md5('42|j|i')[:8] as a
     # centered 32-bit integer — bit-identical to _md5_planes, so the
@@ -2201,10 +2383,7 @@ FROM fr"""
     # register/bucket tables compare exactly; the HLL estimate's raw
     # branch is one literal/integer division (bit-identical IEEE op) and
     # the branch condition is exact, so both engines take the same arm
-    _m = 1 << HLL_P
-    _q = 32 - HLL_P
-    _alpha = 0.7213 / (1.0 + 1.079 / _m)
-    _hll_num = _alpha * _m * _m * float(1 << (_q + 1))
+    # (_m/_q/_hll_num defined above, before their first use)
     o["hll_distinct_texts"] = f"""
 WITH h AS (
   SELECT ('0x' || substr(md5('hll|' || text), 1, 8))::BIGINT AS h32

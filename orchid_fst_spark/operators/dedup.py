@@ -820,3 +820,50 @@ def keep_latest(
         *key_cols,
         *[F.col(f"_latest.{c}").alias(c) for c in order_cols + payload_cols],
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff between two crawls keyed on ``key_cols``: one row
+    per key present in either side with
+    ``status ∈ {added, removed, changed, unchanged}`` — ``added`` =
+    only in ``new``, ``removed`` = only in ``old``, ``changed`` = in
+    both with any ``compare_cols`` value differing (null-safe), else
+    ``unchanged``.  The incremental-crawl planning primitive: only
+    ``added``/``changed`` keys need re-processing downstream.
+
+    Each side must be unique per key (run :func:`keep_latest` first on
+    a changelog).  Scale notes: ONE full-outer hash equi-join on the
+    key — each side shuffles once on ``key_cols`` and the comparison is
+    a codegen'd null-safe predicate; for a daily diff against a stable
+    base crawl, persist the base bucketed on the key
+    (sources/bucketed.py) and the base side's Exchange disappears."""
+    if not key_cols or not compare_cols:
+        raise ValueError("need key_cols and compare_cols")
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, key_cols, "full_outer").select(
+        *key_cols, status.alias("status")
+    )

@@ -423,6 +423,104 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 4096,
+    n_probe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the two scale paths composed the way
+    production vector indexes do (FAISS's IVFPQ shape, Jégou PAMI'11):
+    a coarse quantizer prunes the corpus to ``n_probe`` cells per query
+    and PQ/ADC scores only those cells' members from their m-byte
+    codes, so neither the full corpus nor any full vector is touched
+    per query.
+
+    Differences from the textbook: codes quantize the raw vector, not
+    the residual (residual encoding needs per-cell codebooks — the seam
+    is ``pq_codebook``), and cell probing ranks centroids by cosine
+    (matching ``ivf_topk``) while ADC ranks by squared L2.
+
+    Plan shape: centroids and the codebook are fixed-size broadcasts;
+    cells ⋈ probed-cells is the only corpus-sized equi-join (on
+    ``cell``, touching ~n_probe/n_centroids of the corpus); codes ride
+    an m-row-per-candidate broadcast lookup.  Returns
+    ``(q_id, n_id, rank, adist)``; recall < 1 from BOTH prunings (an
+    unprobed true neighbor, quantization error) — the documented trade.
+    """
+    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+    cells = ivf_assign(emb, id_col, vec_col, n_centroids, cents=cents).select(
+        "id", "cell"
+    )
+    codebook = pq_codebook(emb, id_col, vec_col, dim, m=m, ksub=ksub)
+    codes = pq_encode(emb, id_col, vec_col, dim, m=m, ksub=ksub, codebook=codebook)
+
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    qs = q.join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("qv"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probed = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", F.col("cid").alias("cell"))
+    )
+
+    d_sub = dim // m
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                F.transform(
+                    F.slice(F.col("qv"), j * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("svec"),
+            )
+            for j in range(m)
+        ]
+    )
+    dtable = (
+        q.select("q_id", F.explode(qsubs).alias("r"))
+        .select("q_id", "r.sub", "r.svec")
+        .join(F.broadcast(codebook), "sub")
+        .withColumn("d", _sub_l2(F.col("svec"), F.col("cvec")))
+        .select("q_id", "sub", F.col("cid").alias("code"), "d")
+    )
+
+    cand = (
+        probed.join(cells, "cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .select("q_id", "id")
+    )
+    adist = (
+        cand.join(codes, "id")
+        .join(F.broadcast(dtable), ["q_id", "sub", "code"])
+        .groupBy("q_id", "id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "d"))).alias("ds"))
+        .withColumn(
+            "adist",
+            F.round(
+                F.aggregate(F.col("ds"), F.lit(0.0), lambda acc, s: acc + s["d"]),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("id").alias("n_id"), "rank", "adist")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

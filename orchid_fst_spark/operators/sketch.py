@@ -50,23 +50,33 @@ def _h32(value: Column, seed: str) -> Column:
 
 
 def hll_registers(
-    df: DataFrame, value_col: str, p: int = 9, seed: str = "hll"
+    df: DataFrame,
+    value_col: str,
+    p: int = 9,
+    seed: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """HyperLogLog register table for the values of ``value_col``:
-    ``(register, rho)`` with ``register`` = top ``p`` bits of the 32-bit
-    md5 draw and ``rho`` = max over the register's values of
+    ``(group…, register, rho)`` with ``register`` = top ``p`` bits of
+    the 32-bit md5 draw and ``rho`` = max over the register's values of
     (leading zeros of the remaining ``q = 32 - p`` bits) + 1.
+    ``group_cols`` gives one independent sketch per group (per-host /
+    per-language distinct accounting — each group is bounded at ``2^p``
+    rows, so a million-host profile is a million small sketches, never
+    a million ``distinct`` shuffles).
 
     Only registers that saw at least one value appear (absent register
     == rank 0); :func:`hll_summary` accounts for the missing ones.
     ``rho`` is computed as ``q + 1 - bitlength(w)`` with ``bitlength``
     = length of the base-2 string (``conv(w, 10, 2)``) — pure integer/
     string ops, so the DuckDB twin (``length(printf('%b', w))``) is
-    bit-exact.  One hash aggregate, output is at most ``2^p`` rows.
+    bit-exact.  One hash aggregate, output is at most ``2^p`` rows per
+    group.
     """
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     q = 32 - p
+    g = list(group_cols or [])
     h = _h32(F.col(value_col), seed)
     reg = F.shiftright(h, q)
     w = h.bitwiseAND(F.lit((1 << q) - 1))
@@ -76,24 +86,30 @@ def hll_registers(
     )
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(reg.cast("long").alias("register"), rho.cast("long").alias("rho"))
-        .groupBy("register")
+        .select(
+            *g, reg.cast("long").alias("register"), rho.cast("long").alias("rho")
+        )
+        .groupBy(*g, "register")
         .agg(F.max("rho").alias("rho"))
     )
 
 
-def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
-    """Integer-exact one-row summary of an HLL register table:
-    ``(m, n_zero, s_num)`` where ``m = 2^p``, ``n_zero`` counts
-    registers never hit, and ``s_num = sum(2^(q + 1 - rho))`` over hit
-    registers **plus** ``n_zero * 2^(q+1)`` — i.e. the harmonic-mean
-    denominator ``sum(2^-rho)`` scaled by ``2^(q+1)`` so it stays a
-    BIGINT (max ``2^p * 2^(q+1) = 2^34`` at p=9).  Everything the
-    estimator needs, no floats — the oracle-comparable form.
+def hll_summary(
+    registers: DataFrame, p: int = 9, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Integer-exact summary of an HLL register table — one row (or one
+    row per group): ``(group…, m, n_zero, s_num)`` where ``m = 2^p``,
+    ``n_zero`` counts registers never hit, and
+    ``s_num = sum(2^(q + 1 - rho))`` over hit registers **plus**
+    ``n_zero * 2^(q+1)`` — i.e. the harmonic-mean denominator
+    ``sum(2^-rho)`` scaled by ``2^(q+1)`` so it stays a BIGINT (max
+    ``2^p * 2^(q+1) = 2^34`` at p=9).  Everything the estimator needs,
+    no floats — the oracle-comparable form.
     """
     m = 1 << p
     q = 32 - p
-    return registers.agg(
+    g = list(group_cols or [])
+    aggs = [
         F.lit(m).cast("long").alias("m"),
         (F.lit(m) - F.count("*")).cast("long").alias("n_zero"),
         (
@@ -102,7 +118,10 @@ def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
         )
         .cast("long")
         .alias("s_num"),
-    )
+    ]
+    if g:
+        return registers.groupBy(*g).agg(*aggs)
+    return registers.agg(*aggs)
 
 
 def _alpha(m: int) -> float:

@@ -968,3 +968,77 @@ def test_pq_dim_validation(spark, emb_df):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebook(emb_df, "vec_id", "embedding", dim=8, m=3)
+
+
+def test_crawl_diff_statuses(spark):
+    from orchid_fst_spark.operators.dedup import crawl_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, t string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], "k long, t string"
+    )
+    got = {r.k: r.status for r in crawl_diff(old, new, ["k"], ["t"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under the null-safe compare
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_crawl_diff_validation(spark):
+    from orchid_fst_spark.operators.dedup import crawl_diff
+
+    df = spark.createDataFrame([(1, "a")], "k long, t string")
+    with pytest.raises(ValueError):
+        crawl_diff(df, df, [], ["t"])
+
+
+def test_ivfpq_is_pq_restricted_to_probed_cells(spark, emb_df):
+    """IVF-PQ results == PQ/ADC ranking RESTRICTED to the probed cells'
+    members — the defined two-stage approximation."""
+    from orchid_fst_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    n_c, n_probe, k = 5, 3, 3
+    got = {}
+    for r in ivfpq_topk(
+        emb_df, emb_df.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim=8, k=k, n_centroids=n_c, n_probe=n_probe, m=4, ksub=4,
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.n_id, r.adist))
+
+    cells = {
+        r.id: r.cell
+        for r in ivf_assign(emb_df, "vec_id", "embedding", n_c).collect()
+    }
+    # full-PQ distances for every (q, candidate)
+    full = {}
+    for r in pq_topk(
+        emb_df, emb_df.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim=8, m=4, ksub=4, k=len(EMB),
+    ).collect():
+        full[(r.q_id, r.n_id)] = r.adist
+    # probed cells per query: top n_probe centroids by cosine (tie id)
+    from orchid_fst_spark.operators.similarity import ivf_centroids
+
+    cents = [r.cid for r in ivf_centroids(emb_df, "vec_id", "embedding", n_c).collect()]
+    S = _np_cos()
+    for q in range(3):
+        ranked_cells = sorted(cents, key=lambda c: (-S[q, c], c))
+        # numpy cosine ties can split by reduction noise (see the IVF
+        # test above): accept the operator's own probed set implicitly
+        # by recomputing membership from the operator's cell map
+        probed = set(ranked_cells[:n_probe])
+        members = [i for i, c in cells.items() if c in probed and i != q]
+        exp = sorted(((full[(q, i)], i) for i in members))[:k]
+        exp = [(rk + 1, i, a) for rk, (a, i) in enumerate(exp)]
+        assert sorted(got[q]) == exp, q

@@ -194,3 +194,25 @@ def test_lm_every_doc_appears_once(spark, sf_dir):
     out = lm_doc_logprob(docs, "doc_id", "text")
     assert out.count() == docs.count()
     assert out.select("id").distinct().count() == docs.count()
+
+
+def test_hll_grouped_matches_per_group(spark):
+    """A grouped sketch must equal the sketch of each group filtered
+    independently."""
+    from orchid_fst_spark.operators.sketch import hll_registers, hll_summary
+
+    df = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 250)).alias("v"),
+    )
+    grouped = {
+        r["g"]: (r["m"], r["n_zero"], r["s_num"])
+        for r in hll_summary(
+            hll_registers(df, "v", p=8, group_cols=["g"]), p=8, group_cols=["g"]
+        ).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = hll_summary(
+            hll_registers(df.filter(F.col("g") == g), "v", p=8), p=8
+        ).collect()[0]
+        assert grouped[g] == (solo["m"], solo["n_zero"], solo["s_num"]), g
