@@ -67,6 +67,7 @@ from orchid_fst_spark.operators.ranking import (
 )
 from orchid_fst_spark.operators.asof import asof_join
 from orchid_fst_spark.operators.chunking import chunk_documents, pack_sequences
+from orchid_fst_spark.operators.cleaning import quality_gate
 from orchid_fst_spark.operators.decontam import contamination_stats
 from orchid_fst_spark.operators.interval import interval_join
 from orchid_fst_spark.operators.sampling import (
@@ -1201,6 +1202,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_diff_status"] = _crawl_diff
 
+    # --- end-to-end corpus quality gate (operators/cleaning.py): the
+    # one-call pre-tokenization filtering pass — length bounds, Gopher
+    # repetition cap, benchmark decontamination, CCNet-style LM bottom-
+    # band, exact-dup collapse — per-doc flags + keep, all integer ---
+    q["quality_gate_flags"] = lambda spark, sf: quality_gate(
+        _docs(spark, sf),
+        _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("text"),
+        min_tokens=10,
+        max_tokens=55,
+        max_dup_token_frac=0.55,
+        ngram=5,
+        lm_quantile=0.1,
+    )
+
     # --- grouped HLL: one independent sketch per language (the
     # per-host/per-domain accounting shape — each group bounded at 2^p
     # integer registers, never a per-group distinct shuffle) ---
@@ -1800,6 +1815,86 @@ SELECT q_id, id AS n_id, rnk::BIGINT AS rank, adist FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY adist, id) AS rnk
   FROM ad
 ) WHERE rnk <= 3"""
+
+    # end-to-end quality gate: every flag recomputed from the same
+    # fragments the individual oracles use (un-lowered tokens for
+    # length/repetition/contamination, lowered bigram LM with the exact
+    # 0.1 quantile threshold, md5-keyed exact-dup collapse)
+    o["quality_gate_flags"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
+  FROM documents
+),
+nt AS (SELECT doc_id, coalesce(len(l), 0)::BIGINT AS n_tokens FROM toks),
+tc AS (SELECT doc_id, tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY doc_id, tok),
+ta AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct FROM tc GROUP BY doc_id),
+rep AS (
+  SELECT d.doc_id,
+         round(CASE WHEN coalesce(ta.n_tok, 0) > 0
+                    THEN (ta.n_tok - ta.n_distinct) / ta.n_tok
+                    ELSE 0.0 END, 6) AS dup_frac
+  FROM documents d LEFT JOIN ta ON ta.doc_id = d.doc_id
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+4], ' ') AS sh
+  FROM toks, unnest(generate_series(1, len(l)-4)) AS t(i)
+),
+bgs AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 17 = 0),
+cont AS (
+  SELECT g.doc_id, max(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM grams g LEFT JOIN bgs b ON b.sh = g.sh GROUP BY g.doc_id
+),
+lt AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l
+  FROM documents
+),
+bgc AS (
+  SELECT doc_id, w1, w2, count(*)::BIGINT AS c FROM (
+    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+    FROM lt, unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) GROUP BY 1, 2, 3
+),
+corpus AS (SELECT w1, w2, sum(c)::BIGINT AS c2 FROM bgc GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM corpus GROUP BY 1),
+v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM corpus),
+scored AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         round(sum(c * ln((c2 + 0.5) / (c1 + 0.5 * v))) / sum(c), 6) AS alp
+  FROM bgc JOIN corpus USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+),
+lmx AS (
+  SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+         coalesce(s.alp, 0.0) AS alp
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+),
+thr AS (SELECT quantile_cont(alp, 0.1) AS t FROM lmx WHERE n_bigrams > 0),
+ex AS (
+  SELECT doc_id,
+         min(doc_id) OVER (
+           PARTITION BY coalesce(md5(text), 'null:' || doc_id)
+         ) AS rep
+  FROM documents
+)
+SELECT d.doc_id AS id, nt.n_tokens,
+       (nt.n_tokens < 10)::BIGINT AS flag_short,
+       (nt.n_tokens > 55)::BIGINT AS flag_long,
+       (rep.dup_frac > 0.55)::BIGINT AS flag_repetitive,
+       coalesce(cont.hit, 0)::BIGINT AS flag_contaminated,
+       (lmx.n_bigrams > 0 AND lmx.alp < thr.t)::BIGINT AS flag_lm_low,
+       (d.doc_id <> ex.rep)::BIGINT AS flag_exact_dup,
+       (nt.n_tokens >= 10 AND nt.n_tokens <= 55 AND rep.dup_frac <= 0.55
+        AND coalesce(cont.hit, 0) = 0
+        AND NOT (lmx.n_bigrams > 0 AND lmx.alp < thr.t)
+        AND d.doc_id = ex.rep)::BIGINT AS keep
+FROM documents d
+JOIN nt ON nt.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+JOIN lmx ON lmx.doc_id = d.doc_id
+JOIN ex ON ex.doc_id = d.doc_id
+CROSS JOIN thr"""
 
     # crawl diff: the deterministic "next crawl" (drop %7, retext %5,
     # add %11 with shifted ids) classified by a full-outer key join
