@@ -436,3 +436,51 @@ def test_session_window_gap_boundary_semantics(spark):
         for r in sessionize(ev, 30).collect()
     )
     assert batch == native
+
+
+def test_streaming_sketches_equal_batch(spark, tmp_path):
+    """Sketch state accumulated over two micro-batches, merged on read,
+    must equal the batch sketches over the whole corpus — the
+    mergeability contract that makes incremental corpus accounting
+    exact (not approximate-on-top-of-approximate)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.functions.normalize import tokens
+    from orchid_fst_spark.operators.sketch import cms_sketch, hll_registers
+    from orchid_fst_spark.streaming.ingest import (
+        cms_from_state,
+        hll_from_state,
+        sketch_stream,
+    )
+
+    rows = [(i, f"doc number {i % 37} talks about topic {i % 11}") for i in range(120)]
+    half = len(rows) // 2
+    src, state = str(tmp_path / "docs"), str(tmp_path / "state")
+    for n, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"drop{n}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = sketch_stream(stream, state, p=8, depth=3, width=128)
+    q.awaitTermination(240)
+
+    whole = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_hll = sorted(
+        map(tuple, hll_registers(whole, "text", p=8).collect())
+    )
+    stream_hll = sorted(map(tuple, hll_from_state(spark, state).collect()))
+    assert stream_hll == batch_hll
+
+    terms = whole.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    batch_cms = sorted(
+        map(tuple, cms_sketch(terms, "term", depth=3, width=128).collect())
+    )
+    stream_cms = sorted(map(tuple, cms_from_state(spark, state).collect()))
+    assert stream_cms == batch_cms
