@@ -232,6 +232,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "lm_doc_scores",
         "pq_topk",
         "canonical_url_dedup",
+        "ivfpq_topk",
+        "crawl_diff_status",
+        "quality_gate_flags",
+        "lang_distinct_sketch",
     ]
     out = {}
     for name in headline:

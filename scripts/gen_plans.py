@@ -507,6 +507,29 @@ def main() -> None:
                   "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.operators.cleaning import quality_gate
+
+    add(
+        "Corpus quality gate (`operators.cleaning.quality_gate`)",
+        "Every signal is explode → map-side-combining hash aggregate → "
+        "join-back on the 8-byte id; the exact-dup collapse shuffles "
+        "md5 digests, never document bytes; the LM threshold is a "
+        "single-row exact-percentile broadcast (or a precomputed "
+        "constant at 100 TB).  No window over the corpus, no cartesian "
+        "product, no Python.",
+        quality_gate(
+            docs,
+            docs.filter(F.col("doc_id") % 17 == 0).select("text"),
+            min_tokens=10,
+            max_tokens=55,
+            max_dup_token_frac=0.55,
+            ngram=5,
+        ),
+        must_contain=("InMemoryTableScan",),
+        must_not=("CartesianProduct", "Window", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"
