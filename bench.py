@@ -14,7 +14,8 @@ executors):
 runs the ER candidate+cluster job at local[N] and local[4N] (default
 2/8 — the linear region of this VM; see BENCH.md for the measured
 memory-bandwidth ceiling above ~8 cores) in fresh subprocesses on a
-scaled-up input (SPARK_GRAFT_BENCH_SCALE, default 64 in scaling mode),
+scaled-up input (SPARK_GRAFT_BENCH_SCALE, default 128 in scaling mode
+— see BENCH.md's input-size sensitivity note),
 computes candidate-pairs/sec at both, writes BENCH.md, and prints the
 one-line JSON with the scaling numbers included.
 """
@@ -396,7 +397,7 @@ def run_scaling(sf_dir: str) -> dict:
         env.update(
             SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_CPUS=cores,
-            SPARK_GRAFT_BENCH_SCALE=os.environ.get("SPARK_GRAFT_BENCH_SCALE", "64"),
+            SPARK_GRAFT_BENCH_SCALE=os.environ.get("SPARK_GRAFT_BENCH_SCALE", "128"),
             # 5 trials for the scaling evidence: this VM shows multi-
             # minute slow periods (2-3x) that can swallow all of 3
             # trials; min-of-5 rides them out (all trials recorded)
