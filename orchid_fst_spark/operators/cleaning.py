@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.normalize import tokens
 from .decontam import contamination_stats
 from .ranking import lm_doc_logprob
 from .stats import repetition_stats
@@ -64,15 +63,13 @@ def quality_gate(
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
-    ntok = base.select(
-        "id",
-        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
-        .cast("long")
-        .alias("n_tokens"),
+    # repetition_stats' n_tokens (sum of per-token counts) == the token
+    # count — reuse it instead of tokenizing the corpus a second time
+    rep = repetition_stats(base, "id", "text").select(
+        "id", "n_tokens", "dup_token_frac"
     )
-    rep = repetition_stats(base, "id", "text").select("id", "dup_token_frac")
     cont = contamination_stats(
-        base, benchmark, id_col="id", text_col=text_col, n=ngram
+        base, benchmark, id_col="id", text_col="text", n=ngram
     ).select("id", F.col("contaminated").cast("long").alias("flag_contaminated"))
     lm = lm_doc_logprob(base, "id", "text", storage=storage)
 
@@ -102,8 +99,7 @@ def quality_gate(
     )
 
     out = (
-        ntok.join(rep, "id")
-        .join(cont, "id")
+        rep.join(cont, "id")
         .join(lm_flag, "id")
         .join(dup, "id")
         .select(

@@ -270,21 +270,10 @@ def pq_codebook(
             F.row_number().over(Window.orderBy("_h", "tid")) - 1,
         )
     )
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("long").alias("sub"),
-                F.transform(
-                    F.slice("tvec", j * d_sub + 1, d_sub),
-                    lambda x: x.cast("double"),
-                ).alias("cvec"),
-            )
-            for j in range(m)
-        ]
-    )
     return sample.select(
-        F.col("cid").cast("long").alias("cid"), F.explode(subs).alias("r")
-    ).select("r.sub", "cid", "r.cvec")
+        F.col("cid").cast("long").alias("cid"),
+        F.explode(_subvectors(F.col("tvec"), dim, m)).alias("r"),
+    ).select("r.sub", "cid", F.col("r.svec").alias("cvec"))
 
 
 def _sub_l2(a, b) -> Column:
@@ -298,6 +287,62 @@ def _sub_l2(a, b) -> Column:
             lambda acc, x: acc + x,
         ),
         6,
+    )
+
+
+def _subvectors(col, dim: int, m: int) -> Column:
+    """Array of ``(sub, svec)`` structs — the ONE definition of the PQ
+    subspace split (contiguous ``dim/m`` slices, elements cast to
+    double), shared by codebook, encoding, and both query paths so the
+    engines cannot diverge on some paths only."""
+    d_sub = dim // m
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                F.transform(
+                    F.slice(col, j * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("svec"),
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _adc_table(q: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFrame:
+    """Per-query ADC lookup table ``(q_id, sub, code, d)``: exact
+    subspace distance from each query subvector to every sub-centroid.
+    |Q| * m * ksub rows — broadcast-sized by construction."""
+    return (
+        q.select("q_id", F.explode(_subvectors(F.col("qv"), dim, m)).alias("r"))
+        .select("q_id", "r.sub", "r.svec")
+        .join(F.broadcast(codebook), "sub")
+        .withColumn("d", _sub_l2(F.col("svec"), F.col("cvec")))
+        .select("q_id", "sub", F.col("cid").alias("code"), "d")
+    )
+
+
+def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Fold the m per-subspace distances of each ``(q_id, id)`` pair in
+    ascending ``sub`` order (deterministic summation), round, and take
+    the per-query top-k under the (adist, id) total order."""
+    adist = (
+        scored.groupBy("q_id", "id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "d"))).alias("ds"))
+        .withColumn(
+            "adist",
+            F.round(
+                F.aggregate(F.col("ds"), F.lit(0.0), lambda acc, s: acc + s["d"]),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("id").alias("n_id"), "rank", "adist")
     )
 
 
@@ -324,23 +369,11 @@ def pq_encode(
     cid) rows."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    d_sub = dim // m
     if codebook is None:
         codebook = pq_codebook(emb, id_col, vec_col, dim, m=m, ksub=ksub)
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("long").alias("sub"),
-                F.transform(
-                    F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
-                    lambda x: x.cast("double"),
-                ).alias("svec"),
-            )
-            for j in range(m)
-        ]
-    )
     exploded = emb.select(
-        F.col(id_col).alias("id"), F.explode(subs).alias("r")
+        F.col(id_col).alias("id"),
+        F.explode(_subvectors(F.col(vec_col), dim, m)).alias("r"),
     ).select("id", "r.sub", "r.svec")
     return (
         exploded.join(F.broadcast(codebook), "sub")
@@ -380,47 +413,12 @@ def pq_topk(
     documented trade for scanning bytes instead of floats."""
     codebook = pq_codebook(emb, id_col, vec_col, dim, m=m, ksub=ksub)
     codes = pq_encode(emb, id_col, vec_col, dim, m=m, ksub=ksub, codebook=codebook)
-    d_sub = dim // m
-    qsubs = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("long").alias("sub"),
-                F.transform(
-                    F.slice(F.col(q_vec_col), j * d_sub + 1, d_sub),
-                    lambda x: x.cast("double"),
-                ).alias("svec"),
-            )
-            for j in range(m)
-        ]
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    dtable = _adc_table(q, codebook, dim, m)
+    scored = codes.join(F.broadcast(dtable), ["sub", "code"]).filter(
+        F.col("q_id") != F.col("id")
     )
-    dtable = (
-        queries.select(F.col(q_id_col).alias("q_id"), F.explode(qsubs).alias("r"))
-        .select("q_id", "r.sub", "r.svec")
-        .join(F.broadcast(codebook), "sub")
-        .withColumn("d", _sub_l2(F.col("svec"), F.col("cvec")))
-        .select("q_id", "sub", F.col("cid").alias("code"), "d")
-    )
-    adist = (
-        codes.join(F.broadcast(dtable), ["sub", "code"])
-        .filter(F.col("q_id") != F.col("id"))
-        .groupBy("q_id", "id")
-        .agg(F.sort_array(F.collect_list(F.struct("sub", "d"))).alias("ds"))
-        .withColumn(
-            "adist",
-            F.round(
-                F.aggregate(
-                    F.col("ds"), F.lit(0.0), lambda acc, s: acc + s["d"]
-                ),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("id"))
-    return (
-        adist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("q_id", F.col("id").alias("n_id"), "rank", "adist")
-    )
+    return _adc_topk(scored, k)
 
 
 def ivfpq_topk(
@@ -474,51 +472,16 @@ def ivfpq_topk(
         .select("q_id", F.col("cid").alias("cell"))
     )
 
-    d_sub = dim // m
-    qsubs = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("long").alias("sub"),
-                F.transform(
-                    F.slice(F.col("qv"), j * d_sub + 1, d_sub),
-                    lambda x: x.cast("double"),
-                ).alias("svec"),
-            )
-            for j in range(m)
-        ]
-    )
-    dtable = (
-        q.select("q_id", F.explode(qsubs).alias("r"))
-        .select("q_id", "r.sub", "r.svec")
-        .join(F.broadcast(codebook), "sub")
-        .withColumn("d", _sub_l2(F.col("svec"), F.col("cvec")))
-        .select("q_id", "sub", F.col("cid").alias("code"), "d")
-    )
-
+    dtable = _adc_table(q, codebook, dim, m)
     cand = (
         probed.join(cells, "cell")
         .filter(F.col("q_id") != F.col("id"))
         .select("q_id", "id")
     )
-    adist = (
-        cand.join(codes, "id")
-        .join(F.broadcast(dtable), ["q_id", "sub", "code"])
-        .groupBy("q_id", "id")
-        .agg(F.sort_array(F.collect_list(F.struct("sub", "d"))).alias("ds"))
-        .withColumn(
-            "adist",
-            F.round(
-                F.aggregate(F.col("ds"), F.lit(0.0), lambda acc, s: acc + s["d"]),
-                6,
-            ),
-        )
+    scored = cand.join(codes, "id").join(
+        F.broadcast(dtable), ["q_id", "sub", "code"]
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("id"))
-    return (
-        adist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("q_id", F.col("id").alias("n_id"), "rank", "adist")
-    )
+    return _adc_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

@@ -84,3 +84,13 @@ def test_null_text_is_short_singleton(spark):
     # NULL texts are their own singletons — never exact-dups of each other
     assert out[1]["flag_exact_dup"] == 0 and out[2]["flag_exact_dup"] == 0
     assert out[1]["flag_short"] == 1 and out[1]["n_tokens"] == 0
+
+
+def test_custom_column_names(spark):
+    docs = spark.createDataFrame(
+        [(1, "a real document with plenty of distinct tokens to pass")],
+        "pk long, body string",
+    )
+    bench = spark.createDataFrame([("nothing here",)], "text string")
+    out = quality_gate(docs, bench, id_col="pk", text_col="body").collect()
+    assert len(out) == 1 and out[0]["id"] == 1

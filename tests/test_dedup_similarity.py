@@ -1006,10 +1006,15 @@ def test_ivfpq_is_pq_restricted_to_probed_cells(spark, emb_df):
         pq_topk,
     )
 
-    n_c, n_probe, k = 5, 3, 3
+    # n_probe=4 with queries {0, 1}: for THESE vectors no probe cutoff
+    # falls inside an exact cosine tie (EMB is periodic mod 11, so some
+    # centroids are identical vectors; a cutoff inside a tie would make
+    # the numpy-derived probe set BLAS-order-dependent — the same noise
+    # the IVF test above guards against)
+    n_c, n_probe, k = 5, 4, 3
     got = {}
     for r in ivfpq_topk(
-        emb_df, emb_df.filter(F.col("vec_id") < 3),
+        emb_df, emb_df.filter(F.col("vec_id") < 2),
         "vec_id", "embedding", "vec_id", "embedding",
         dim=8, k=k, n_centroids=n_c, n_probe=n_probe, m=4, ksub=4,
     ).collect():
@@ -1022,7 +1027,7 @@ def test_ivfpq_is_pq_restricted_to_probed_cells(spark, emb_df):
     # full-PQ distances for every (q, candidate)
     full = {}
     for r in pq_topk(
-        emb_df, emb_df.filter(F.col("vec_id") < 3),
+        emb_df, emb_df.filter(F.col("vec_id") < 2),
         "vec_id", "embedding", "vec_id", "embedding",
         dim=8, m=4, ksub=4, k=len(EMB),
     ).collect():
@@ -1032,11 +1037,11 @@ def test_ivfpq_is_pq_restricted_to_probed_cells(spark, emb_df):
 
     cents = [r.cid for r in ivf_centroids(emb_df, "vec_id", "embedding", n_c).collect()]
     S = _np_cos()
-    for q in range(3):
-        ranked_cells = sorted(cents, key=lambda c: (-S[q, c], c))
-        # numpy cosine ties can split by reduction noise (see the IVF
-        # test above): accept the operator's own probed set implicitly
-        # by recomputing membership from the operator's cell map
+    for q in range(2):
+        # round to 9dp so BLAS reduction noise cannot reorder exact
+        # ties (the tie groups are fully inside or outside the cutoff
+        # for these queries — asserted by construction above)
+        ranked_cells = sorted(cents, key=lambda c: (-round(S[q, c], 9), c))
         probed = set(ranked_cells[:n_probe])
         members = [i for i, c in cells.items() if c in probed and i != q]
         exp = sorted(((full[(q, i)], i) for i in members))[:k]
