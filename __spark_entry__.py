@@ -78,6 +78,7 @@ from orchid_fst_spark.operators.sampling import (
 from orchid_fst_spark.operators.setsim import jaccard_prefix_pairs
 from orchid_fst_spark.operators.stats import (
     cube_stats,
+    rolling_stats,
     numeric_profile,
     repetition_stats,
     rollup_stats,
@@ -1019,6 +1020,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # expression both engines; under/overflow buckets 0 and n+1
     q["events_value_hist"] = lambda spark, sf: value_histogram(
         _events(spark, sf), "value", 0.0, 200.0, 20, ["event_type"]
+    )
+
+    # trailing event-time rolling aggregates (operators/stats.py): one
+    # key shuffle + per-key sort, sliding RANGE frame; seconds-truncated
+    # event time so both engines frame identically
+    q["events_rolling"] = lambda spark, sf: rolling_stats(
+        _events(spark, sf), ["user_id"], "ts", "value", 3600
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "n_w",
+        "sum_w",
+        "avg_w",
     )
 
     q["events_hourly_counts"] = lambda spark, sf: windowed_event_counts(
@@ -2371,6 +2386,18 @@ WITH b AS (
 SELECT event_type, bucket, round(0.0 + (bucket - 1) * 10.0, 6) AS bucket_lo,
        count(*)::BIGINT AS n
 FROM b GROUP BY event_type, bucket"""
+
+    # trailing rolling window: identical integer-seconds RANGE frame
+    o["events_rolling"] = """
+SELECT event_id, user_id, ts,
+       count(value) OVER w::BIGINT AS n_w,
+       round(sum(value) OVER w, 6) AS sum_w,
+       round(CASE WHEN count(value) OVER w > 0
+                  THEN (sum(value) OVER w) / (count(value) OVER w)
+                  ELSE 0.0 END, 6) AS avg_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
 
     o["train_eval_counts"] = """
 SELECT CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -237,6 +237,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "crawl_diff_status",
         "quality_gate_flags",
         "lang_distinct_sketch",
+        "events_rolling",
     ]
     out = {}
     for name in headline:

@@ -11,7 +11,7 @@ so the DuckDB oracle twins are bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.normalize import tokens
 
@@ -178,6 +178,60 @@ def value_histogram(
             ),
         )
         .select(*gcols, "bucket", "bucket_lo", "n")
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Per-row trailing event-time aggregate: every input row gains
+    ``n_w`` / ``sum_w`` / ``avg_w`` over the key's rows with timestamp
+    in ``[ts - window_seconds, ts]`` (inclusive both ends — the
+    standard trailing-window monitor shape: errors per user in the last
+    hour, spend per host in the last day).
+
+    Event time is truncated to whole epoch seconds before framing (the
+    same discipline as the sessionizers — sub-second ordering is not
+    preserved by a RANGE frame anyway), so the DuckDB twin
+    (``ORDER BY floor(epoch(ts))::BIGINT RANGE BETWEEN w PRECEDING AND
+    CURRENT ROW``) frames identically.  ``sum_w``/``avg_w`` rounded to
+    6 dp.
+
+    Scale notes: ONE hash shuffle on the key + a per-key sort; Spark
+    evaluates the range frame as a sliding window (state = the rows
+    inside one window, not the whole partition).  A pathologically hot
+    key serializes its own partition — trailing windows cannot be
+    salted without changing semantics, so cap per-key event rates
+    upstream (the blocking-cap discipline) or pre-aggregate to coarser
+    time buckets first."""
+    # TZ-independent whole-second key (TIMESTAMP_NTZ has no direct long
+    # cast in Spark 4, and an LTZ round-trip would drag the session
+    # timezone into the frame boundaries)
+    sec = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(sec)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("n_w", F.count(v).over(w).cast("long"))
+        .withColumn("sum_w", F.round(F.sum(v).over(w), 6))
+        .withColumn(
+            "avg_w",
+            F.round(
+                F.when(F.count(v).over(w) > 0, F.sum(v).over(w) / F.count(v).over(w))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
     )
 
 

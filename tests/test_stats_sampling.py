@@ -189,3 +189,29 @@ def test_contamination_broadcast_plan(spark):
     bench = spark.createDataFrame([("a b c d e q r s",)], "text string")
     plan = contamination_stats(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the bench gram set is broadcast
+
+
+def test_rolling_stats_trailing_window(spark):
+    """Hand-computed trailing 10-second window, inclusive both ends,
+    seconds-truncated event time."""
+    from orchid_fst_spark.operators.stats import rolling_stats
+
+    rows = [
+        (1, "u", "2024-01-01 00:00:00.9", 1.0),   # truncates to t=0
+        (2, "u", "2024-01-01 00:00:05.0", 2.0),   # t=5
+        (3, "u", "2024-01-01 00:00:10.0", 4.0),   # t=10: window [0,10] all three
+        (4, "u", "2024-01-01 00:00:21.0", 8.0),   # t=21: window [11,21] only itself
+        (5, "v", "2024-01-01 00:00:06.0", 16.0),  # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r.event_id: (r.n_w, r.sum_w, r.avg_w)
+        for r in rolling_stats(df, ["user_id"], "ts", "value", 10).collect()
+    }
+    assert got[1] == (1, 1.0, 1.0)
+    assert got[2] == (2, 3.0, 1.5)
+    assert got[3] == (3, 7.0, round(7.0 / 3, 6))
+    assert got[4] == (1, 8.0, 8.0)
+    assert got[5] == (1, 16.0, 16.0)
