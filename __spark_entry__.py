@@ -78,6 +78,7 @@ from orchid_fst_spark.operators.sampling import (
 from orchid_fst_spark.operators.setsim import jaccard_prefix_pairs
 from orchid_fst_spark.operators.stats import (
     cube_stats,
+    equi_depth_histogram,
     rolling_stats,
     numeric_profile,
     repetition_stats,
@@ -1034,6 +1035,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_w",
         "sum_w",
         "avg_w",
+    )
+
+    # equi-depth (quantile) histogram: per-group exact-percentile
+    # boundaries broadcast back, codegen'd array binning, one aggregate
+    q["events_value_depth_hist"] = lambda spark, sf: equi_depth_histogram(
+        _events(spark, sf), "value", 8, ["event_type"]
     )
 
     q["events_hourly_counts"] = lambda spark, sf: windowed_event_counts(
@@ -2398,6 +2405,30 @@ SELECT event_id, user_id, ts,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
+    # equi-depth histogram: same quantile boundaries (quantile_cont ==
+    # Spark percentile), same v >= b binning rule
+    _qs = ", ".join(str(i / 8) for i in range(1, 8))
+    o["events_value_depth_hist"] = f"""
+WITH b AS (
+  SELECT event_type, quantile_cont(value, [{_qs}]) AS bs
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+k AS (
+  SELECT e.event_type,
+         len(list_filter(b.bs, x -> e.value >= x))::BIGINT AS bucket,
+         b.bs
+  FROM events e JOIN b USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+l AS (
+  SELECT event_type, bucket,
+         CASE WHEN bucket > 0 THEN round(bs[bucket::INT], 6) END AS lo,
+         CASE WHEN bucket < 7 THEN round(bs[(bucket + 1)::INT], 6) END AS hi
+  FROM k
+)
+SELECT event_type, bucket, lo, hi, count(*)::BIGINT AS n
+FROM l GROUP BY event_type, bucket, lo, hi"""
 
     o["train_eval_counts"] = """
 SELECT CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -238,6 +238,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "quality_gate_flags",
         "lang_distinct_sketch",
         "events_rolling",
+        "events_value_depth_hist",
     ]
     out = {}
     for name in headline:

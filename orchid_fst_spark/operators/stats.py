@@ -181,6 +181,76 @@ def value_histogram(
     )
 
 
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: rows are binned at the
+    per-group quantile boundaries, so every bucket holds ~1/n of the
+    group's rows regardless of the value distribution — the optimizer-
+    statistics twin of the fixed-width :func:`value_histogram` (skewed
+    values get resolution where the mass is).
+
+    Returns ``(group…, bucket, lo, hi, n)`` with ``bucket`` in
+    ``0..n_buckets-1``, ``lo``/``hi`` the bucket's boundary values
+    (NULL at the outer edges), empty buckets omitted (possible under
+    heavy ties).  A value exactly on a boundary lands in the higher
+    bucket (``v >= b``) in both engines.
+
+    Two passes: (1) one aggregate computes the ``n_buckets - 1``
+    interior boundaries per group — exact ``percentile`` (linear
+    interpolation == DuckDB ``quantile_cont``, the oracle twin) or
+    ``exact=False`` → ``approx_percentile`` (GK sketch), the
+    constant-memory 100 TB path; (2) the boundary arrays broadcast back
+    and binning is ``size(filter(bs, b -> v >= b))`` — a codegen'd
+    scan over a ≤ n_buckets-element array per row (the array is a join
+    attribute, not a computed alias, so the CollapseProject HOF
+    re-inline cannot touch it), then one hash aggregate."""
+    if n_buckets < 2:
+        raise ValueError("need n_buckets >= 2")
+    g = list(group_cols or [])
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    if exact:
+        pct = F.percentile(value_col, F.array(*[F.lit(q) for q in qs]))
+    else:
+        pct = F.approx_percentile(
+            value_col, F.array(*[F.lit(q) for q in qs]), F.lit(int(accuracy))
+        )
+    grouped = df.filter(F.col(value_col).isNotNull()).groupBy(*g)
+    bnds = grouped.agg(pct.alias("_bs"))
+    src = df.filter(F.col(value_col).isNotNull())
+    joined = (
+        src.join(F.broadcast(bnds), g) if g else src.crossJoin(F.broadcast(bnds))
+    )
+    v = F.col(value_col)
+    bucket = F.size(F.filter("_bs", lambda b: v >= b)).cast("long")
+    return (
+        joined.withColumn("bucket", bucket)
+        .groupBy(*g, "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.first("_bs").alias("_bs"),
+        )
+        .select(
+            *g,
+            "bucket",
+            F.when(
+                F.col("bucket") > 0,
+                F.round(F.element_at("_bs", F.col("bucket").cast("int")), 6),
+            ).alias("lo"),
+            F.when(
+                F.col("bucket") < n_buckets - 1,
+                F.round(F.element_at("_bs", F.col("bucket").cast("int") + 1), 6),
+            ).alias("hi"),
+            "n",
+        )
+    )
+
+
 def rolling_stats(
     df: DataFrame,
     key_cols: list[str],

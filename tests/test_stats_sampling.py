@@ -215,3 +215,45 @@ def test_rolling_stats_trailing_window(spark):
     assert got[3] == (3, 7.0, round(7.0 / 3, 6))
     assert got[4] == (1, 8.0, 8.0)
     assert got[5] == (1, 16.0, 16.0)
+
+
+def test_equi_depth_histogram_balanced(spark):
+    """Over a uniform 0..799 column with 8 buckets every bucket holds
+    exactly 100 rows, boundaries at the interpolated octiles."""
+    from orchid_fst_spark.operators.stats import equi_depth_histogram
+
+    df = spark.range(800).select(F.col("id").cast("double").alias("v"))
+    rows = {r.bucket: r for r in equi_depth_histogram(df, "v", 8).collect()}
+    assert set(rows) == set(range(8))
+    assert all(r.n == 100 for r in rows.values())
+    assert rows[0].lo is None and rows[7].hi is None
+    # interior boundaries are shared between neighbors
+    for b in range(7):
+        assert rows[b].hi == rows[b + 1].lo
+
+
+def test_equi_depth_histogram_boundary_goes_up(spark):
+    """A value exactly equal to a boundary lands in the HIGHER bucket
+    (v >= b), pinned with a heavily tied column where boundaries fall
+    exactly on data values."""
+    from orchid_fst_spark.operators.stats import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 1, 1, 2, 2, 2, 2]], "v double"
+    )
+    rows = {r.bucket: r.n for r in equi_depth_histogram(df, "v", 2).collect()}
+    # boundary = median = 1.5; 1s below, 2s at-or-above
+    assert rows == {0: 4, 1: 4}
+    df2 = spark.createDataFrame([(1.0,), (1.0,), (1.0,), (2.0,)], "v double")
+    rows2 = {r.bucket: r.n for r in equi_depth_histogram(df2, "v", 2).collect()}
+    # median = 1.0 exactly (tied data): every 1.0 satisfies v >= 1.0
+    assert rows2 == {1: 4}
+
+
+def test_equi_depth_histogram_validation(spark):
+    from orchid_fst_spark.operators.stats import equi_depth_histogram
+
+    df = spark.range(4).select(F.col("id").cast("double").alias("v"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", 1)
