@@ -291,17 +291,16 @@ def rolling_stats(
         .rangeBetween(-int(window_seconds), 0)
     )
     v = F.col(value_col)
-    return (
-        df.withColumn("n_w", F.count(v).over(w).cast("long"))
-        .withColumn("sum_w", F.round(F.sum(v).over(w), 6))
-        .withColumn(
-            "avg_w",
-            F.round(
-                F.when(F.count(v).over(w) > 0, F.sum(v).over(w) / F.count(v).over(w))
-                .otherwise(F.lit(0.0)),
-                6,
-            ),
-        )
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    # one select, not chained withColumns: all three expressions share
+    # the window spec, so Catalyst plans ONE Window node (a withColumn
+    # chain planned three — three passes over every partition)
+    return df.select(
+        "*",
+        n.cast("long").alias("n_w"),
+        F.round(s, 6).alias("sum_w"),
+        F.round(F.when(n > 0, s / n).otherwise(F.lit(0.0)), 6).alias("avg_w"),
     )
 
 

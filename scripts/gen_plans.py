@@ -530,6 +530,41 @@ def main() -> None:
                   "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.operators.stats import (
+        equi_depth_histogram,
+        rolling_stats,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    add(
+        "Rolling event-time aggregates (`operators.stats.rolling_stats`)",
+        "ONE hash exchange on the key feeds a per-key sort and a "
+        "sliding RANGE-frame Window (state bounded by the frame, not "
+        "the partition); the whole-second frame key is a codegen'd "
+        "timestampdiff projection.  No corpus-wide sort, no "
+        "single-partition exchange.",
+        rolling_stats(events, ["user_id"], "ts", "value", 3600),
+        must_contain=("Window", "RangeFrame"),
+        # all three aggregates share one spec -> ONE Window node (x2 names)
+        at_most={"Exchange": 2, "Window": 2},
+        must_not=("CartesianProduct", "SinglePartition", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
+    add(
+        "Equi-depth histogram (`operators.stats.equi_depth_histogram`)",
+        "Pass 1 = one percentile aggregate per group (exact here; the "
+        "GK-sketch approx_percentile is the constant-memory switch); "
+        "pass 2 broadcasts the boundary arrays back and bins with a "
+        "codegen'd array filter over a JOIN ATTRIBUTE (never a "
+        "computed-alias array inside a lambda — the CollapseProject "
+        "trap), then one hash aggregate.  No Window anywhere.",
+        equi_depth_histogram(events, "value", 8, ["event_type"]),
+        must_contain=("BroadcastHashJoin", "percentile"),
+        must_not=("CartesianProduct", "Window", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"
