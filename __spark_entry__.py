@@ -48,7 +48,9 @@ from orchid_fst_spark.operators import (
     prefix_lookup,
     range_lookup,
 )
+from orchid_fst_spark.operators.graph import degree_stats, pagerank
 from orchid_fst_spark.operators.dedup import (
+    containment_pairs,
     crawl_diff,
     exact_dedup,
     keep_latest,
@@ -240,6 +242,73 @@ def _pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("html"),
         F.col("text"),
         F.col("lang"),
+    )
+
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic link graph over documents: doc i links
+    to (i*31 + k) % N for k in {1, 7, 42} (N = max doc_id + 1),
+    self-loops dropped — both engines reproduce it from arithmetic."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    nn = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("nn")))
+    return (
+        docs.crossJoin(nn)
+        .select(
+            "doc_id",
+            "nn",
+            F.explode(F.array(F.lit(1), F.lit(7), F.lit(42))).alias("k"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + F.col("k")) % F.col("nn")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+_SQL_DOC_EDGES = r"""
+nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 31 + k) % (SELECT n FROM nn) AS dst
+  FROM documents, unnest([1, 7, 42]) AS t(k)
+  WHERE doc_id <> (doc_id * 31 + k) % (SELECT n FROM nn)
+)
+"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5, alpha: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as plain (non-recursive) CTEs —
+    the aggregate-in-recursive-term restriction makes WITH RECURSIVE a
+    non-starter, and unrolling keeps the oracle pure ANSI."""
+    parts = [
+        _SQL_DOC_EDGES.strip(),
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS pr FROM nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(pr), 0) AS dm FROM r{i}"
+            f" LEFT JOIN outdeg ON r{i}.node = outdeg.src WHERE od IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst, sum(r.pr / o.od) AS c FROM edges e"
+            f" JOIN r{i} r ON e.src = r.node"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node,"
+            f" (1 - {alpha}) / (SELECT n FROM cnt)"
+            f" + {alpha} * (coalesce(c.c, 0)"
+            f" + (SELECT dm FROM d{i}) / (SELECT n FROM cnt)) AS pr"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(pr, 6) AS pr FROM r{iterations}"
     )
 
 
@@ -520,6 +589,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .groupBy("fp")
         .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
+    )
+    q["containment_pairs"] = lambda spark, sf: containment_pairs(
+        _docs(spark, sf),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_num=8,
+        threshold_den=10,
+        df_cap=5000,
     )
     q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_pairs(
         _docs(spark, sf),
@@ -1250,6 +1328,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p=HLL_P,
     ).select("lang", "m", "n_zero", "s_num", "est")
 
+    # --- link-graph analytics (operators/graph.py): deterministic
+    # doc-id-arithmetic link graph (each doc links to (id*31+k) % N for
+    # k in {1,7,42}, self-loops dropped) -> degree stats in one
+    # aggregate, PageRank as 5 fixed power iterations (domain-authority
+    # corpus-quality weighting) ---
+    q["doc_link_degrees"] = lambda spark, sf: degree_stats(
+        _doc_edges(spark, sf)
+    )
+    q["doc_pagerank"] = lambda spark, sf: pagerank(
+        _doc_edges(spark, sf), iterations=5, alpha=0.85, round_dp=6
+    ).withColumnRenamed("rank", "pr")
+
     def _with_shipped(fn):
         def g(spark, sf):
             _ship_package(spark)  # workers must import the package even
@@ -1459,6 +1549,24 @@ WITH fps AS (
   FROM documents
 )
 SELECT fp, min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_docs FROM fps GROUP BY fp"""
+
+    # asymmetric containment (Broder SEQUENCES'97): same shingle CTE,
+    # integer-exact threshold vs least(|A|, |B|) — catches short-in-long
+    # duplication symmetric Jaccard misses; df_cap mirrored from Spark
+    o["containment_pairs"] = f"""WITH {_SQL_SHINGLES},
+dfq AS (SELECT s, count(*) AS sh_df FROM sh GROUP BY s),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s) WHERE sh_df <= 5000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter::BIGINT AS inter,
+       least(sa.n, sb.n)::BIGINT AS n_small
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 10 >= 8 * least(sa.n, sb.n)"""
 
     # df_cap=5000 mirrored from the Spark entry: shingles with document
     # frequency above the cap are excluded from the intersection join;
@@ -2656,5 +2764,17 @@ canon AS (
 )
 SELECT curl, count(*)::BIGINT AS n_pages, min(doc_id)::BIGINT AS keep_id
 FROM canon GROUP BY curl"""
+
+    # link-graph family: degree stats as the single union-tag aggregate,
+    # PageRank unrolled to 5 plain-CTE power iterations (rounded 6dp on
+    # output only, matching the Spark operator)
+    o["doc_link_degrees"] = f"""WITH {_SQL_DOC_EDGES.strip()}
+SELECT node, sum(o)::BIGINT AS out_degree, sum(i)::BIGINT AS in_degree
+FROM (
+  SELECT src AS node, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT dst AS node, 0 AS o, 1 AS i FROM edges
+) GROUP BY node"""
+    o["doc_pagerank"] = _pagerank_oracle_sql(iterations=5, alpha=0.85)
 
     return o

@@ -242,6 +242,89 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    df_cap: int = 5000,
+    min_shingles: int = 1,
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram *containment*:
+    ``|A∩B| / min(|A|, |B|) >= num/den`` (Broder's containment measure,
+    "On the resemblance and containment of documents", SEQUENCES'97).
+
+    Catches the dup family symmetric Jaccard structurally misses: a
+    short document embedded verbatim inside a much longer one (quoted
+    articles, paginated shards of one page, boilerplate-wrapped
+    reposts).  For |A| << |B| Jaccard is at most |A|/|B| no matter how
+    completely A is contained, so a 100-token quote inside a 10k-token
+    page scores ~0.01 Jaccard but 1.0 containment.
+
+    Same integer-exact, cap-disciplined pipeline as
+    ``ngram_jaccard_pairs`` (shingles -> hot-shingle df cap -> hashed
+    equi-join -> intersection counts -> size join -> integer threshold):
+    the decision compares ``inter * den >= num * least(na, nb)`` in
+    64-bit integers, so the candidate set is engine-independent and
+    fully oracle-checkable.  ``df_cap`` drops corpus-common shingles
+    before the O(df²) join — for containment the conservative direction
+    is the same as for Jaccard (capped shingles still count toward both
+    sizes but never the intersection, so the reported score only
+    under-states true containment).  ``min_shingles`` floors the SMALL
+    side: one-shingle docs are contained in everything that quotes
+    their three words, which at web scale is pure noise — the floor is
+    applied to ``least(na, nb)`` after the size join (no extra pass).
+
+    Returns (id_a, id_b, inter, n_small) with id_a < id_b; the score is
+    inter/n_small.  Scale: identical shuffle profile to
+    ``ngram_jaccard_pairs`` — the only new work is the ``least`` in the
+    final filter.
+    """
+    sh = _maybe_persist(
+        shingle_df(df, id_col, text_col, n).select(
+            "id", F.xxhash64("sh").alias("shh")
+        ),
+        storage,
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hot = (
+        sh.groupBy("shh")
+        .agg(F.count("*").alias("sh_df"))
+        .filter(F.col("sh_df") > df_cap)
+        .select("shh")
+    )
+    shc = sh.join(F.broadcast(hot), "shh", "left_anti")
+    a = shc.select(F.col("id").alias("id_a"), "shh")
+    b = shc.select(F.col("id").alias("id_b"), "shh")
+    inter = (
+        a.join(b, "shh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"),
+            "id_b",
+        )
+        .withColumn("n_small", F.least(F.col("na"), F.col("nb")))
+        .filter(F.col("n_small") >= min_shingles)
+        .filter(
+            F.col("inter") * threshold_den
+            >= F.lit(threshold_num) * F.col("n_small")
+        )
+        .select("id_a", "id_b", "inter", "n_small")
+    )
+    return out
+
+
 def ngram_shingle_metrics(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, df_cap: int = 5000
 ) -> DataFrame:

@@ -68,6 +68,66 @@ def test_ngram_jaccard_exact(spark, docs_df):
                 assert (ia, ib) not in got
 
 
+def test_containment_short_in_long(spark):
+    """Containment finds a short doc embedded verbatim in a long one,
+    which symmetric Jaccard structurally cannot (J <= |A|/|B|); exact
+    brute-force parity on every pair at threshold 0.8."""
+    from orchid_fst_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"tok{i} word{i} item{i}" for i in range(40))
+    docs = [
+        (0, quote),                              # short doc
+        (1, filler + " " + quote),               # long doc quoting it
+        (2, "totally unrelated content stream of other words here"),
+        (3, quote + " with a small tail added"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = {i: _shingles(t) for i, t in docs}
+
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.n_small)
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, threshold_num=8, threshold_den=10
+        ).collect()
+    }
+    expect = {}
+    ids = sorted(sh)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            inter = len(sh[a] & sh[b])
+            small = min(len(sh[a]), len(sh[b]))
+            if inter * 10 >= 8 * small:
+                expect[(a, b)] = (inter, small)
+    assert got == expect
+    assert (0, 1) in got  # the embedded quote is found...
+
+    # ...and symmetric Jaccard at the same 0.8 bar misses it
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold_num=8, threshold_den=10
+        ).collect()
+    }
+    assert (0, 1) not in jac
+
+    # min_shingles floors the small side: raising it above |quote|'s
+    # shingle count removes every pair anchored on doc 0
+    floored = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(
+            df,
+            "doc_id",
+            "text",
+            n=3,
+            threshold_num=8,
+            threshold_den=10,
+            min_shingles=len(sh[0]) + 1,
+        ).collect()
+    }
+    assert all(0 not in p for p in floored)
+
+
 def test_ngram_hot_shingle_cap(spark):
     """A corpus-common boilerplate shingle must be droppable (df_cap)
     before the O(df²) self-join, with the drop observable in metrics and
