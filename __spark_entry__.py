@@ -60,6 +60,7 @@ from orchid_fst_spark.operators.dedup import (
     simhash,
     simhash_pairs,
     span_dedup,
+    strip_boilerplate,
 )
 from orchid_fst_spark.operators.ranking import (
     bm25_scores,
@@ -242,6 +243,24 @@ def _pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("html"),
         F.col("text"),
         F.col("lang"),
+    )
+
+
+def _boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic multi-line bodies: the original
+    text, a per-source boilerplate footer (shared by every doc of the
+    source), and a per-doc unique line — both engines rebuild it from
+    arithmetic, giving strip_boilerplate non-trivial df structure at
+    every sf."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.coalesce(F.col("text"), F.lit("")),
+            F.concat(F.lit("copyright "), F.col("source"), F.lit(" footer")),
+            F.concat(F.lit("doc "), F.col("doc_id")),
+        ).alias("text"),
     )
 
 
@@ -1327,6 +1346,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         p=HLL_P,
     ).select("lang", "m", "n_zero", "s_num", "est")
+
+    # --- line-level boilerplate removal (CCNet-style): per-source
+    # line-df strike over the deterministic multi-line corpus — the
+    # injected per-source footer is boilerplate everywhere, the per-doc
+    # line never is, and colliding text slugs strike where df > cap ---
+    q["boilerplate_stripped"] = lambda spark, sf: strip_boilerplate(
+        _boiler_docs(spark, sf),
+        "doc_id",
+        "text",
+        group_col="source",
+        line_df_cap=3,
+    )
 
     # --- link-graph analytics (operators/graph.py): deterministic
     # doc-id-arithmetic link graph (each doc links to (id*31+k) % N for
@@ -2764,6 +2795,37 @@ canon AS (
 )
 SELECT curl, count(*)::BIGINT AS n_pages, min(doc_id)::BIGINT AS keep_id
 FROM canon GROUP BY curl"""
+
+    # line-level boilerplate removal: per-(source, line) DISTINCT-doc
+    # df, strike df > 3, reassemble by line position (string_agg is
+    # NULL-skipping and ordered — the twin of Spark's array_sort +
+    # transform + array_join over kept (pos, line) structs)
+    o["boilerplate_stripped"] = r"""
+WITH bd AS (
+  SELECT doc_id, source,
+         coalesce(text, '') || chr(10) || 'copyright ' || source || ' footer'
+           || chr(10) || 'doc ' || doc_id AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, grp, i AS pos, l[i] AS line
+  FROM (SELECT doc_id, source AS grp, string_split(text, chr(10)) AS l FROM bd),
+       unnest(generate_series(1, len(l))) AS t(i)
+),
+freq AS (
+  SELECT grp, line, count(DISTINCT doc_id) AS line_df
+  FROM lines GROUP BY grp, line
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (f.line_df <= 3) AS keep
+  FROM lines l JOIN freq f ON l.grp = f.grp AND l.line = f.line
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+         AS clean_text
+FROM flagged GROUP BY doc_id"""
 
     # link-graph family: degree stats as the single union-tag aggregate,
     # PageRank unrolled to 5 plain-CTE power iterations (rounded 6dp on

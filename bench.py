@@ -239,6 +239,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "lang_distinct_sketch",
         "events_rolling",
         "events_value_depth_hist",
+        "containment_pairs",
+        "doc_pagerank",
     ]
     out = {}
     for name in headline:

@@ -872,6 +872,80 @@ def span_dedup(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    line_df_cap: int = 2,
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/Common-Crawl paragraph
+    dedup step, Wenzek et al. LREC'20, applied at line granularity):
+    drop every line that occurs in more than ``line_df_cap`` DISTINCT
+    documents of the same ``group_col`` group (pass the host/source
+    column — navigation, footers and cookie banners repeat within a
+    site; ``None`` = one corpus-wide group), then reassemble each
+    document from its surviving lines in order.
+
+    Output: (doc_id, n_lines, n_removed, clean_text) for EVERY input
+    document.  Differences from ``span_dedup`` (its token-window twin):
+    granularity is physical lines, frequency is per-group DISTINCT-doc
+    df (a line repeated inside one page is not boilerplate), and the
+    keep/strike decision applies to all copies of a line in a doc.
+
+    Integer/string math only (md5 line hashes, BIGINT counts) — fully
+    oracle-checkable.  Plan shape: posexplode lines → distinct (group,
+    line-hash, doc) → hash aggregate for df (shuffle rows are 8+32-byte
+    hashes, never line text) → equi-join back on (group, hash) → one
+    per-doc aggregate to reassemble.  A footer shared by millions of
+    pages only ever hits aggregates — no pair join, no O(df²) term.
+    The line frame feeds both the df count and the join, so it is
+    persisted under ``storage`` (registered for release_persisted)."""
+    grp = F.col(group_col) if group_col else F.lit("")
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        grp.alias("grp"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    h = _maybe_persist(lines.withColumn("h", F.md5("line")), storage)
+    freq = (
+        h.select("grp", "h", "doc_id")
+        .distinct()
+        .groupBy("grp", "h")
+        .agg(F.count("*").alias("line_df"))
+    )
+    flagged = h.join(freq, ["grp", "h"]).withColumn(
+        "keep", F.col("line_df") <= F.lit(line_df_cap)
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def keep_latest(
     df: DataFrame,
     key_cols: list[str],

@@ -155,14 +155,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        prev = ranks
+        # each iteration's frame is persisted but NOT force-materialized:
+        # on the final action, computing iteration i triggers iteration
+        # i-1 exactly once (the first scan populates its cache; the
+        # second scan within the same iteration hits it), so total work
+        # stays linear without paying one driver job per iteration.
+        # All `iterations` rank frames stay cached simultaneously —
+        # node-sized, orders of magnitude below the edge frame — and are
+        # registered with util.storage.release_persisted for cleanup.
         ranks = _maybe_persist(new_ranks, storage)
-        # force the new frame before releasing its parent, then free
-        # the previous iteration's storage (bounded memory over many
-        # iterations)
-        if storage is not None:
-            ranks.count()
-            prev.unpersist()
 
     if round_dp is not None:
         ranks = ranks.select("node", F.round("rank", round_dp).alias("rank"))

@@ -565,6 +565,38 @@ def main() -> None:
                   "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.operators.dedup import containment_pairs
+    from orchid_fst_spark.operators.graph import pagerank
+
+    add(
+        "Containment near-dup pairs (`operators.dedup.containment_pairs`)",
+        "Identical shuffle profile to ngram_jaccard_pairs (the asserted "
+        "plan above): hot shingles removed by a BROADCAST anti-join "
+        "before the O(df²) self equi-join, 8-byte xxhash64 join keys, "
+        "integer-exact threshold vs least(|A|,|B|) folded into codegen. "
+        "No cartesian, no Python.",
+        containment_pairs(docs, "doc_id", "text", storage=None),
+        must_contain=("BroadcastHashJoin", "xxhash64"),
+        must_not=("CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
+    add(
+        "PageRank power iteration (`operators.graph.pagerank`, 1 iter)",
+        "One iteration = equi-join of the persisted (src,dst,outdeg) "
+        "edge frame with the node-sized rank frame + ONE hash aggregate "
+        "on dst; the two scalars (node count, dangling mass) ride "
+        "broadcast one-row frames (BroadcastNestedLoopJoin over a "
+        "single row, not a cartesian of data).  Rank frame persisted "
+        "per iteration because two consumers read it (contribs + "
+        "dangling mass) — without it lineage doubles per iteration.  "
+        "No Python, no corpus-wide window.",
+        pagerank(entry._doc_edges(spark, SF), iterations=1, storage=None),
+        must_contain=("HashAggregate",),
+        must_not=("CartesianProduct", "Window", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"

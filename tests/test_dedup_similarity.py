@@ -128,6 +128,47 @@ def test_containment_short_in_long(spark):
     assert all(0 not in p for p in floored)
 
 
+def test_strip_boilerplate(spark):
+    """Per-group line-df boilerplate removal: a footer shared by 3 docs
+    of site A is struck (cap 2), the same footer on only 2 docs of
+    site B survives; within-doc repeats count once toward df but all
+    copies are struck together; reassembly preserves line order."""
+    from orchid_fst_spark.operators.dedup import strip_boilerplate
+
+    footer = "all rights reserved"
+    docs = [
+        (0, "a", "unique zero\n" + footer),
+        (1, "a", footer + "\nunique one\n" + footer),  # in-doc repeat
+        (2, "a", "unique two\n" + footer + "\nmore two"),
+        (3, "b", "unique three\n" + footer),
+        (4, "b", footer + "\nunique four"),
+        (5, "b", ""),  # single empty line, df 1 in group b
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, src string, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+        for r in strip_boilerplate(
+            df, "doc_id", "text", group_col="src", line_df_cap=2
+        ).collect()
+    }
+    assert got[0] == (2, 1, "unique zero")
+    assert got[1] == (3, 2, "unique one")  # both footer copies struck
+    assert got[2] == (3, 1, "unique two\nmore two")  # order preserved
+    # group b: footer df is 2 <= cap, kept
+    assert got[3] == (2, 0, "unique three\n" + footer)
+    assert got[4] == (2, 0, footer + "\nunique four")
+    assert got[5] == (1, 0, "")
+
+    # corpus-wide grouping (group_col=None): footer df is 5 > 2
+    allg = {
+        r.doc_id: r.n_removed
+        for r in strip_boilerplate(
+            df, "doc_id", "text", group_col=None, line_df_cap=2
+        ).collect()
+    }
+    assert allg == {0: 1, 1: 2, 2: 1, 3: 1, 4: 1, 5: 0}
+
+
 def test_ngram_hot_shingle_cap(spark):
     """A corpus-common boilerplate shingle must be droppable (df_cap)
     before the O(df²) self-join, with the drop observable in metrics and
