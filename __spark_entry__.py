@@ -49,6 +49,7 @@ from orchid_fst_spark.operators import (
     range_lookup,
 )
 from orchid_fst_spark.operators.graph import degree_stats, pagerank
+from orchid_fst_spark.operators.search import boolean_search, phrase_search
 from orchid_fst_spark.operators.dedup import (
     containment_pairs,
     crawl_diff,
@@ -1346,6 +1347,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         p=HLL_P,
     ).select("lang", "m", "n_zero", "s_num", "est")
+
+    # --- exact retrieval (operators/search.py): positional-postings
+    # phrase search and boolean AND/AND-NOT — both filter the token
+    # explode to the query vocabulary before anything shuffles ---
+    q["phrase_search_docs"] = lambda spark, sf: phrase_search(
+        _docs(spark, sf), "doc_id", "text", ["fast", "merge"]
+    )
+    q["boolean_search_docs"] = lambda spark, sf: boolean_search(
+        _docs(spark, sf),
+        "doc_id",
+        "text",
+        must=["spark", "join"],
+        must_not=["customer"],
+    )
 
     # --- line-level boilerplate removal (CCNet-style): per-source
     # line-df strike over the deterministic multi-line corpus — the
@@ -2795,6 +2810,33 @@ canon AS (
 )
 SELECT curl, count(*)::BIGINT AS n_pages, min(doc_id)::BIGINT AS keep_id
 FROM canon GROUP BY curl"""
+
+    # exact retrieval: per-term position frames anchored at pos - i and
+    # joined on (doc, anchor) == adjacency in order (phrase), and
+    # distinct query-term hits counted per doc + NOT-IN exclusion
+    # (boolean) — both the literal twins of the Spark plans
+    o["phrase_search_docs"] = f"""WITH {_SQL_TOKS},
+p AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS term
+  FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[i] IN ('fast', 'merge')
+),
+m0 AS (SELECT doc_id, pos AS anchor FROM p WHERE term = 'fast'),
+m1 AS (SELECT doc_id, pos - 1 AS anchor FROM p WHERE term = 'merge')
+SELECT m0.doc_id, count(*)::BIGINT AS n_matches
+FROM m0 JOIN m1 USING (doc_id, anchor) GROUP BY m0.doc_id"""
+    o["boolean_search_docs"] = f"""WITH {_SQL_TOKS},
+hits AS (
+  SELECT DISTINCT doc_id, l[i] AS term
+  FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[i] IN ('spark', 'join', 'customer')
+),
+keep AS (
+  SELECT doc_id FROM hits WHERE term IN ('spark', 'join')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT doc_id FROM keep
+WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE term = 'customer')"""
 
     # line-level boilerplate removal: per-(source, line) DISTINCT-doc
     # df, strike df > 3, reassemble by line position (string_agg is

@@ -1,0 +1,108 @@
+"""Keyword search operators over document tables: positional-postings
+phrase search and boolean (AND / AND-NOT) term search.
+
+Complements ``ranking.bm25_scores`` (relevance scoring) with the exact
+retrieval primitives: *phrase* ("these tokens, adjacent, in order") and
+*boolean* ("all of these terms, none of those").
+
+Scale notes (100 TB): both operators filter the token explode down to
+the QUERY vocabulary before anything shuffles — the postings frame that
+reaches a join or aggregate carries only hits of the handful of query
+terms, never the corpus's token stream.  Phrase matching joins the
+per-term position frames on (doc, anchor); after the first exchange
+every join side is hash-partitioned on the same key, and with AQE the
+rarest term's frame typically broadcasts.  Boolean search is ONE
+distinct + ONE hash aggregate + an anti-join — no pair joins, no
+windows, no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.normalize import tokens
+from ..util.storage import maybe_persist as _maybe_persist
+
+
+def postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional postings: one row per token occurrence,
+    (doc_id, pos, term), pos 0-based.  Pure Catalyst (split +
+    posexplode)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Documents containing the exact token phrase (adjacent, in
+    order); returns (doc_id, n_matches) with n_matches ≥ 1 counting
+    distinct starting positions (overlapping occurrences each count).
+
+    Plan: postings are filtered to the phrase vocabulary FIRST (the
+    filter sits on the generated column, so only query-term hits leave
+    the scan stage), then the i-th term's positions are anchored at
+    ``pos - i`` and the m frames equi-joined on (doc_id, anchor) — a
+    match survives all m-1 joins exactly when the terms are adjacent in
+    order.  The filtered postings frame feeds every per-term branch, so
+    it is persisted under ``storage`` (registered with
+    util.storage.release_persisted)."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    p = _maybe_persist(
+        postings(docs, id_col, text_col).filter(
+            F.col("term").isin(list(set(phrase)))
+        ),
+        storage,
+    )
+    out = None
+    for i, term in enumerate(phrase):
+        side = p.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("anchor")
+        )
+        out = side if out is None else out.join(side, ["doc_id", "anchor"])
+    return out.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+
+
+def boolean_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    must: list[str],
+    must_not: list[str] | None = None,
+) -> DataFrame:
+    """Documents containing ALL ``must`` terms and NONE of the
+    ``must_not`` terms; returns (doc_id).
+
+    Plan: the token explode is filtered to the combined query
+    vocabulary, deduped to (doc_id, term), then one hash aggregate
+    counts distinct matched must-terms per doc (== |set(must)| keeps)
+    and a left-anti join removes docs carrying any excluded term.  The
+    corpus token stream never shuffles — only query-term hits do."""
+    if not must:
+        raise ValueError("must terms required")
+    must_set = sorted(set(must))
+    not_set = sorted(set(must_not or []))
+    hits = (
+        postings(docs, id_col, text_col)
+        .filter(F.col("term").isin(must_set + not_set))
+        .select("doc_id", "term")
+        .distinct()
+    )
+    keep = (
+        hits.filter(F.col("term").isin(must_set))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == len(must_set))
+        .select("doc_id")
+    )
+    if not_set:
+        bad = hits.filter(F.col("term").isin(not_set)).select("doc_id").distinct()
+        keep = keep.join(bad, "doc_id", "left_anti")
+    return keep
