@@ -247,6 +247,53 @@ def _pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _publish_artifact(path: str, build_into) -> None:
+    """Build-once/serve-many artifact publication with a crash- and
+    race-safe atomic rename: ``build_into(tmp)`` writes into a unique
+    temp dir which is renamed to ``path``.  On a rename conflict, either
+    another process just published a good artifact (path/_SUCCESS
+    present — serve theirs) or a crashed earlier build left a partial
+    dir.  Never rmtree whatever currently sits at ``path`` (a
+    check-then-delete window could destroy an artifact a concurrent
+    builder just published): atomically rename the suspect dir ASIDE,
+    inspect the private copy, and restore it if it turns out to be a
+    freshly published good artifact."""
+    import os as _os
+    import shutil as _sh
+
+    if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.tmp{_os.getpid()}"
+    build_into(tmp)
+    try:
+        _os.rename(tmp, path)
+    except OSError:
+        if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            _sh.rmtree(tmp, ignore_errors=True)
+        else:
+            aside = f"{path}.aside{_os.getpid()}"
+            try:
+                _os.rename(path, aside)
+            except OSError:
+                aside = None  # path vanished under us
+            if aside and _os.path.exists(_os.path.join(aside, "_SUCCESS")):
+                # stole a just-published good artifact: put it back
+                # (unless a third builder already filled path, in which
+                # case both copies are good)
+                try:
+                    _os.rename(aside, path)
+                except OSError:
+                    _sh.rmtree(aside, ignore_errors=True)
+                _sh.rmtree(tmp, ignore_errors=True)
+            else:
+                if aside:
+                    _sh.rmtree(aside, ignore_errors=True)
+                try:
+                    _os.rename(tmp, path)
+                except OSError:  # lost again; theirs is good
+                    _sh.rmtree(tmp, ignore_errors=True)
+
+
 def _boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with deterministic multi-line bodies: the original
     text, a per-source boilerplate footer (shared by every doc of the
@@ -403,9 +450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the query runs off the pickled shard DAGs — same oracle as
     # the live fuzzy lookup
     def _index_fuzzy(spark, sf):
-        import os as _os
-        import shutil as _sh
-
         from orchid_fst_spark.operators.index import (
             build_index,
             index_fuzzy_lookup,
@@ -421,46 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n"), F.bit_xor(F.xxhash64("key", "value")).alias("h")
         ).collect()[0]
         path = f"/tmp/orchid_fst_index_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
-        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-            tmp = f"{path}.tmp{_os.getpid()}"
-            build_index(d, tmp, n_shards=8)
-            try:
-                _os.rename(tmp, path)
-            except OSError:
-                # either another process won the race (path/_SUCCESS now
-                # present — serve theirs) or a crashed earlier build left
-                # a partial dir without _SUCCESS.  Never rmtree whatever
-                # currently sits at `path` (a check-then-delete window
-                # could destroy an artifact a concurrent builder just
-                # published): atomically rename the suspect dir ASIDE,
-                # inspect the private copy, and restore it if it turns
-                # out to be a freshly published good artifact.
-                if _os.path.exists(_os.path.join(path, "_SUCCESS")):
-                    _sh.rmtree(tmp, ignore_errors=True)
-                else:
-                    aside = f"{path}.aside{_os.getpid()}"
-                    try:
-                        _os.rename(path, aside)
-                    except OSError:
-                        aside = None  # path vanished under us
-                    if aside and _os.path.exists(
-                        _os.path.join(aside, "_SUCCESS")
-                    ):
-                        # stole a just-published good artifact: put it
-                        # back (unless a third builder already filled
-                        # path, in which case both copies are good)
-                        try:
-                            _os.rename(aside, path)
-                        except OSError:
-                            _sh.rmtree(aside, ignore_errors=True)
-                        _sh.rmtree(tmp, ignore_errors=True)
-                    else:
-                        if aside:
-                            _sh.rmtree(aside, ignore_errors=True)
-                        try:
-                            _os.rename(tmp, path)
-                        except OSError:  # lost again; theirs is good
-                            _sh.rmtree(tmp, ignore_errors=True)
+        _publish_artifact(path, lambda tmp: build_index(d, tmp, n_shards=8))
         return index_fuzzy_lookup(load_index(spark, path), "scan", 2).withColumn(
             "dist", F.levenshtein(F.col("key"), F.lit("scan")).cast("long")
         )
@@ -1361,6 +1366,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         must=["spark", "join"],
         must_not=["customer"],
     )
+
+    # --- persisted inverted index (operators/text_index.py): build the
+    # term-bucketed postings artifact once (content-fingerprint keyed,
+    # atomic publish), then serve the phrase query off it — bucket
+    # partition pruning + term pushdown instead of re-tokenizing ---
+    def _indexed_phrase(spark, sf):
+        from orchid_fst_spark.operators.text_index import (
+            build_text_index,
+            indexed_phrase_search,
+            load_text_index,
+        )
+
+        docs = _docs(spark, sf)
+        fp = docs.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
+        ).collect()[0]
+        path = f"/tmp/orchid_fst_textidx_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
+        _publish_artifact(
+            path,
+            lambda tmp: build_text_index(
+                docs, "doc_id", "text", tmp, n_buckets=16
+            ),
+        )
+        return indexed_phrase_search(
+            spark, load_text_index(spark, path), ["the", "spark"]
+        )
+
+    q["indexed_phrase_scan"] = _indexed_phrase
 
     # --- line-level boilerplate removal (CCNet-style): per-source
     # line-df strike over the deterministic multi-line corpus — the
@@ -2837,6 +2871,19 @@ keep AS (
 )
 SELECT doc_id FROM keep
 WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE term = 'customer')"""
+
+    # the artifact-served phrase query must equal the straight scan —
+    # the oracle is the same positional self-join on the raw table
+    o["indexed_phrase_scan"] = f"""WITH {_SQL_TOKS},
+p AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS term
+  FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[i] IN ('the', 'spark')
+),
+m0 AS (SELECT doc_id, pos AS anchor FROM p WHERE term = 'the'),
+m1 AS (SELECT doc_id, pos - 1 AS anchor FROM p WHERE term = 'spark')
+SELECT m0.doc_id, count(*)::BIGINT AS n_matches
+FROM m0 JOIN m1 USING (doc_id, anchor) GROUP BY m0.doc_id"""
 
     # line-level boilerplate removal: per-(source, line) DISTINCT-doc
     # df, strike df > 3, reassemble by line position (string_agg is

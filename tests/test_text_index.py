@@ -1,0 +1,90 @@
+"""Persisted positional inverted index: artifact round-trip equals the
+batch search operators, and the plan proves bucket partition pruning +
+term pushdown (the artifact's entire reason to exist)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from orchid_fst_spark.operators.search import boolean_search, phrase_search
+from orchid_fst_spark.operators.text_index import (
+    build_text_index,
+    indexed_boolean_search,
+    indexed_phrase_search,
+    indexed_postings,
+    load_text_index,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def idx(spark, docs):
+    d = tempfile.mkdtemp(prefix="txtidx_")
+    shutil.rmtree(d)  # build wants a fresh path (mode=error)
+    build_text_index(docs, "doc_id", "text", d, n_buckets=16)
+    yield load_text_index(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_indexed_phrase_equals_batch(spark, docs, idx):
+    for phrase in (["fast", "merge"], ["the"], ["a", "a"]):
+        got = {
+            r.doc_id: r.n_matches
+            for r in indexed_phrase_search(spark, idx, phrase).collect()
+        }
+        want = {
+            r.doc_id: r.n_matches
+            for r in phrase_search(
+                docs, "doc_id", "text", phrase, storage=None
+            ).collect()
+        }
+        assert got == want, phrase
+        assert got  # non-trivial on the test corpus
+
+
+def test_indexed_boolean_equals_batch(spark, docs, idx):
+    got = {
+        r.doc_id
+        for r in indexed_boolean_search(
+            spark, idx, must=["spark", "join"], must_not=["customer"]
+        ).collect()
+    }
+    want = {
+        r.doc_id
+        for r in boolean_search(
+            docs,
+            "doc_id",
+            "text",
+            must=["spark", "join"],
+            must_not=["customer"],
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_partition_pruning_and_pushdown(spark, idx):
+    """The scan must prune to the query terms' bucket directories at
+    planning time and push the term IN-list into parquet."""
+    df = indexed_postings(spark, idx, ["fast", "merge"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "term" in plan
+    # directory pruning is visible as a small partition count (<= one
+    # dir per distinct query-term bucket)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan
+
+
+def test_load_rejects_unpublished(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_text_index(spark, str(tmp_path / "nope"))
+
+
+def test_uri_paths_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        build_text_index(docs, "doc_id", "text", "hdfs://nn/x", 8)
