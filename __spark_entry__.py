@@ -1383,7 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
         ).collect()[0]
-        path = f"/tmp/orchid_fst_textidx_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
+        # v2: the artifact gained the _meta sidecar + per-posting dl
+        path = f"/tmp/orchid_fst_textidx2_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
         _publish_artifact(
             path,
             lambda tmp: build_text_index(
@@ -1395,6 +1396,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["indexed_phrase_scan"] = _indexed_phrase
+
+    # BM25 served off a lowercase-built artifact: tf/dl from the pruned
+    # postings read, n_docs/avgdl from the _meta sidecar — zero corpus
+    # scans per query; must equal the batch bm25_search scorer exactly
+    def _indexed_bm25(spark, sf):
+        from orchid_fst_spark.operators.text_index import (
+            build_text_index,
+            indexed_bm25,
+            load_text_index,
+        )
+
+        docs = _docs(spark, sf)
+        fp = docs.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
+        ).collect()[0]
+        path = f"/tmp/orchid_fst_textidx_lc_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
+        _publish_artifact(
+            path,
+            lambda tmp: build_text_index(
+                docs, "doc_id", "text", tmp, n_buckets=16, lowercase=True
+            ),
+        )
+        return indexed_bm25(
+            spark, load_text_index(spark, path), list(BM25_QUERY_TERMS)
+        )
+
+    q["indexed_bm25_search"] = _indexed_bm25
 
     # --- line-level boilerplate removal (CCNet-style): per-source
     # line-df strike over the deterministic multi-line corpus — the
@@ -2313,6 +2342,10 @@ SELECT doc_id,
        ), 6) AS score
 FROM hits JOIN dfq USING (term) CROSS JOIN stats
 GROUP BY doc_id"""
+
+    # the artifact-served scorer must reproduce the batch scorer row for
+    # row — same oracle
+    o["indexed_bm25_search"] = o["bm25_search"]
 
     # span dedup twin: spans are 1-based inclusive list slices; DuckDB's
     # generate_series(0, -1) is empty, so token-less docs re-enter via

@@ -17,33 +17,39 @@ At 100 TB a phrase query reads a few buckets' worth of postings instead
 of re-tokenizing the corpus — the same scan-vs-artifact trade the FST
 index makes for fuzzy lookups.
 
-The bucket count is recorded in a ``_n_buckets`` file inside the
+The bucket count, token normalization, and exact integer corpus stats
+(n_docs, sum_dl) are recorded in a ``_meta`` JSON sidecar inside the
 artifact (underscore-prefixed → invisible to parquet discovery, like
 ``_SUCCESS``), so queries recompute each term's bucket with the exact
-build-time mapping.  Like the FST artifact, paths must be absolute
+build-time mapping and ``indexed_bm25`` scores without ANY corpus-side
+scan.  Like the FST artifact, paths must be absolute
 local/shared-filesystem paths (asserted at build/load).
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .search import postings
+from ..functions.normalize import tokens
 
 
 class TextIndex(NamedTuple):
     path: str
     n_buckets: int
+    lowercase: bool
+    n_docs: int
+    sum_dl: int
 
 
 def _check_path(path: str) -> str:
     if "://" in path:
         raise ValueError(
             "text index artifacts require plain filesystem paths "
-            "(URI schemes are not openable for the _n_buckets sidecar)"
+            "(URI schemes are not openable for the _meta sidecar)"
         )
     return os.path.abspath(path)
 
@@ -54,15 +60,31 @@ def build_text_index(
     text_col: str,
     path: str,
     n_buckets: int = 64,
+    lowercase: bool = False,
 ) -> None:
     """Write the term-bucketed positional-postings artifact.  One
     shuffle (hash on bucket) + a per-partition term sort; every bucket's
     postings land in term-ordered parquet row groups under their own
-    ``bucket=`` directory."""
+    ``bucket=`` directory.
+
+    Each posting carries the doc's token count ``dl`` (denormalized, +8
+    bytes/row) and the ``_meta`` sidecar records exact integer corpus
+    stats (n_docs, sum_dl), so relevance scoring (``indexed_bm25``)
+    runs with ZERO corpus-side scans at query time.  ``lowercase=True``
+    builds over lowercased tokens — required for an index serving
+    ``indexed_bm25`` with ``ranking.bm25_scores`` semantics; phrase /
+    boolean queries against such an index are case-insensitive."""
     path = _check_path(path)
-    p = postings(docs, id_col, text_col).withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    )
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text).alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    p = toks.select(
+        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     (
         p.repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", "term")
@@ -70,18 +92,29 @@ def build_text_index(
         .partitionBy("bucket")
         .parquet(path)
     )
-    with open(os.path.join(path, "_n_buckets"), "w") as f:
-        f.write(str(n_buckets))
+    with open(os.path.join(path, "_meta"), "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "lowercase": lowercase,
+                "n_docs": int(stats.n_docs),
+                "sum_dl": int(stats.sum_dl or 0),
+            },
+            f,
+        )
 
 
 def load_text_index(spark: SparkSession, path: str) -> TextIndex:
-    """Validate the artifact (must carry _SUCCESS and the _n_buckets
-    sidecar) and return its handle.  No data is read."""
+    """Validate the artifact (must carry _SUCCESS and the _meta sidecar)
+    and return its handle.  No data is read."""
     path = _check_path(path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         raise FileNotFoundError(f"no published text index at {path}")
-    with open(os.path.join(path, "_n_buckets")) as f:
-        return TextIndex(path, int(f.read().strip()))
+    with open(os.path.join(path, "_meta")) as f:
+        m = json.load(f)
+    return TextIndex(
+        path, m["n_buckets"], m["lowercase"], m["n_docs"], m["sum_dl"]
+    )
 
 
 def _term_buckets(
@@ -106,7 +139,11 @@ def indexed_postings(
 ) -> DataFrame:
     """Postings of ``terms`` off the artifact: literal bucket IN-list →
     partition-directory pruning; term IN-list → parquet row-group
-    pruning via the per-file term sort."""
+    pruning via the per-file term sort.  Query terms are lowercased
+    when the index was built lowercased (they could never match
+    otherwise)."""
+    if idx.lowercase:
+        terms = [t.lower() for t in terms]
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -115,7 +152,7 @@ def indexed_postings(
         spark.read.parquet(idx.path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
-        .select("doc_id", "pos", "term")
+        .select("doc_id", "pos", "term", "dl")
     )
 
 
@@ -128,6 +165,8 @@ def indexed_phrase_search(
     terms' buckets are scanned."""
     if not phrase:
         raise ValueError("phrase must be non-empty")
+    if idx.lowercase:
+        phrase = [t.lower() for t in phrase]
     p = indexed_postings(spark, idx, phrase)
     out = None
     for i, term in enumerate(phrase):
@@ -148,6 +187,9 @@ def indexed_boolean_search(
     ``search.boolean_search``."""
     if not must:
         raise ValueError("must terms required")
+    if idx.lowercase:
+        must = [t.lower() for t in must]
+        must_not = [t.lower() for t in must_not or []]
     must_set = sorted(set(must))
     not_set = sorted(set(must_not or []))
     hits = (
@@ -166,3 +208,67 @@ def indexed_boolean_search(
         bad = hits.filter(F.col("term").isin(not_set)).select("doc_id").distinct()
         keep = keep.join(bad, "doc_id", "left_anti")
     return keep
+
+
+def indexed_bm25(
+    spark: SparkSession,
+    idx: TextIndex,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int | None = None,
+) -> DataFrame:
+    """BM25 served entirely off the artifact — identical semantics,
+    formula, and 6-dp output rounding to ``ranking.bm25_scores`` over
+    the same documents (requires an index built with
+    ``lowercase=True``, matching bm25's token normalization; asserted).
+
+    ZERO corpus scans at query time: tf comes from the pruned postings
+    read, dl rides each posting row (denormalized at build), df is one
+    aggregate over the same hits, and n_docs / avgdl are exact integer
+    build-time stats from the ``_meta`` sidecar (``avgdl = sum_dl /
+    n_docs``, the same one-division double bm25_scores computes).  Cost
+    scales with the query terms' posting lists, not the corpus."""
+    if not idx.lowercase:
+        raise ValueError(
+            "indexed_bm25 needs an index built with lowercase=True "
+            "(bm25_scores lowercases tokens)"
+        )
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if idx.n_docs == 0:
+        raise ValueError("empty index")
+    avgdl = idx.sum_dl / idx.n_docs
+    hits = (
+        indexed_postings(spark, idx, query_terms)
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(idx.n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    part = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(df_), "term")
+        .withColumn("part", part)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    if topk is None:
+        return scored
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(topk))
+        .select("doc_id", "score")
+    )

@@ -80,6 +80,61 @@ def test_partition_pruning_and_pushdown(spark, idx):
     assert scan
 
 
+def test_indexed_bm25_equals_batch(spark, docs):
+    """BM25 served off a lowercase-built artifact must score every doc
+    identically (6-dp rounded both paths) to ranking.bm25_scores, with
+    zero corpus scans at query time (stats come from the sidecar)."""
+    import shutil as sh
+    import tempfile
+
+    from orchid_fst_spark.operators.ranking import bm25_scores
+    from orchid_fst_spark.operators.text_index import (
+        build_text_index,
+        indexed_bm25,
+        load_text_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="txtidx_lc_")
+    sh.rmtree(d)
+    build_text_index(docs, "doc_id", "text", d, n_buckets=8, lowercase=True)
+    lidx = load_text_index(spark, d)
+    assert lidx.lowercase and lidx.n_docs == docs.count()
+    try:
+        for terms in (["spark", "join"], ["TABLE"], ["missing_term", "fast"]):
+            got = {
+                r.doc_id: r.score
+                for r in indexed_bm25(spark, lidx, terms).collect()
+            }
+            want = {
+                r.doc_id: r.score
+                for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+            }
+            assert got == want, terms
+        # topk path ranks identically too
+        got = [
+            (r.doc_id, r.score)
+            for r in indexed_bm25(spark, lidx, ["spark", "join"], topk=5).collect()
+        ]
+        want = [
+            (r.doc_id, r.score)
+            for r in bm25_scores(docs, "doc_id", "text", ["spark", "join"], topk=5).collect()
+        ]
+        assert got == want
+        # a case-sensitive index refuses bm25 (silent mismatch otherwise)
+        import pytest as pt
+
+        d2 = tempfile.mkdtemp(prefix="txtidx_cs_")
+        sh.rmtree(d2)
+        build_text_index(docs, "doc_id", "text", d2, n_buckets=8)
+        try:
+            with pt.raises(ValueError):
+                indexed_bm25(spark, load_text_index(spark, d2), ["spark"])
+        finally:
+            sh.rmtree(d2, ignore_errors=True)
+    finally:
+        sh.rmtree(d, ignore_errors=True)
+
+
 def test_load_rejects_unpublished(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         load_text_index(spark, str(tmp_path / "nope"))
