@@ -272,3 +272,61 @@ def indexed_bm25(
         .limit(int(topk))
         .select("doc_id", "score")
     )
+
+
+def append_text_index(
+    docs: DataFrame, id_col: str, text_col: str, idx: TextIndex
+) -> TextIndex:
+    """Incremental maintenance: add new documents' postings to an
+    existing artifact and return the refreshed handle.
+
+    New postings are bucketed with the artifact's own mapping and
+    normalization (the ``_meta`` sidecar), written ``mode("append")``
+    into the same ``bucket=`` directories (each appended file is
+    term-sorted, so row-group pruning keeps working file-by-file), and
+    the sidecar's exact integer corpus stats are advanced — so
+    ``indexed_bm25`` keeps scoring the grown corpus with zero scans.
+    Queries see exactly what a fresh full build over old+new would
+    serve (pinned by test).
+
+    Single-writer discipline: the append and the sidecar rewrite are
+    two steps, not one atomic publish — concurrent appenders or a crash
+    between the steps need the caller-level atomic-rename publication
+    the entry uses for /tmp artifacts.  Caller must ensure doc ids are
+    new (appending an existing id duplicates its postings, like
+    inserting a duplicate key into any index without a delete path)."""
+    text = F.lower(F.col(text_col)) if idx.lowercase else F.col(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text).alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    p = toks.select(
+        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(idx.n_buckets)))
+    (
+        p.repartition(idx.n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(idx.path)
+    )
+    new = TextIndex(
+        idx.path,
+        idx.n_buckets,
+        idx.lowercase,
+        idx.n_docs + int(stats.n_docs),
+        idx.sum_dl + int(stats.sum_dl or 0),
+    )
+    with open(os.path.join(idx.path, "_meta"), "w") as f:
+        json.dump(
+            {
+                "n_buckets": new.n_buckets,
+                "lowercase": new.lowercase,
+                "n_docs": new.n_docs,
+                "sum_dl": new.sum_dl,
+            },
+            f,
+        )
+    return new

@@ -135,6 +135,50 @@ def test_indexed_bm25_equals_batch(spark, docs):
         sh.rmtree(d, ignore_errors=True)
 
 
+def test_append_equals_full_build(spark, docs):
+    """Incremental maintenance: build on half the corpus, append the
+    other half — phrase, boolean, and BM25 answers must equal a fresh
+    full build (postings, buckets, and sidecar stats all advance)."""
+    import shutil as sh
+    import tempfile
+
+    from orchid_fst_spark.operators.text_index import (
+        append_text_index,
+        build_text_index,
+        indexed_bm25,
+        indexed_boolean_search,
+        indexed_phrase_search,
+        load_text_index,
+    )
+
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    d_inc = tempfile.mkdtemp(prefix="txtidx_inc_")
+    d_full = tempfile.mkdtemp(prefix="txtidx_full_")
+    sh.rmtree(d_inc), sh.rmtree(d_full)
+    try:
+        build_text_index(half_a, "doc_id", "text", d_inc, n_buckets=8, lowercase=True)
+        idx = append_text_index(half_b, "doc_id", "text", load_text_index(spark, d_inc))
+        build_text_index(docs, "doc_id", "text", d_full, n_buckets=8, lowercase=True)
+        full = load_text_index(spark, d_full)
+        assert (idx.n_docs, idx.sum_dl) == (full.n_docs, full.sum_dl)
+        # the handle returned by append matches a fresh load
+        assert load_text_index(spark, d_inc) == idx
+
+        gp = {r.doc_id: r.n_matches for r in indexed_phrase_search(spark, idx, ["fast", "merge"]).collect()}
+        wp = {r.doc_id: r.n_matches for r in indexed_phrase_search(spark, full, ["fast", "merge"]).collect()}
+        assert gp == wp and gp
+        gb = {r.doc_id for r in indexed_boolean_search(spark, idx, ["spark", "join"]).collect()}
+        wb = {r.doc_id for r in indexed_boolean_search(spark, full, ["spark", "join"]).collect()}
+        assert gb == wb and gb
+        gs = {r.doc_id: r.score for r in indexed_bm25(spark, idx, ["spark", "join"]).collect()}
+        ws = {r.doc_id: r.score for r in indexed_bm25(spark, full, ["spark", "join"]).collect()}
+        assert gs == ws and gs
+    finally:
+        sh.rmtree(d_inc, ignore_errors=True)
+        sh.rmtree(d_full, ignore_errors=True)
+
+
 def test_load_rejects_unpublished(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         load_text_index(spark, str(tmp_path / "nope"))
