@@ -75,6 +75,7 @@ from orchid_fst_spark.operators.cleaning import quality_gate
 from orchid_fst_spark.operators.decontam import contamination_stats
 from orchid_fst_spark.operators.interval import interval_join
 from orchid_fst_spark.operators.sampling import (
+    cap_per_group,
     stratified_sample,
     train_eval_split,
     weighted_sample,
@@ -1352,6 +1353,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         p=HLL_P,
     ).select("lang", "m", "n_zero", "s_num", "est")
+
+    # --- per-group quota sampling (operators/sampling.py): at most k
+    # docs per source by md5 priority — the domain-balancing pass; the
+    # partial WindowGroupLimit ships ≤k rows per map partition ---
+    q["sample_domain_quota"] = lambda spark, sf: cap_per_group(
+        _docs(spark, sf).select("source", "doc_id"),
+        ["source"],
+        "doc_id",
+        k=25,
+    )
 
     # --- exact retrieval (operators/search.py): positional-postings
     # phrase search and boolean AND/AND-NOT — both filter the token
@@ -2877,6 +2888,17 @@ canon AS (
 )
 SELECT curl, count(*)::BIGINT AS n_pages, min(doc_id)::BIGINT AS keep_id
 FROM canon GROUP BY curl"""
+
+    # per-group quota: the k smallest md5-unit priorities per source
+    # (tie-broken by doc_id), the same unit-hash formula as the
+    # Bernoulli samplers
+    o["sample_domain_quota"] = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('q1|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+) QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 25"""
 
     # exact retrieval: per-term position frames anchored at pos - i and
     # joined on (doc, anchor) == adjacency in order (phrase), and

@@ -120,3 +120,41 @@ def train_eval_split(
         F.when(hash_unit(F.col(key_col), seed) < float(eval_frac), "eval")
         .otherwise("train"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    seed: str = "q1",
+) -> DataFrame:
+    """Per-group quota sampling: keep a deterministic uniform sample of
+    at most ``k`` rows per group — the corpus-balancing pass that stops
+    a handful of mega-domains from dominating a training mix (domain /
+    language quotas).
+
+    Which rows survive is decided by a per-key md5 priority (the
+    engine's standard hash-unit draw), so the selection is
+    partitioning-independent, stable under corpus growth *outside* the
+    group (new docs in other domains never change this domain's picks),
+    and reproducible in any engine — unlike ``df.sample`` or an
+    arbitrary LIMIT per group.  Within a group, adding rows can only
+    displace the largest priorities (a uniform reservoir, Efraimidis-
+    Spirakis with unit weights).
+
+    Plan: delegates to ``ranking.group_topk`` ordered by (priority,
+    key) — Spark's partial WindowGroupLimit executes BELOW the
+    exchange, so even a mega-group ships at most k rows per map
+    partition, never its full membership."""
+    from .ranking import group_topk
+
+    pr = hash_unit(F.col(key_col), seed)
+    out = group_topk(
+        df.withColumn("_pr", pr),
+        group_cols,
+        [F.col("_pr").asc(), F.col(key_col).asc()],
+        k,
+        rank_col="_rk",
+    )
+    return out.drop("_pr", "_rk")

@@ -257,3 +257,37 @@ def test_equi_depth_histogram_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         equi_depth_histogram(df, "v", 1)
+
+
+def test_cap_per_group_quota(spark):
+    """Per-group quota sampling: at most k rows per group, selection is
+    the k smallest md5 priorities (reproduced in python), and a group's
+    picks are unaffected by OTHER groups' membership."""
+    import hashlib
+
+    from orchid_fst_spark.operators.sampling import cap_per_group
+
+    rows = [(f"dom{i % 3}", i) for i in range(60)]  # 3 domains x 20
+    df = spark.createDataFrame(rows, "domain string, doc_id long")
+    got = cap_per_group(df, ["domain"], "doc_id", k=4).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.domain, set()).add(r.doc_id)
+    assert all(len(v) == 4 for v in by_dom.values()) and len(by_dom) == 3
+    assert set(got[0].asDict()) == {"domain", "doc_id"}  # helpers dropped
+
+    def unit(key):
+        h = hashlib.md5(f"q1|{key}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    for dom, ids in by_dom.items():
+        members = [i for i in range(60) if f"dom{i % 3}" == dom]
+        want = set(sorted(members, key=lambda i: (unit(i), i))[:4])
+        assert ids == want, dom
+
+    # dropping another group entirely leaves this group's picks alone
+    sub = cap_per_group(
+        df.filter("domain <> 'dom2'"), ["domain"], "doc_id", k=4
+    ).collect()
+    sub_dom0 = {r.doc_id for r in sub if r.domain == "dom0"}
+    assert sub_dom0 == by_dom["dom0"]
