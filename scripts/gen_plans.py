@@ -597,6 +597,75 @@ def main() -> None:
                   "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.operators.dedup import strip_boilerplate
+    from orchid_fst_spark.operators.sampling import cap_per_group
+    from orchid_fst_spark.operators.search import phrase_search
+
+    add(
+        "Phrase search (`operators.search.phrase_search`)",
+        "The token explode is filtered to the QUERY vocabulary before "
+        "anything shuffles (the corpus token stream never leaves the "
+        "scan stage); per-term position frames anchor at pos-i and "
+        "equi-join on (doc, anchor) — a survivor means adjacency in "
+        "order.  No cartesian, no Python.",
+        phrase_search(docs, "doc_id", "text", ["fast", "merge"], storage=None),
+        must_contain=("HashAggregate",),
+        must_not=("CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
+    add(
+        "Line-level boilerplate removal (`operators.dedup.strip_boilerplate`)",
+        "posexplode lines -> per-(group, md5) DISTINCT-doc df aggregate "
+        "-> equi-join back -> per-doc in-order reassembly.  Shuffles "
+        "carry md5 hashes and 8-byte ids, a million-page footer only "
+        "ever hits aggregates — no pair join, no window, no Python.",
+        strip_boilerplate(docs, "doc_id", "text", group_col="lang",
+                          storage=None),
+        must_contain=("HashAggregate", "md5"),
+        must_not=("CartesianProduct", "Window", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
+    add(
+        "Per-group quota sampling (`operators.sampling.cap_per_group`)",
+        "k smallest md5 priorities per group via row_number under a "
+        "total order; Spark's partial WindowGroupLimit executes BELOW "
+        "the exchange, so a mega-domain ships at most k rows per map "
+        "partition, never its full membership.",
+        cap_per_group(docs.select("lang", "doc_id"), ["lang"], "doc_id", 25),
+        must_contain=("WindowGroupLimit", "Partial"),
+        must_not=("CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
+    import shutil as _sh
+    import tempfile as _tf
+
+    from orchid_fst_spark.operators.text_index import (
+        build_text_index,
+        indexed_postings,
+        load_text_index,
+    )
+
+    _tid = _tf.mkdtemp(prefix="plans_txtidx_")
+    _sh.rmtree(_tid)
+    build_text_index(docs, "doc_id", "text", _tid, n_buckets=16)
+    add(
+        "Inverted-index postings read (`operators.text_index.indexed_postings`)",
+        "The artifact read shows BOTH pruning layers: PartitionFilters "
+        "on the literal bucket IN-list (only the query terms' bucket "
+        "directories are listed) and PushedFilters on the term IN-list "
+        "(row-group min/max selective thanks to the per-file term "
+        "sort).  The corpus is never re-tokenized at query time.",
+        indexed_postings(spark, load_text_index(spark, _tid),
+                         ["fast", "merge"]),
+        must_contain=("PartitionFilters", "PushedFilters", "bucket", "term"),
+        must_not=("CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+    _sh.rmtree(_tid, ignore_errors=True)
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"
