@@ -917,9 +917,18 @@ def strip_boilerplate(
         .groupBy("grp", "h")
         .agg(F.count("*").alias("line_df"))
     )
-    flagged = h.join(freq, ["grp", "h"]).withColumn(
-        "keep", F.col("line_df") <= F.lit(line_df_cap)
+    # null-SAFE group equality: groupBy collects NULL-group rows into
+    # one group, but a plain equi-join would never match them back
+    # (NULL = NULL is NULL) — silently emptying every NULL-group doc
+    fr = freq.select(
+        F.col("grp").alias("_fgrp"),
+        F.col("h").alias("_fh"),
+        "line_df",
     )
+    flagged = h.join(
+        fr,
+        F.col("grp").eqNullSafe(F.col("_fgrp")) & (F.col("h") == F.col("_fh")),
+    ).withColumn("keep", F.col("line_df") <= F.lit(line_df_cap))
     agg = flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_lines"),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0))

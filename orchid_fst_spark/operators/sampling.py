@@ -51,15 +51,26 @@ def stratified_sample(
     Strata absent from ``rates`` fall back to ``default_rate``.
     """
     spark = df.sparkSession
+    # fixed internal column names (a caller's column name interpolated
+    # into DDL would crash on non-identifier names); the join matches
+    # the stratum as a STRING on both sides so a non-string stratum
+    # column compares under one explicit, engine-stable cast instead of
+    # whichever implicit coercion Spark picks
     rate_df = spark.createDataFrame(
-        [(k, float(v)) for k, v in sorted(rates.items())],
-        f"{stratum_col} string, _rate double",
+        [(str(k), float(v)) for k, v in sorted(rates.items())],
+        "_stratum string, _rate double",
+    )
+    joined = df.join(
+        F.broadcast(rate_df),
+        F.col(stratum_col).cast("string") == F.col("_stratum"),
+        "left",
     )
     return (
-        df.join(F.broadcast(rate_df), stratum_col, "left")
-        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
+        joined.withColumn(
+            "_rate", F.coalesce("_rate", F.lit(float(default_rate)))
+        )
         .filter(hash_unit(F.col(key_col), seed) < F.col("_rate"))
-        .drop("_rate")
+        .drop("_rate", "_stratum")
     )
 
 

@@ -34,6 +34,46 @@ def postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def phrase_match_postings(p: DataFrame, phrase: list[str]) -> DataFrame:
+    """The phrase-match core, shared by the scan path
+    (:func:`phrase_search`) and the artifact path
+    (``text_index.indexed_phrase_search``) so the two can never
+    diverge: given a (doc_id, pos, term) postings frame already
+    restricted to (at least) the phrase vocabulary, anchor the i-th
+    term's positions at ``pos - i`` and equi-join the m frames on
+    (doc_id, anchor) — a survivor means the terms are adjacent in
+    order.  Returns (doc_id, n_matches ≥ 1), overlapping occurrences
+    each counted."""
+    out = None
+    for i, term in enumerate(phrase):
+        side = p.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("anchor")
+        )
+        out = side if out is None else out.join(side, ["doc_id", "anchor"])
+    return out.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+
+
+def boolean_match_hits(
+    hits: DataFrame, must_set: list[str], not_set: list[str]
+) -> DataFrame:
+    """The boolean AND/AND-NOT core, shared by the scan and artifact
+    paths: given a DISTINCT (doc_id, term) hits frame covering both
+    vocabularies, one hash aggregate keeps docs matching every must
+    term, then a left-anti join removes docs carrying any excluded
+    term.  Returns (doc_id)."""
+    keep = (
+        hits.filter(F.col("term").isin(must_set))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == len(must_set))
+        .select("doc_id")
+    )
+    if not_set:
+        bad = hits.filter(F.col("term").isin(not_set)).select("doc_id").distinct()
+        keep = keep.join(bad, "doc_id", "left_anti")
+    return keep
+
+
 def phrase_search(
     docs: DataFrame,
     id_col: str,
@@ -47,11 +87,9 @@ def phrase_search(
 
     Plan: postings are filtered to the phrase vocabulary FIRST (the
     filter sits on the generated column, so only query-term hits leave
-    the scan stage), then the i-th term's positions are anchored at
-    ``pos - i`` and the m frames equi-joined on (doc_id, anchor) — a
-    match survives all m-1 joins exactly when the terms are adjacent in
-    order.  The filtered postings frame feeds every per-term branch, so
-    it is persisted under ``storage`` (registered with
+    the scan stage), then :func:`phrase_match_postings` runs the
+    anchor-join core.  The filtered postings frame feeds every per-term
+    branch, so it is persisted under ``storage`` (registered with
     util.storage.release_persisted)."""
     if not phrase:
         raise ValueError("phrase must be non-empty")
@@ -61,13 +99,7 @@ def phrase_search(
         ),
         storage,
     )
-    out = None
-    for i, term in enumerate(phrase):
-        side = p.filter(F.col("term") == term).select(
-            "doc_id", (F.col("pos") - i).alias("anchor")
-        )
-        out = side if out is None else out.join(side, ["doc_id", "anchor"])
-    return out.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+    return phrase_match_postings(p, phrase)
 
 
 def boolean_search(
@@ -81,10 +113,9 @@ def boolean_search(
     ``must_not`` terms; returns (doc_id).
 
     Plan: the token explode is filtered to the combined query
-    vocabulary, deduped to (doc_id, term), then one hash aggregate
-    counts distinct matched must-terms per doc (== |set(must)| keeps)
-    and a left-anti join removes docs carrying any excluded term.  The
-    corpus token stream never shuffles — only query-term hits do."""
+    vocabulary, deduped to (doc_id, term), then
+    :func:`boolean_match_hits` runs the AND/AND-NOT core.  The corpus
+    token stream never shuffles — only query-term hits do."""
     if not must:
         raise ValueError("must terms required")
     must_set = sorted(set(must))
@@ -95,14 +126,4 @@ def boolean_search(
         .select("doc_id", "term")
         .distinct()
     )
-    keep = (
-        hits.filter(F.col("term").isin(must_set))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
-        .filter(F.col("n_hit") == len(must_set))
-        .select("doc_id")
-    )
-    if not_set:
-        bad = hits.filter(F.col("term").isin(not_set)).select("doc_id").distinct()
-        keep = keep.join(bad, "doc_id", "left_anti")
-    return keep
+    return boolean_match_hits(hits, must_set, not_set)

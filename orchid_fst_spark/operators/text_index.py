@@ -75,22 +75,8 @@ def build_text_index(
     ``indexed_bm25`` with ``ranking.bm25_scores`` semantics; phrase /
     boolean queries against such an index are case-insensitive."""
     path = _check_path(path)
-    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text).alias("toks")
-    ).withColumn("dl", F.size("toks").cast("long"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    p = toks.select(
-        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-    (
-        p.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("bucket", "term")
-        .write.mode("error")
-        .partitionBy("bucket")
-        .parquet(path)
+    stats = _write_postings(
+        docs, id_col, text_col, path, n_buckets, lowercase, mode="error"
     )
     with open(os.path.join(path, "_meta"), "w") as f:
         json.dump(
@@ -102,6 +88,47 @@ def build_text_index(
             },
             f,
         )
+
+
+def _write_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int,
+    lowercase: bool,
+    mode: str,
+):
+    """Tokenize once, write the bucketed postings, return the exact
+    integer (n_docs, sum_dl) stats row.  The tokenized frame feeds two
+    actions (the stats collect and the parquet write), so it is
+    persisted for the duration — without it the full corpus would be
+    tokenized twice, and a non-deterministic input (a re-read of a
+    changing source) could make the sidecar stats diverge from the
+    postings actually written."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text).alias("toks"))
+        .withColumn("dl", F.size("toks").cast("long"))
+        .persist()
+    )
+    try:
+        stats = toks.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        p = toks.select(
+            "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
+        ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        (
+            p.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    finally:
+        toks.unpersist()
+    return stats
 
 
 def load_text_index(spark: SparkSession, path: str) -> TextIndex:
@@ -163,18 +190,13 @@ def indexed_phrase_search(
     semantics and output to ``search.phrase_search`` (doc_id,
     n_matches), but the corpus is never re-tokenized — only the phrase
     terms' buckets are scanned."""
+    from .search import phrase_match_postings
+
     if not phrase:
         raise ValueError("phrase must be non-empty")
     if idx.lowercase:
         phrase = [t.lower() for t in phrase]
-    p = indexed_postings(spark, idx, phrase)
-    out = None
-    for i, term in enumerate(phrase):
-        side = p.filter(F.col("term") == term).select(
-            "doc_id", (F.col("pos") - i).alias("anchor")
-        )
-        out = side if out is None else out.join(side, ["doc_id", "anchor"])
-    return out.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+    return phrase_match_postings(indexed_postings(spark, idx, phrase), phrase)
 
 
 def indexed_boolean_search(
@@ -185,6 +207,8 @@ def indexed_boolean_search(
 ) -> DataFrame:
     """AND / AND-NOT retrieval off the artifact; identical semantics to
     ``search.boolean_search``."""
+    from .search import boolean_match_hits
+
     if not must:
         raise ValueError("must terms required")
     if idx.lowercase:
@@ -197,17 +221,7 @@ def indexed_boolean_search(
         .select("doc_id", "term")
         .distinct()
     )
-    keep = (
-        hits.filter(F.col("term").isin(must_set))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
-        .filter(F.col("n_hit") == len(must_set))
-        .select("doc_id")
-    )
-    if not_set:
-        bad = hits.filter(F.col("term").isin(not_set)).select("doc_id").distinct()
-        keep = keep.join(bad, "doc_id", "left_anti")
-    return keep
+    return boolean_match_hits(hits, must_set, not_set)
 
 
 def indexed_bm25(
@@ -295,22 +309,9 @@ def append_text_index(
     the entry uses for /tmp artifacts.  Caller must ensure doc ids are
     new (appending an existing id duplicates its postings, like
     inserting a duplicate key into any index without a delete path)."""
-    text = F.lower(F.col(text_col)) if idx.lowercase else F.col(text_col)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text).alias("toks")
-    ).withColumn("dl", F.size("toks").cast("long"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    p = toks.select(
-        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(idx.n_buckets)))
-    (
-        p.repartition(idx.n_buckets, "bucket")
-        .sortWithinPartitions("bucket", "term")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(idx.path)
+    stats = _write_postings(
+        docs, id_col, text_col, idx.path, idx.n_buckets, idx.lowercase,
+        mode="append",
     )
     new = TextIndex(
         idx.path,

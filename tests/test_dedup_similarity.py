@@ -168,6 +168,25 @@ def test_strip_boilerplate(spark):
     }
     assert allg == {0: 1, 1: 2, 2: 1, 3: 1, 4: 1, 5: 0}
 
+    # NULL group values form their own group and their docs keep their
+    # text (a plain equi-join would silently empty every NULL-group doc)
+    nulls = spark.createDataFrame(
+        [(10, None, "keep me\n" + footer), (11, None, "also kept\n" + footer),
+         (12, "a", "grouped\n" + footer)],
+        "doc_id long, src string, text string",
+    )
+    gotn = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in strip_boilerplate(
+            nulls, "doc_id", "text", group_col="src", line_df_cap=1
+        ).collect()
+    }
+    # footer df is 2 within the NULL group (> cap 1) -> struck there;
+    # unique lines survive; the 'a' group's footer has df 1 -> kept
+    assert gotn[10] == (1, "keep me")
+    assert gotn[11] == (1, "also kept")
+    assert gotn[12] == (0, "grouped\n" + footer)
+
 
 def test_ngram_hot_shingle_cap(spark):
     """A corpus-common boilerplate shingle must be droppable (df_cap)
