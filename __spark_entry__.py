@@ -1115,6 +1115,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_interval"] = _events_interval
 
+    # interval-interval OVERLAP join (the range-join sibling): click
+    # sessions [ts, ts+30min) vs error windows [ts, ts+2h) of the same
+    # user — bucket decomposition both sides, exactly-once emission in
+    # the overlap-start bucket
+    def _events_overlap(spark, sf):
+        from orchid_fst_spark.operators.interval import interval_overlap_join
+
+        ev = _events(spark, sf)
+        left = (
+            ev.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", F.col("ts").alias("c_start"))
+            .withColumn("c_end", F.col("c_start") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        right = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", F.col("ts").alias("e_start"))
+            .agg(F.max("event_id").alias("err_id"))
+            .withColumn("e_end", F.col("e_start") + F.expr("INTERVAL 2 HOURS"))
+        )
+        return interval_overlap_join(
+            left, right, ["user_id"], "c_start", "c_end", "e_start", "e_end",
+            bucket_seconds=3600,
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("c_start").cast("timestamp_ntz").alias("c_start"),
+            F.col("e_start").cast("timestamp_ntz").alias("e_start"),
+            "err_id",
+        )
+
+    q["events_overlap"] = _events_overlap
+
     # --- numeric profiling (operators/stats.py): exact percentile
     # (linear interpolation = DuckDB quantile_cont) in ONE aggregate;
     # approx_percentile is the documented constant-memory scale path ---
@@ -2592,6 +2624,21 @@ r AS (
 SELECT l.event_id, l.user_id, l.ts, r.win_start, r.err_id
 FROM l JOIN r ON l.user_id = r.user_id
              AND l.ts >= r.win_start AND l.ts < r.win_end"""
+
+    # interval OVERLAP twin: plain non-equi overlap join (half-open)
+    o["events_overlap"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts AS c_start, ts + INTERVAL 30 MINUTE AS c_end
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts AS e_start, ts + INTERVAL 2 HOUR AS e_end,
+         max(event_id) AS err_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.c_start, r.e_start, r.err_id
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.c_start < r.e_end AND r.e_start < l.c_end"""
 
     # per-group top-k under a total order (QUALIFY = Spark row_number)
     o["top_docs_per_lang"] = """

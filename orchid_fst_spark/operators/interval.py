@@ -91,3 +91,77 @@ def interval_join(
         .filter((lt >= rs) & (lt < re))
         .drop("_bkt")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """Inner-join ``left`` intervals ``[left_start, left_end)`` to
+    ``right`` intervals ``[right_start, right_end)`` that OVERLAP
+    (``ls < re AND rs < le``, half-open) and share the ``on`` keys —
+    the interval-interval sibling of :func:`interval_join`'s
+    point-in-interval containment (session overlap, concurrent-crawl
+    windows, ad/impression attribution).
+
+    Same bucket decomposition, both sides exploded: each interval emits
+    its covered buckets once, the equi-join runs on ``(key…, bucket)``,
+    and each qualifying pair is produced EXACTLY once without a
+    distinct pass — the pair is kept only in the bucket of the overlap
+    region's start, ``greatest(floor(ls/b), floor(rs/b))`` (floor is
+    monotone, so that equals ``floor(max(ls, rs)/b)``; both intervals
+    provably cover that bucket whenever they overlap).  Shuffle cost:
+    one exchange per side, fan-out ``span / bucket_seconds`` rows per
+    interval with the same loud ``max_span_buckets`` guard; a hot key's
+    pairs spread across its active buckets instead of one reducer.
+
+    Column contract: no shared non-key column names (rename first);
+    empty/inverted intervals match nothing."""
+    if bucket_seconds <= 0:
+        raise ValueError("need bucket_seconds > 0")
+    b_us = int(bucket_seconds) * 1_000_000
+
+    def _us(name: str):
+        return F.unix_micros(F.col(name).cast("timestamp"))
+
+    def _bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        su, eu = _us(s), _us(e)
+        first_b = F.floor(su / b_us)
+        last_b = F.floor((eu - 1) / b_us)
+        span_ok = F.when(
+            last_b - first_b < max_span_buckets, F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_overlap_join: interval spans more than "),
+                    F.lit(str(max_span_buckets)),
+                    F.lit(" buckets; raise bucket_seconds or max_span_buckets"),
+                )
+            )
+        )
+        return (
+            df.filter(eu > su)
+            .filter(span_ok)
+            .withColumn("_bkt", F.explode(F.sequence(first_b, last_b)))
+        )
+
+    ls, le = _us(left_start), _us(left_end)
+    rs, re = _us(right_start), _us(right_end)
+    joined = _bucketed(left, left_start, left_end).join(
+        _bucketed(right, right_start, right_end), [*on, "_bkt"]
+    )
+    return (
+        joined.filter((ls < re) & (rs < le))
+        .filter(
+            F.col("_bkt")
+            == F.greatest(F.floor(ls / b_us), F.floor(rs / b_us))
+        )
+        .drop("_bkt")
+    )
