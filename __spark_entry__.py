@@ -48,7 +48,7 @@ from orchid_fst_spark.operators import (
     prefix_lookup,
     range_lookup,
 )
-from orchid_fst_spark.operators.graph import degree_stats, pagerank
+from orchid_fst_spark.operators.graph import degree_stats, hits, pagerank
 from orchid_fst_spark.operators.search import boolean_search, phrase_search
 from orchid_fst_spark.operators.dedup import (
     containment_pairs,
@@ -65,7 +65,9 @@ from orchid_fst_spark.operators.dedup import (
 )
 from orchid_fst_spark.operators.ranking import (
     bm25_scores,
+    collocations,
     group_topk,
+    hashed_classifier_score,
     tf_idf_terms,
     vocab_topk,
 )
@@ -131,6 +133,7 @@ from orchid_fst_spark.operators.similarity import (
     cosine_topk,
     embedding_dedup,
     ivf_topk,
+    semantic_dedup,
     ivfpq_topk,
     pq_topk,
 )
@@ -377,6 +380,62 @@ def _pagerank_oracle_sql(iterations: int = 5, alpha: float = 0.85) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT node, round(pr, 6) AS pr FROM r{iterations}"
+    )
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled sum-normalized HITS (graph.hits twin) as plain CTEs —
+    same unrolling rationale as ``_pagerank_oracle_sql``.  Each
+    iteration CTE is MATERIALIZED: the score chains reference their
+    predecessors several times (CASE guard + numerator + divisor), and
+    DuckDB's default CTE inlining re-expands the whole upstream chain
+    per reference — exponential in the iteration count without the
+    hint (measured: the 3-iteration inlined form did not finish in
+    minutes; materialized it is sub-second)."""
+    parts = [
+        _SQL_DOC_EDGES.strip(),
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "h0 AS MATERIALIZED"
+        " (SELECT node, 1.0 / (SELECT n FROM cnt) AS hub FROM nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS ar"
+            f" FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"sa{i} AS MATERIALIZED"
+            f" (SELECT coalesce(sum(ar), 0) AS s FROM ar{i})"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT n.node,"
+            f" CASE WHEN (SELECT s FROM sa{i}) <> 0"
+            f" THEN coalesce(ar.ar, 0) / (SELECT s FROM sa{i})"
+            f" ELSE 0 END AS auth"
+            f" FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS hr"
+            f" FROM edges e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        parts.append(
+            f"sh{i} AS MATERIALIZED"
+            f" (SELECT coalesce(sum(hr), 0) AS s FROM hr{i})"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT n.node,"
+            f" CASE WHEN (SELECT s FROM sh{i}) <> 0"
+            f" THEN coalesce(hr.hr, 0) / (SELECT s FROM sh{i})"
+            f" ELSE 0 END AS hub"
+            f" FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth"
+        f"\nFROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"
     )
 
 
@@ -831,6 +890,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dim=64,
         storage=None,
     ).select(F.col("id").alias("vec_id"), "rep_id", "keep")
+    # SemDeDup-style semantic dedup: candidates from the IVF coarse
+    # cells (md5 hash-sample quantizer, engine-reproducible) instead of
+    # LSH band collisions; same exact collapse -> verify -> CC shape
+    q["semantic_dedup"] = lambda spark, sf: semantic_dedup(
+        spark.read.parquet(f"{sf}/embeddings.parquet"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        n_centroids=16,
+        storage=None,
+    ).select(F.col("id").alias("vec_id"), "rep_id", "keep")
 
     # --- text analysis over documents ---
     q["token_stats"] = lambda spark, sf: _docs(spark, sf).select(
@@ -892,6 +962,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_search"] = lambda spark, sf: bm25_scores(
         _docs(spark, sf), "doc_id", "text", list(BM25_QUERY_TERMS)
     )
+    # --- model-based quality scoring (feature hashing + logistic,
+    # the fastText/LR corpus-filter shape): per-doc accumulation is an
+    # EXACT integer sum of md5-derived bucket weights (order- and
+    # partitioning-independent), one divide + exp rounded 6dp; pure
+    # map-side — zero exchanges ---
+    q["classifier_scores"] = lambda spark, sf: hashed_classifier_score(
+        _docs(spark, sf), "doc_id", "text", n_features=16384, seed="cls1"
+    ).withColumnRenamed("id", "doc_id")
     # --- exact span-level dedup (boilerplate removal; Lee et al.
     # ACL'22 simplified to tumbling token windows) ---
     q["span_dedup"] = lambda spark, sf: span_dedup(
@@ -905,6 +983,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bigram_topk"] = lambda spark, sf: vocab_topk(
         _docs(spark, sf), "doc_id", "text", n=100, ngram=2
+    )
+    # PMI collocation mining (Church & Hanks CL'90): exact integer
+    # unigram/bigram/total counts, ONE identically-shaped ln rounded
+    # 6dp, ranked on the rounded value under a total order
+    q["collocations"] = lambda spark, sf: collocations(
+        _docs(spark, sf), "doc_id", "text", min_count=2, top_n=100
     )
 
     # --- per-group top-k (operators/ranking.py): explicit total order
@@ -1491,6 +1575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_pagerank"] = lambda spark, sf: pagerank(
         _doc_edges(spark, sf), iterations=5, alpha=0.85, round_dp=6
     ).withColumnRenamed("rank", "pr")
+    # HITS hubs/authorities (sum-normalized, 3 fixed iterations) over
+    # the same deterministic link graph
+    # default storage: each iteration reads the score frame twice, so
+    # without the persist lineage doubles per iteration (2^n recompute)
+    q["doc_hits"] = lambda spark, sf: hits(
+        _doc_edges(spark, sf), iterations=3, round_dp=6
+    )
 
     def _with_shipped(fn):
         def g(spark, sf):
@@ -2329,6 +2420,71 @@ UNION ALL
 SELECT vec_id, vec_id AS rep_id, 1::BIGINT AS keep
 FROM embeddings WHERE embedding IS NULL"""
 
+    # semantic_dedup: candidates from IVF coarse cells (the ann_ivf
+    # cells CTE over exact representatives) instead of LSH buckets;
+    # same verify -> recursive-CTE CC -> rep mapping as embedding_dedup
+    o["semantic_dedup"] = """WITH RECURSIVE
+exm AS (
+  SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS ex_rep
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+reps AS (SELECT vec_id FROM exm WHERE vec_id = ex_rep),
+x AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id IN (SELECT vec_id FROM reps)
+),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
+cents AS (
+  SELECT vec_id FROM reps ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+),
+cdots AS (
+  SELECT a.vec_id AS id, b.vec_id AS cid,
+         sum(a.v * b.v) / (na.nrm * nb.nrm) AS ccos
+  FROM x a JOIN x b ON a.i = b.i AND b.vec_id IN (SELECT vec_id FROM cents)
+  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+cells AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+    FROM cdots
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+),
+pdots AS (
+  SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dot
+  FROM cand c JOIN x a ON a.vec_id = c.id_a
+  JOIN x b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM pdots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+  WHERE dot / (na.nrm * nb.nrm) >= 0.4
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT vec_id, vec_id FROM reps
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT e.vec_id, c.component::BIGINT AS rep_id,
+       (CASE WHEN e.vec_id = c.component THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM exm e JOIN comp c ON c.node = e.ex_rep
+UNION ALL
+SELECT vec_id, vec_id AS rep_id, 1::BIGINT AS keep
+FROM embeddings WHERE embedding IS NULL"""
+
     o["cosine_near_pairs"] = f"""WITH {_sql_embX},
 dots AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
@@ -2421,6 +2577,30 @@ SELECT d.doc_id,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+    # model-based quality scoring: per-token contribution is an exact
+    # integer (hash32(seed|bucket) - 2^31), so the per-doc sum is
+    # order-independent; one divide + logistic rounded 6dp both sides
+    o["classifier_scores"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(l) AS t FROM base),
+w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('cls1|' ||
+            ((('0x' || substr(md5(t), 1, 8))::BIGINT) % 16384)::VARCHAR),
+          1, 8))::BIGINT - 2147483648 AS wi
+  FROM tok
+),
+agg AS (SELECT doc_id, sum(wi) AS ws, count(*)::BIGINT AS n FROM w GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_tokens,
+       round(1.0 / (1.0 + exp(-(CASE WHEN coalesce(a.n, 0) > 0
+         THEN a.ws / (a.n * 4294967296.0) ELSE 0.0 END))), 6) AS score
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+
     # vocabulary / n-gram statistics: integer counts, explicit
     # (tf DESC, term ASC) total order -> the top-100 SET is unambiguous
     _vocab_tail = """
@@ -2448,6 +2628,33 @@ t AS (
 ),"""
         + _vocab_tail
     )
+
+    # PMI collocations: integer counts everywhere, one ln of the SAME
+    # left-associated double expression, ranked on the rounded value
+    o["collocations"] = r"""
+WITH base AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+uni AS (
+  SELECT t AS term, count(*)::BIGINT AS n
+  FROM (SELECT unnest(l) AS t FROM base) GROUP BY 1
+),
+bi_all AS (
+  SELECT l[i] AS term_a, l[i + 1] AS term_b, count(*)::BIGINT AS n_ab
+  FROM base, unnest(generate_series(1, len(l) - 1)) AS s(i)
+  WHERE len(l) >= 2
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT sum(n)::DOUBLE FROM uni) AS tt,
+         (SELECT sum(n_ab)::DOUBLE FROM bi_all) AS bt
+)
+SELECT term_a, term_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+       round(ln(n_ab::DOUBLE * tt * tt / (bt * ua.n::DOUBLE * ub.n::DOUBLE)), 6) AS pmi
+FROM bi_all JOIN uni ua ON ua.term = term_a JOIN uni ub ON ub.term = term_b, tot
+WHERE n_ab >= 2
+ORDER BY pmi DESC, term_a, term_b LIMIT 100"""
 
     # PII scrub: the same doc_id-arithmetic augmented text in both
     # engines; patterns live in functions/text.py (Java∩RE2 dialect).
@@ -3029,5 +3236,6 @@ FROM (
   SELECT dst AS node, 0 AS o, 1 AS i FROM edges
 ) GROUP BY node"""
     o["doc_pagerank"] = _pagerank_oracle_sql(iterations=5, alpha=0.85)
+    o["doc_hits"] = _hits_oracle_sql(iterations=3)
 
     return o

@@ -241,6 +241,11 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "events_value_depth_hist",
         "containment_pairs",
         "doc_pagerank",
+        "doc_hits",
+        "classifier_scores",
+        "semantic_dedup",
+        "events_overlap",
+        "collocations",
     ]
     out = {}
     for name in headline:

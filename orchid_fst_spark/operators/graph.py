@@ -64,6 +64,116 @@ def degree_stats(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    round_dp: int | None = 6,
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) for a FIXED
+    number of power iterations — the link-analysis complement of
+    ``pagerank`` (a page can be a good directory of quality pages —
+    hub — without being an authority itself; both are standard
+    corpus-weighting signals).
+
+    Sum-normalized variant: each iteration computes
+
+        auth'(v) = sum_{u->v} hub(u)        then auth = auth'/Σauth'
+        hub'(u)  = sum_{u->v} auth(v)       then hub  = hub'/Σhub'
+
+    (the classical L2 normalization only rescales each vector; the L1
+    form is used here because both scores then sum to exactly 1 and
+    the division count per iteration is the same — documented
+    deviation, deterministic either way for fixed iterations).  Nodes
+    with no in-edges have auth 0; nodes with no out-edges have hub 0.
+    Initial hub mass is uniform 1/N over the distinct endpoint set.
+
+    Returns ``(node, hub, auth)`` rounded to ``round_dp`` decimals.
+
+    Plan shape (same discipline as ``pagerank``): the edge frame is
+    persisted once; each iteration is one hash aggregate on ``dst``
+    (auth) + one on ``src`` (hub) against the node-sized score frame
+    (AQE broadcasts it into the edge join at web scale), with the two
+    normalizers traveling as broadcast one-row frames — no driver
+    round trips inside the loop.  Score frames are persisted per
+    iteration because each is read twice (normalizer + next join)."""
+    if iterations < 1:
+        raise ValueError("need iterations >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = _maybe_persist(
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        storage,
+    )
+    n_df = F.broadcast(nodes.agg(F.count("*").cast("double").alias("nn")))
+    e2 = _maybe_persist(e, storage)
+
+    hubs = _maybe_persist(
+        nodes.crossJoin(n_df).select(
+            "node", (F.lit(1.0) / F.col("nn")).alias("hub")
+        ),
+        storage,
+    )
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e2.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("ar"))
+        )
+        sa = F.broadcast(
+            a_raw.agg(F.coalesce(F.sum("ar"), F.lit(0.0)).alias("sa"))
+        )
+        auths = _maybe_persist(
+            nodes.join(a_raw.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(sa)
+            .select(
+                "node",
+                F.when(
+                    F.col("sa") != 0.0,
+                    F.coalesce("ar", F.lit(0.0)) / F.col("sa"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            ),
+            storage,
+        )
+        h_raw = (
+            e2.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hr"))
+        )
+        sh = F.broadcast(
+            h_raw.agg(F.coalesce(F.sum("hr"), F.lit(0.0)).alias("sh"))
+        )
+        hubs = _maybe_persist(
+            nodes.join(h_raw.withColumnRenamed("src", "node"), "node", "left")
+            .crossJoin(sh)
+            .select(
+                "node",
+                F.when(
+                    F.col("sh") != 0.0,
+                    F.coalesce("hr", F.lit(0.0)) / F.col("sh"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+            ),
+            storage,
+        )
+
+    out = hubs.join(auths, "node")
+    if round_dp is not None:
+        out = out.select(
+            "node",
+            F.round("hub", round_dp).alias("hub"),
+            F.round("auth", round_dp).alias("auth"),
+        )
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -289,6 +289,188 @@ def lm_doc_logprob(
     )
 
 
+def collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    top_n: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Collocation (phrase) mining by pointwise mutual information
+    (Church & Hanks, CL'90) — the phrase-discovery statistic used to
+    decide which adjacent token pairs deserve a vocabulary entry when
+    preparing tokenizer/LM training data.
+
+    For adjacent token pair (a, b):
+
+        pmi = ln( (c_ab / B) / ((c_a / T) * (c_b / T)) )
+
+    with ``c_ab`` the corpus bigram count, ``c_a``/``c_b`` unigram
+    occurrence counts, ``B``/``T`` the total bigram/token counts — all
+    EXACT integers aggregated before the one ln, which is computed on
+    an identically-shaped double expression in both engines and
+    rounded to ``round_dp``.  Returns the global top-``top_n`` pairs
+    with ``c_ab >= min_count`` as ``(term_a, term_b, n_ab, n_a, n_b,
+    pmi)`` under the total order (pmi DESC, term_a, term_b) — ranked
+    on the ROUNDED pmi so the emitted set is engine-independent.
+
+    Scale notes: bigrams come from the zip_with-over-slices idiom (the
+    token array is never referenced inside a lambda body); unigram and
+    bigram counts are hash aggregates with map-side partial combine;
+    the unigram join-backs are plain term-keyed equi-joins (the
+    unigram table is vocabulary-sized, NOT corpus-sized, but can
+    exceed broadcast limits — so it shuffles); the two corpus totals
+    are a broadcast one-row frame and the final cut executes as
+    TakeOrderedAndProject (per-partition top-N, no global sort)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    uni = (
+        d.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    bi_all = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    # B counts ALL bigrams (the probability denominator), not just the
+    # ones surviving min_count
+    bi = bi_all.filter(F.col("n_ab") >= int(min_count))
+    totals = F.broadcast(
+        uni.agg(F.sum("n").cast("double").alias("tt")).crossJoin(
+            bi_all.agg(F.sum("n_ab").cast("double").alias("bt"))
+        )
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("tt")
+        * F.col("tt")
+        / (F.col("bt") * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    scored = (
+        bi.join(uni.select(F.col("term").alias("term_a"), F.col("n").alias("n_a")), "term_a")
+        .join(uni.select(F.col("term").alias("term_b"), F.col("n").alias("n_b")), "term_b")
+        .crossJoin(totals)
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(pmi, round_dp).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(int(top_n))
+    )
+
+
+def hashed_classifier_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 16384,
+    seed: str = "cls1",
+    weights: DataFrame | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Model-based quality scoring with the feature-hashing trick
+    (Weinberger et al., ICML'09) — the scoring half of the
+    fastText/logistic-regression quality classifiers used to filter
+    web corpora (the GPT-3-style "looks like the reference corpus"
+    filter): each token hashes into one of ``n_features`` buckets, the
+    document score is the mean bucket weight squashed through a
+    logistic, and training happens elsewhere.
+
+    Returns one row per input document: ``(id, n_tokens, score)`` with
+    ``score = sigmoid(sum_t w[h(t)] / n_tokens)`` rounded to
+    ``round_dp`` decimals; an empty document scores sigmoid(0) = 0.5.
+
+    ``weights=None`` (default) uses deterministic md5-derived
+    placeholder weights ``w[j] = (hash32(seed|j) - 2^31) / 2^32`` —
+    the documented seam for a trained model, chosen so the whole
+    operator is engine-reproducible: the per-document accumulation is
+    an EXACT integer sum (each token contributes
+    ``hash32(seed|feature) - 2^31``), divided once by
+    ``n_tokens * 2^32`` at the end, so float noise cannot depend on
+    token order or partitioning.  This path is a pure map-side
+    projection: tokenize -> sequential ``F.aggregate`` fold over the
+    token array (the array is an argument of the fold, never
+    referenced inside another lambda — the CollapseProject re-inline
+    trap cannot fire) — ZERO exchanges, so scoring a 100 TB corpus is
+    embarrassingly parallel with output exactly one row per input row.
+
+    Passing a trained ``weights`` frame ``(feature long, weight
+    double)`` switches to explode -> broadcast weight join (the table
+    is bounded by ``n_features``, never corpus-sized) -> one (doc)
+    hash aggregate; missing features weigh 0.  That path shuffles the
+    (doc, weight-sum) pairs once and is float-sum-order dependent, so
+    it is not oracle-checked (trained weights aren't reproducible in
+    SQL anyway)."""
+    if n_features <= 0:
+        raise ValueError("need n_features > 0")
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    toks = tokens(F.lower(F.col("t")))
+
+    def _hash32(c) -> F.Column:
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+    def _feat(tok) -> F.Column:
+        return _hash32(tok) % F.lit(int(n_features))
+
+    n = F.size(toks)
+    if weights is None:
+        w_int = lambda tok: _hash32(  # noqa: E731
+            F.concat(F.lit(f"{seed}|"), _feat(tok).cast("string"))
+        ) - F.lit(2147483648)
+        acc = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, tok: a + w_int(tok)
+        )
+        s = F.when(n > 0, acc / (n.cast("double") * F.lit(4294967296.0))).otherwise(
+            F.lit(0.0)
+        )
+        return base.select(
+            "id",
+            n.cast("long").alias("n_tokens"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), round_dp).alias(
+                "score"
+            ),
+        )
+    exploded = base.select("id", F.explode(toks).alias("tok")).select(
+        "id", _feat(F.col("tok")).alias("feature")
+    )
+    agg = (
+        exploded.join(F.broadcast(weights), "feature", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("weight", F.lit(0.0))).alias("ws"),
+        )
+    )
+    s = F.coalesce(F.col("ws") / F.col("n_tokens"), F.lit(0.0))
+    return (
+        base.select("id")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), round_dp).alias(
+                "score"
+            ),
+        )
+    )
+
+
 def group_topk(
     df: DataFrame,
     group_cols: list[str],

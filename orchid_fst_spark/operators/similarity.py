@@ -622,6 +622,94 @@ def cosine_lsh_band_metrics(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 4096,
+    centroid_algo: str = "hash",
+    seed: int = 42,
+    cell_cap: int = 2000,
+    storage: str | None = "MEMORY_AND_DISK",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse
+    quantizer, compare pairs ONLY within a cluster, and keep one
+    representative per group of cosine-similar vectors.  The
+    clustering twin of ``embedding_dedup`` — candidates come from the
+    coarse cells (semantically coherent neighborhoods) instead of
+    hyperplane band collisions, which is the published recipe for
+    pruning semantically redundant (not just near-identical) training
+    examples.
+
+    Stages:
+      1. exact collapse — byte-identical vectors map to their group's
+         min id first (one hash shuffle), so mega-duplicate clusters
+         never reach the cell stage,
+      2. ``ivf_assign`` puts each representative in the cell of its
+         nearest centroid (``ivf_centroids``: fixed-size md5 hash
+         sample by default — fully oracle-reproducible — or
+         ``centroid_algo='kmeans'`` for the trained quantizer),
+      3. intra-cell pairs via ``grouped_bucket_pairs`` (ONE shuffle on
+         the cell id, ``cell_cap`` bounds the per-cell pair blow-up
+         with the engine's standard observable-cap discipline; the
+         vector rides the expansion as the payload so there is no
+         join-back),
+      4. exact cosine verify at ``threshold``, alternating-star
+         connected components, and every input row labeled
+         ``(id, rep_id, keep)`` with keep=1 iff the row is its
+         cluster's representative.
+
+    Recall caveat (same as published SemDeDup): near-duplicates whose
+    vectors land in different coarse cells are not compared — raise
+    ``n_centroids`` quality by training the quantizer
+    (``centroid_algo='kmeans'``) rather than by shrinking cells.  The
+    memory bound of stage 3 is ``cell_cap * dim * 4`` bytes per
+    aggregation buffer (the vector payload), so keep ``cell_cap`` in
+    the low thousands for wide vectors.  Deterministic for a fixed
+    input set under the default hash quantizer."""
+    from ..er.clustering import connected_components
+    from .dedup import _maybe_persist, grouped_bucket_pairs
+
+    ids = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    nulls = ids.filter(F.col("vec").isNull()).select(
+        "id", F.col("id").alias("rep_id"), F.lit(1).cast("long").alias("keep")
+    )
+    nn = ids.filter(F.col("vec").isNotNull())
+    ex = nn.groupBy("vec").agg(F.min("id").alias("ex_rep"))
+    mapped = _maybe_persist(nn.join(ex, "vec"), storage)
+    reps = mapped.filter(F.col("id") == F.col("ex_rep")).select("id", "vec")
+
+    cents = ivf_centroids(
+        reps, "id", "vec", n_centroids, algo=centroid_algo, seed=seed
+    )
+    cells = ivf_assign(reps, "id", "vec", cents=cents)
+    stacked = cells.select("id", "vec", F.col("cell").alias("bucket"))
+    cand = grouped_bucket_pairs(
+        stacked, cell_cap, payload_col="vec", distinct=False
+    )
+    pairs = cand.filter(
+        cosine(F.col("vec_a"), F.col("vec_b")) >= F.lit(float(threshold))
+    ).select("id_a", "id_b")
+
+    comps = connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return (
+        mapped.join(comps.withColumnRenamed("node", "ex_rep"), "ex_rep", "left")
+        .select("id", F.coalesce("component", "ex_rep").alias("rep_id"))
+        .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
+        .unionByName(nulls)
+    )
+
+
 def embedding_dedup(
     emb: DataFrame,
     id_col: str,

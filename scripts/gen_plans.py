@@ -397,6 +397,51 @@ def main() -> None:
         must_not=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
 
+    from orchid_fst_spark.operators.ranking import hashed_classifier_score
+
+    add(
+        "Hashed linear quality classifier (`operators.ranking.hashed_classifier_score`)",
+        "The default (md5-placeholder-weights) path is a pure map-side "
+        "projection: tokenize -> sequential integer fold over the token "
+        "array (the array is an argument of the fold, never referenced "
+        "inside another lambda) -> one divide + logistic.  ZERO "
+        "exchanges of any kind and no Python — scoring a 100 TB corpus "
+        "is embarrassingly parallel, exactly one output row per input "
+        "row.",
+        hashed_classifier_score(docs, "doc_id", "text"),
+        must_contain=("Project",),
+        must_not=("CartesianProduct", "Exchange", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
+    from orchid_fst_spark.operators.interval import interval_overlap_join
+
+    add(
+        "Interval-interval overlap join (`operators.interval.interval_overlap_join`)",
+        "Both sides explode to their covered buckets, the join is the "
+        "same equi-join on (key…, bucket), and exactly-once emission "
+        "comes from keeping a pair only in its overlap-start bucket "
+        "(`_bkt == greatest(floor(ls/b), floor(rs/b))`, a join "
+        "residual) — no distinct pass, no key-only hot-key quadratic "
+        "join, no nested-loop.",
+        interval_overlap_join(
+            asof_left.withColumn(
+                "c_end", F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            asof_right.withColumnRenamed("ts", "e_start").withColumn(
+                "e_end", F.col("e_start") + F.expr("INTERVAL 2 HOURS")
+            ),
+            ["user_id"],
+            "ts",
+            "c_end",
+            "e_start",
+            "e_end",
+            bucket_seconds=3600,
+        ),
+        must_contain=("Generate", "sequence(", "_bkt", "greatest("),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
     add(
         "Weighted sample without replacement (`operators.sampling.weighted_sample`)",
         "Efraimidis-Spirakis priorities are a map-side projection "

@@ -1167,3 +1167,79 @@ def test_ivfpq_is_pq_restricted_to_probed_cells(spark, emb_df):
         exp = sorted(((full[(q, i)], i) for i in members))[:k]
         exp = [(rk + 1, i, a) for rk, (a, i) in enumerate(exp)]
         assert sorted(got[q]) == exp, q
+
+
+def test_semantic_dedup_clusters_and_keeps(spark):
+    from orchid_fst_spark.operators.similarity import semantic_dedup
+
+    # three well-separated direction groups; with a single coarse cell
+    # every representative pair is compared, so the verify + CC stages
+    # must merge exactly the cosine-similar groups
+    base = {
+        "x": [1.0, 0.05, 0.0, 0.0],
+        "y": [0.0, 1.0, 0.05, 0.0],
+        "z": [0.0, 0.0, 1.0, 0.05],
+    }
+
+    def _jig(v, eps):
+        return [a + eps * (i + 1) / 100 for i, a in enumerate(v)]
+
+    rows = [
+        (0, base["x"]),
+        (1, base["x"]),          # exact dup of 0
+        (2, _jig(base["x"], 0.02)),  # near dup of 0
+        (3, base["y"]),
+        (4, _jig(base["y"], 0.02)),  # near dup of 3
+        (5, base["z"]),          # singleton
+        (6, None),               # null vec: singleton keep
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.id: (r.rep_id, r.keep)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99,
+            n_centroids=1, storage=None,
+        ).collect()
+    }
+    assert len(out) == len(rows)  # one row per input
+    assert out[0] == (0, 1) and out[1] == (0, 0) and out[2] == (0, 0)
+    assert out[3] == (3, 1) and out[4] == (3, 0)
+    assert out[5] == (5, 1)
+    assert out[6] == (6, 1)
+    # keep flags are consistent with rep ids everywhere
+    assert all((rep == i) == bool(keep) for i, (rep, keep) in out.items())
+
+    # the documented SemDeDup recall trade: with more cells two near
+    # dups MAY split into different cells and both survive — but exact
+    # dups collapse BEFORE the cell stage, so they always merge
+    out3 = {
+        r.id: (r.rep_id, r.keep)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99,
+            n_centroids=3, storage=None,
+        ).collect()
+    }
+    assert len(out3) == len(rows)
+    assert out3[1] == (0, 0)  # exact dup of 0 merges regardless of cells
+    assert all((rep == i) == bool(keep) for i, (rep, keep) in out3.items())
+
+
+def test_semantic_dedup_cell_cap_drops_hot_cells(spark):
+    from orchid_fst_spark.operators.similarity import semantic_dedup
+
+    # 30 near-identical vectors land in one cell; with cell_cap below
+    # the cell size the pair stage contributes nothing, so every
+    # NON-exact-dup row survives as its own keep (the cap is the
+    # engine's observable recall trade, never an error)
+    rows = [
+        (i, [1.0, 0.001 * i, 0.0]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.id: (r.rep_id, r.keep)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9,
+            n_centroids=2, cell_cap=5, storage=None,
+        ).collect()
+    }
+    assert all(out[i] == (i, 1) for i in range(30))

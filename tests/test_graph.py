@@ -3,7 +3,7 @@ trusted pure-Python power-iteration oracle (dangling node included)."""
 
 import pytest
 
-from orchid_fst_spark.operators.graph import degree_stats, pagerank
+from orchid_fst_spark.operators.graph import degree_stats, hits, pagerank
 
 # small digraph: node 4 is dangling (no out-edges), node 5 is a source
 # only (no in-edges)
@@ -88,3 +88,65 @@ def test_pagerank_storage_released(spark, edges_df):
     # iteration internals were registered; release drains them
     assert release_persisted() > 0
     assert release_persisted() == 0
+
+
+def _py_hits(edges, iterations):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        ar = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            ar[v] += hub[u]
+        sa = sum(ar.values())
+        auth = {v: (ar[v] / sa if sa else 0.0) for v in nodes}
+        hr = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            hr[u] += auth[v]
+        sh = sum(hr.values())
+        hub = {v: (hr[v] / sh if sh else 0.0) for v in nodes}
+    return hub, auth
+
+
+def test_hits_matches_power_iteration(spark, edges_df):
+    got = {
+        r.node: (r.hub, r.auth)
+        for r in hits(edges_df, iterations=3, round_dp=None).collect()
+    }
+    hub, auth = _py_hits(EDGES, iterations=3)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-12), v
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-12), v
+    # L1 normalization: both score vectors sum to exactly 1
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-9)
+    # node 4 is dangling (no out-edges) -> hub 0; node 5 has no
+    # in-edges -> auth 0
+    assert got[4][0] == 0.0 and got[5][1] == 0.0
+
+
+def test_hits_one_iteration_closed_form(spark):
+    # 1->2, 1->3, 3->2: after one iteration auth = (0, 2/3, 1/3),
+    # hub = (3/5, 0, 2/5) under L1 normalization
+    df = spark.createDataFrame([(1, 2), (1, 3), (3, 2)], "src long, dst long")
+    got = {
+        r.node: (r.hub, r.auth)
+        for r in hits(df, iterations=1, round_dp=None).collect()
+    }
+    assert got[1] == (pytest.approx(0.6), pytest.approx(0.0))
+    assert got[2] == (pytest.approx(0.0), pytest.approx(2 / 3))
+    assert got[3] == (pytest.approx(0.4), pytest.approx(1 / 3))
+
+
+def test_hits_partitioning_independent(spark, edges_df):
+    a = {
+        r.node: (r.hub, r.auth)
+        for r in hits(edges_df, iterations=3).collect()
+    }
+    b = {
+        r.node: (r.hub, r.auth)
+        for r in hits(edges_df.repartition(7), iterations=3).collect()
+    }
+    assert a == b

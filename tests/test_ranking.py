@@ -215,3 +215,114 @@ def test_group_topk_total_order_and_partial_limit(spark):
     # below the exchange: a skewed group ships k rows per map
     # partition, never its full size
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def _py_classifier(text, n_features=16384, seed="cls1"):
+    import hashlib
+
+    toks = _toks(text)
+    acc = 0
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        feat = h % n_features
+        w = int(
+            hashlib.md5(f"{seed}|{feat}".encode()).hexdigest()[:8], 16
+        ) - 2**31
+        acc += w
+    s = acc / (len(toks) * 2**32) if toks else 0.0
+    return len(toks), round(1.0 / (1.0 + math.exp(-s)), 6)
+
+
+def test_hashed_classifier_score_matches_python(spark, rdocs):
+    from orchid_fst_spark.operators.ranking import hashed_classifier_score
+
+    got = {
+        r.id: (r.n_tokens, r.score)
+        for r in hashed_classifier_score(rdocs, "doc_id", "text").collect()
+    }
+    assert len(got) == len(DOCS)  # one row per input, empties included
+    for doc_id, text in DOCS:
+        n, score = _py_classifier(text)
+        assert got[doc_id][0] == n, doc_id
+        assert got[doc_id][1] == pytest.approx(score, abs=1e-6), doc_id
+    # token-less doc scores exactly sigmoid(0)
+    assert got[3] == (0, 0.5)
+    # exact-dup docs score identically (content-determined)
+    assert got[0] == got[4]
+
+
+def test_hashed_classifier_score_partitioning_independent(spark, rdocs):
+    from orchid_fst_spark.operators.ranking import hashed_classifier_score
+
+    a = sorted(
+        map(tuple, hashed_classifier_score(rdocs, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            hashed_classifier_score(
+                rdocs.repartition(7), "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_hashed_classifier_score_trained_weights_path(spark, rdocs):
+    import hashlib
+
+    from orchid_fst_spark.operators.ranking import hashed_classifier_score
+
+    # a trained-model stand-in: +10 on the feature "spark" hashes to,
+    # 0 elsewhere -> doc 2 (two "spark" tokens of four) scores
+    # sigmoid(20/4), all docs without the token score 0.5
+    feat = int(hashlib.md5(b"spark").hexdigest()[:8], 16) % 16384
+    w = spark.createDataFrame([(feat, 10.0)], "feature long, weight double")
+    got = {
+        r.id: r.score
+        for r in hashed_classifier_score(
+            rdocs, "doc_id", "text", weights=w
+        ).collect()
+    }
+    assert got[2] == pytest.approx(
+        round(1 / (1 + math.exp(-20.0 / 4)), 6), abs=1e-6
+    )
+    assert got[0] == got[1] == got[3] == 0.5
+
+
+def test_hashed_classifier_score_rejects_bad_n_features(spark, rdocs):
+    from orchid_fst_spark.operators.ranking import hashed_classifier_score
+
+    with pytest.raises(ValueError):
+        hashed_classifier_score(rdocs, "doc_id", "text", n_features=0)
+
+
+def test_collocations_matches_python(spark, rdocs):
+    from collections import Counter
+
+    from orchid_fst_spark.operators.ranking import collocations
+
+    got = [
+        (r.term_a, r.term_b, r.n_ab, r.n_a, r.n_b, r.pmi)
+        for r in collocations(
+            rdocs, "doc_id", "text", min_count=2, top_n=5
+        ).collect()
+    ]
+    uni, bi = Counter(), Counter()
+    for _, text in DOCS:
+        ts = _toks(text)
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    T, B = sum(uni.values()), sum(bi.values())
+    want = []
+    for (a, b), nab in bi.items():
+        if nab >= 2:
+            pmi = round(
+                math.log(nab * float(T) * T / (B * float(uni[a]) * uni[b])), 6
+            )
+            want.append((a, b, nab, uni[a], uni[b], pmi))
+    want.sort(key=lambda r: (-r[5], r[0], r[1]))
+    assert got == want[:5] and len(got) > 0
+    # the planted phrase "the cat"/"the mat" repeats across docs, so at
+    # least one pair above min_count survives and ranks by rounded pmi
+    assert all(got[i][5] >= got[i + 1][5] for i in range(len(got) - 1))
