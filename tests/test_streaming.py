@@ -484,3 +484,92 @@ def test_streaming_sketches_equal_batch(spark, tmp_path):
     )
     stream_cms = sorted(map(tuple, cms_from_state(spark, state).collect()))
     assert stream_cms == batch_cms
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream range join emits EXACTLY the batch
+    interval_join pairs when every interval span is <= max_span (inner
+    stream-stream joins emit eagerly — no withheld rows)."""
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.operators.interval import interval_join
+    from orchid_fst_spark.streaming import stream_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    points = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").cast("timestamp").alias("win_start"))
+        .agg(F.max("event_id").alias("err_id"))
+        .withColumn(
+            "win_end", F.col("win_start") + F.expr("INTERVAL 2 HOURS")
+        )
+    )
+    batch = {
+        (r.event_id, r.user_id, r.win_start, r.err_id)
+        for r in interval_join(
+            points, intervals, ["user_id"], "ts", "win_start", "win_end"
+        ).collect()
+    }
+    assert batch  # the fixture produces matches
+
+    psrc, isrc = str(tmp_path / "p"), str(tmp_path / "i")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    points.write.mode("overwrite").parquet(psrc)
+    intervals.write.mode("overwrite").parquet(isrc)
+    ps = spark.readStream.schema(points.schema).parquet(psrc)
+    ivs = spark.readStream.schema(intervals.schema).parquet(isrc)
+    joined = stream_interval_join(
+        ps, ivs, ["user_id"], "ts", "win_start", "win_end",
+        max_span="2 hours", watermark="4 hours",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.user_id, r.win_start, r.err_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch
+
+
+def test_stream_interval_join_batch_inputs_and_max_span_cut(spark):
+    """Batch inputs skip the watermark; an interval longer than
+    max_span matches only its first max_span of points (the documented
+    state-boundedness trade)."""
+    from datetime import datetime
+
+    from orchid_fst_spark.streaming import stream_interval_join
+
+    base = datetime(2024, 1, 1)
+
+    def _t(minutes):
+        return base.replace(minute=0) if minutes == 0 else base.replace(
+            hour=minutes // 60, minute=minutes % 60
+        )
+
+    pts = spark.createDataFrame(
+        [(1, "k", _t(10)), (2, "k", _t(150))],
+        "pid long, k string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(9, "k", _t(0), _t(300))],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        r.pid
+        for r in stream_interval_join(
+            pts, iv, ["k"], "ts", "s", "e", max_span="2 hours"
+        ).collect()
+    )
+    # point at t+150min is inside [0, 300) but beyond max_span=120min
+    assert got == [1]
