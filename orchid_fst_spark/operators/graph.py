@@ -71,6 +71,7 @@ def hits(
     iterations: int = 3,
     round_dp: int | None = 6,
     storage: str | None = "MEMORY_AND_DISK",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg, JACM'99) for a FIXED
     number of power iterations — the link-analysis complement of
@@ -92,15 +93,33 @@ def hits(
 
     Returns ``(node, hub, auth)`` rounded to ``round_dp`` decimals.
 
-    Plan shape (same discipline as ``pagerank``): the edge frame is
-    persisted once; each iteration is one hash aggregate on ``dst``
-    (auth) + one on ``src`` (hub) against the node-sized score frame
-    (AQE broadcasts it into the edge join at web scale), with the two
-    normalizers traveling as broadcast one-row frames — no driver
-    round trips inside the loop.  Score frames are persisted per
-    iteration because each is read twice (normalizer + next join)."""
+    Plan shape: the edge frame is persisted once; each iteration is one
+    hash aggregate on ``dst`` (auth) + one on ``src`` (hub) against the
+    node-sized score frame (AQE broadcasts it into the edge join at web
+    scale).  Two HITS-specific deviations from ``pagerank``'s loop,
+    both forced by HITS touching every frame twice per half-iteration
+    (normalizer + score join) where PageRank reads its rank frame
+    twice per FULL iteration:
+
+    - the normalizers come back to the driver as Python floats (one
+      single-row action each, 2·iterations tiny jobs) instead of
+      broadcast one-row frames: the broadcast form made each raw-score
+      frame doubly referenced and the analyzed plan tree grew 4x per
+      iteration — AQE's per-stage re-planning then went superlinear
+      (measured at sf0.1: 105 s for 3 iterations vs sub-linear with
+      scalars; eagerly persisting the raw frames made it WORSE, since
+      each ``persist()`` pays the planning of the doubled tree),
+    - each iteration's score frame is lineage-truncated with
+      ``localCheckpoint`` (or a parquet round-trip under
+      ``checkpoint_dir`` — the cluster-reliable form, same contract as
+      ``er.clustering.connected_components``), so every job in the
+      loop plans a CONSTANT-size tree regardless of the iteration
+      count.  The raw-score frames are persisted via ``storage`` (the
+      normalizer action populates the cache, the score join reuses
+      it)."""
     if iterations < 1:
         raise ValueError("need iterations >= 1")
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = _maybe_persist(
         e.select(F.col("src").alias("node"))
@@ -111,57 +130,65 @@ def hits(
     n_df = F.broadcast(nodes.agg(F.count("*").cast("double").alias("nn")))
     e2 = _maybe_persist(e, storage)
 
-    hubs = _maybe_persist(
+    def _cut(df: DataFrame, name: str, i: int) -> DataFrame:
+        if checkpoint_dir:
+            path = f"{checkpoint_dir}/hits_{name}_{i}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    hubs = _cut(
         nodes.crossJoin(n_df).select(
             "node", (F.lit(1.0) / F.col("nn")).alias("hub")
         ),
-        storage,
+        "hub",
+        0,
     )
     auths = None
-    for _ in range(iterations):
-        a_raw = (
+    for i in range(1, iterations + 1):
+        a_raw = _maybe_persist(
             e2.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum("hub").alias("ar"))
-        )
-        sa = F.broadcast(
-            a_raw.agg(F.coalesce(F.sum("ar"), F.lit(0.0)).alias("sa"))
-        )
-        auths = _maybe_persist(
-            nodes.join(a_raw.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(sa)
-            .select(
-                "node",
-                F.when(
-                    F.col("sa") != 0.0,
-                    F.coalesce("ar", F.lit(0.0)) / F.col("sa"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("auth"),
-            ),
+            .agg(F.sum("hub").alias("ar")),
             storage,
         )
-        h_raw = (
+        sa = (
+            a_raw.agg(F.coalesce(F.sum("ar"), F.lit(0.0)).alias("s")).first()["s"]
+        )
+        auths = _cut(
+            nodes.join(a_raw.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce("ar", F.lit(0.0)) / F.lit(float(sa))
+                    if sa != 0.0
+                    else F.lit(0.0)
+                ).alias("auth"),
+            ),
+            "auth",
+            i,
+        )
+        h_raw = _maybe_persist(
             e2.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
-            .agg(F.sum("auth").alias("hr"))
+            .agg(F.sum("auth").alias("hr")),
+            storage,
         )
-        sh = F.broadcast(
-            h_raw.agg(F.coalesce(F.sum("hr"), F.lit(0.0)).alias("sh"))
+        sh = (
+            h_raw.agg(F.coalesce(F.sum("hr"), F.lit(0.0)).alias("s")).first()["s"]
         )
-        hubs = _maybe_persist(
+        hubs = _cut(
             nodes.join(h_raw.withColumnRenamed("src", "node"), "node", "left")
-            .crossJoin(sh)
             .select(
                 "node",
-                F.when(
-                    F.col("sh") != 0.0,
-                    F.coalesce("hr", F.lit(0.0)) / F.col("sh"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("hub"),
+                (
+                    F.coalesce("hr", F.lit(0.0)) / F.lit(float(sh))
+                    if sh != 0.0
+                    else F.lit(0.0)
+                ).alias("hub"),
             ),
-            storage,
+            "hub",
+            i,
         )
 
     out = hubs.join(auths, "node")

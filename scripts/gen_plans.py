@@ -414,6 +414,22 @@ def main() -> None:
                   "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.operators.ranking import collocations
+
+    add(
+        "PMI collocation mining (`operators.ranking.collocations`)",
+        "Unigram/bigram counts are hash aggregates with map-side "
+        "partial combine (bigrams from zip_with over slices — the "
+        "token array is never inside a lambda body); corpus totals "
+        "are a broadcast one-row frame; the global top-N executes as "
+        "TakeOrderedAndProject (per-partition top-N + driver merge), "
+        "never a full sort.",
+        collocations(docs, "doc_id", "text", min_count=2, top_n=100),
+        must_contain=("TakeOrderedAndProject", "HashAggregate"),
+        must_not=("CartesianProduct", "Exchange rangepartitioning",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
     from orchid_fst_spark.operators.interval import interval_overlap_join
 
     add(
