@@ -209,6 +209,7 @@ def pagerank(
     alpha: float = 0.85,
     round_dp: int | None = 6,
     storage: str | None = "MEMORY_AND_DISK",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Classic PageRank with dangling-mass redistribution, run for a
     FIXED number of power iterations (deterministic output — no
@@ -235,7 +236,19 @@ def pagerank(
     of magnitude smaller than the edge frame — so AQE typically
     broadcasts it into the edge join, leaving the contrib aggregate as
     the only shuffle per iteration.
-    """
+
+    Each iteration's rank frame is lineage-TRUNCATED (localCheckpoint,
+    or a parquet round-trip under ``checkpoint_dir`` — the
+    cluster-reliable form, same contract as
+    ``er.clustering.connected_components``): the rank frame is
+    referenced twice per iteration (dangling mass + contributions), so
+    an un-truncated lineage doubles the analyzed plan tree every
+    iteration and AQE's per-stage re-planning goes superlinear in the
+    iteration count (the failure mode measured on ``hits``, which hits
+    it at 4x per iteration).  Truncation costs one materialization job
+    per iteration and keeps every planned tree constant-size, so the
+    iteration count can grow freely."""
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = _maybe_persist(
         e.select(F.col("src").alias("node"))
@@ -258,13 +271,20 @@ def pagerank(
         storage,
     )
 
-    ranks = _maybe_persist(
+    def _cut(df: DataFrame, i: int) -> DataFrame:
+        if checkpoint_dir:
+            path = f"{checkpoint_dir}/pagerank_rank_{i}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    ranks = _cut(
         nodes.crossJoin(n_df).select(
             "node", (F.lit(1.0) / F.col("nn")).alias("rank")
         ),
-        storage,
+        0,
     )
-    for _ in range(iterations):
+    for _i in range(1, iterations + 1):
         dm_df = F.broadcast(
             dangling_nodes.join(ranks, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
@@ -292,15 +312,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # each iteration's frame is persisted but NOT force-materialized:
-        # on the final action, computing iteration i triggers iteration
-        # i-1 exactly once (the first scan populates its cache; the
-        # second scan within the same iteration hits it), so total work
-        # stays linear without paying one driver job per iteration.
-        # All `iterations` rank frames stay cached simultaneously —
-        # node-sized, orders of magnitude below the edge frame — and are
-        # registered with util.storage.release_persisted for cleanup.
-        ranks = _maybe_persist(new_ranks, storage)
+        # truncate lineage: the rank frame is read twice next iteration
+        # (dangling mass + contributions) — without the cut the analyzed
+        # tree doubles per iteration and AQE planning goes superlinear
+        ranks = _cut(new_ranks, _i)
 
     if round_dp is not None:
         ranks = ranks.select("node", F.round("rank", round_dp).alias("rank"))
