@@ -112,6 +112,11 @@ HLL_P = 9
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_PROBE_TERMS = ("spark", "hash", "window", "table", "zzz-absent")
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+BLOOM_PROBE_TERMS = (
+    "spark", "hash", "window", "table", "zzz-absent-1", "zzz-absent-2"
+)
 
 # per-language sampling rates for the sample_stratified oracle entry —
 # a single dict drives BOTH engines (Spark broadcast join / SQL VALUES)
@@ -1373,6 +1378,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cms_term_counts"] = _cms
+
+    # Bloom membership sketch (the have-we-seen-it twin of HLL/CMS):
+    # md5-derived bit positions, 32-bit integer words, merge by bit_or;
+    # probes answer definitely-not / maybe — true membership rides
+    # along so the one-sided-error property is visible in the oracle
+    def _bloom(spark, sf):
+        from orchid_fst_spark.operators.sketch import bloom_probe, bloom_sketch
+
+        terms = _docs(spark, sf).select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        sk = bloom_sketch(terms, "term", m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K)
+        got = bloom_probe(
+            sk, list(BLOOM_PROBE_TERMS), m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K
+        )
+        true = (
+            terms.filter(F.col("term").isin(list(BLOOM_PROBE_TERMS)))
+            .select("term")
+            .distinct()
+            .withColumn("present", F.lit(1).cast("long"))
+        )
+        return got.join(
+            true.withColumnRenamed("term", "value"), "value", "left"
+        ).select(
+            "value",
+            "maybe_present",
+            F.coalesce("present", F.lit(0).cast("long")).alias("present"),
+        )
+
+    q["bloom_seen_terms"] = _bloom
 
     # --- bigram LM quality scoring (operators/ranking.py): the CCNet-
     # style perplexity filter signal, LM trained on the corpus itself;
@@ -3074,6 +3109,40 @@ truec AS (SELECT term, count(*)::BIGINT AS true_c FROM t
           WHERE term IN (SELECT term FROM probe) GROUP BY term)
 SELECT e.term, e.est, coalesce(tc.true_c, 0)::BIGINT AS true_c
 FROM est e LEFT JOIN truec tc ON tc.term = e.term"""
+
+    # Bloom membership: identical md5 bit addressing, 32-bit words,
+    # bit_or cells — the sketch words agree bit-for-bit, so the probe
+    # verdicts must too
+    _bloom_addr_sql = " UNION ALL ".join(
+        f"""SELECT {{v}}, (('0x' || substr(md5('bloom{i}|' || {{v}}), 1, 8))::BIGINT
+            % {BLOOM_M_BITS}) // 32 AS word,
+           (1::BIGINT << (((('0x' || substr(md5('bloom{i}|' || {{v}}), 1, 8))::BIGINT
+            % {BLOOM_M_BITS}) % 32)::INTEGER)) AS mask FROM {{src}}"""
+        for i in range(BLOOM_K)
+    )
+    _bloom_probe_rows = ", ".join(f"('{t}')" for t in BLOOM_PROBE_TERMS)
+    o["bloom_seen_terms"] = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+addr AS ({_bloom_addr_sql.format(v="term", src="t")}),
+sk AS (SELECT word, bit_or(mask) AS bits FROM addr GROUP BY word),
+probe(value) AS (VALUES {_bloom_probe_rows}),
+paddr AS ({_bloom_addr_sql.format(v="value", src="probe")}),
+verdict AS (
+  SELECT p.value,
+         (CASE WHEN sum(CASE WHEN (p.mask & coalesce(sk.bits, 0)) = p.mask
+                             THEN 1 ELSE 0 END) = {BLOOM_K}
+               THEN 1 ELSE 0 END)::BIGINT AS maybe_present
+  FROM paddr p LEFT JOIN sk ON sk.word = p.word
+  GROUP BY p.value
+),
+truep AS (SELECT DISTINCT term AS value, 1::BIGINT AS present FROM t
+          WHERE term IN (SELECT value FROM probe))
+SELECT v.value, v.maybe_present, coalesce(tp.present, 0)::BIGINT AS present
+FROM verdict v LEFT JOIN truep tp ON tp.value = v.value"""
 
     # bigram LM scoring: integer counts, one ln/divide rounded to 6 dp
     o["lm_doc_scores"] = """

@@ -246,6 +246,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "semantic_dedup",
         "events_overlap",
         "collocations",
+        "bloom_seen_terms",
     ]
     out = {}
     for name in headline:

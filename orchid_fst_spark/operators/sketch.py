@@ -35,6 +35,8 @@ __all__ = [
     "hll_estimate",
     "cms_sketch",
     "cms_lookup",
+    "bloom_sketch",
+    "bloom_probe",
 ]
 
 
@@ -197,6 +199,101 @@ def cms_sketch(
         .select("r.depth", "r.bucket")
         .groupBy("depth", "bucket")
         .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def _bloom_addr(value: Column, m_bits: int, k_hashes: int, seed: str) -> Column:
+    """Array of k (word, mask) structs for ``value`` — 32-bit words
+    (``word = bit // 32``, ``mask = 1 << (bit % 32)``), so every mask is
+    a small positive BIGINT in both engines (64-bit words would need
+    1 << 63, whose signedness DuckDB and the JVM disagree about)."""
+    # mask = 2^(bit % 32) computed as an exact double pow (the Python
+    # shiftleft wrapper only takes a literal shift amount; 2^n for
+    # n <= 31 is exactly representable, so the cast back is lossless)
+    return F.array(
+        *[
+            F.struct(
+                ((_h32(value, f"{seed}{i}") % m_bits) / F.lit(32))
+                .cast("long")
+                .alias("word"),
+                F.pow(
+                    F.lit(2.0),
+                    ((_h32(value, f"{seed}{i}") % m_bits) % 32).cast("double"),
+                )
+                .cast("long")
+                .alias("mask"),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Bloom filter (Bloom, CACM'70) over the values of ``value_col``
+    as a bounded integer word table: ``(word, bits)`` with at most
+    ``m_bits / 32`` rows regardless of corpus size — the membership
+    twin of the HLL/CMS sketches (have we crawled this URL / seen this
+    line hash?), with one-sided error: probes answer "definitely not
+    seen" or "maybe seen" (false-positive rate ~``(1-e^{-kn/m})^k``).
+
+    Same determinism discipline as the rest of the family: bit
+    positions are md5-derived (``h32(seed{i}|value) % m_bits``) and
+    every cell is an integer word, so a SQL engine reproduces the
+    sketch bit-for-bit.  Mergeable across corpus slices / days by
+    ``bit_or`` of the word cells.
+
+    Scale notes: one static k-way Expand per value into ONE hash
+    aggregate with map-side partial combine down to the fixed word
+    table — no distinct shuffle, no state proportional to the corpus."""
+    if m_bits < 32 or k_hashes < 1:
+        raise ValueError("need m_bits >= 32 and k_hashes >= 1")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(_bloom_addr(F.col(value_col), m_bits, k_hashes, seed)).alias("r"))
+        .select("r.word", "r.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    values: list[str],
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Probe a literal value list against a ``bloom_sketch`` word
+    table: ``(value, maybe_present)`` with 1 iff ALL k addressed bits
+    are set (sketch misses and untouched words count as 0 bits).  The
+    probe side is tiny; the sketch side is bounded at ``m_bits / 32``
+    rows — the lookup is one equi-join plus one aggregate, never a
+    corpus scan.  ``m_bits``/``k_hashes``/``seed`` must match the
+    build call (same contract as ``cms_lookup``)."""
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame([(v,) for v in values], "value string")
+    addr = probe.select(
+        "value",
+        F.explode(_bloom_addr(F.col("value"), m_bits, k_hashes, seed)).alias("r"),
+    ).select("value", "r.word", "r.mask")
+    hit = (
+        F.col("mask").bitwiseAND(F.coalesce("bits", F.lit(0).cast("long")))
+        == F.col("mask")
+    )
+    return (
+        addr.join(sketch, "word", "left")
+        .groupBy("value")
+        .agg(
+            (F.sum(F.when(hit, 1).otherwise(0)) == F.lit(k_hashes))
+            .cast("long")
+            .alias("maybe_present")
+        )
     )
 
 

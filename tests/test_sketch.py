@@ -216,3 +216,57 @@ def test_hll_grouped_matches_per_group(spark):
             hll_registers(df.filter(F.col("g") == g), "v", p=8), p=8
         ).collect()[0]
         assert grouped[g] == (solo["m"], solo["n_zero"], solo["s_num"]), g
+
+
+def test_bloom_no_false_negatives_and_absent_mostly_clean(spark):
+    from orchid_fst_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    df = spark.range(500).select(F.concat(F.lit("key"), "id").alias("v"))
+    sk = bloom_sketch(df, "v", m_bits=1 << 14, k_hashes=4).cache()
+    present = [f"key{i}" for i in range(0, 500, 37)]
+    absent = [f"nope{i}" for i in range(40)]
+    got = {
+        r.value: r.maybe_present
+        for r in bloom_probe(
+            sk, present + absent, m_bits=1 << 14, k_hashes=4
+        ).collect()
+    }
+    # one-sided error: EVERY inserted key answers maybe_present
+    assert all(got[v] == 1 for v in present)
+    # at 500 keys in 16384 bits / 4 hashes the fp rate is ~1e-4 — the
+    # deterministic probe set must come back overwhelmingly clean
+    assert sum(got[v] for v in absent) <= 2
+    sk.unpersist()
+
+
+def test_bloom_merge_by_bit_or_equals_full_build(spark):
+    from orchid_fst_spark.operators.sketch import bloom_sketch
+
+    df = spark.range(400).select(F.concat(F.lit("k"), "id").alias("v"))
+    a = bloom_sketch(df.filter(F.col("id") < 200), "v", m_bits=1 << 12)
+    b = bloom_sketch(df.filter(F.col("id") >= 200), "v", m_bits=1 << 12)
+    merged = {
+        r.word: r.bits
+        for r in a.unionAll(b)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    full = {
+        r.word: r.bits
+        for r in bloom_sketch(df, "v", m_bits=1 << 12).collect()
+    }
+    assert merged == full and len(full) > 0
+
+
+def test_bloom_partitioning_independent_and_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from orchid_fst_spark.operators.sketch import bloom_sketch
+
+    df = spark.range(300).select(F.concat(F.lit("x"), "id").alias("v"))
+    a = sorted(map(tuple, bloom_sketch(df, "v").collect()))
+    b = sorted(map(tuple, bloom_sketch(df.repartition(7), "v").collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        bloom_sketch(df, "v", m_bits=16)
