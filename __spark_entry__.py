@@ -898,12 +898,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SemDeDup-style semantic dedup: candidates from the IVF coarse
     # cells (md5 hash-sample quantizer, engine-reproducible) instead of
     # LSH band collisions; same exact collapse -> verify -> CC shape
+    # cell_cap is pinned effectively-unbounded here because the DuckDB
+    # twin enumerates ALL intra-cell pairs (SQL has no cap stage) —
+    # with the default cap a hot cell would be dropped on the Spark
+    # side only and the hash check would flip with no hint why
     q["semantic_dedup"] = lambda spark, sf: semantic_dedup(
         spark.read.parquet(f"{sf}/embeddings.parquet"),
         "vec_id",
         "embedding",
         threshold=0.4,
         n_centroids=16,
+        cell_cap=1_000_000,
         storage=None,
     ).select(F.col("id").alias("vec_id"), "rep_id", "keep")
 
@@ -3133,9 +3138,8 @@ probe(value) AS (VALUES {_bloom_probe_rows}),
 paddr AS ({_bloom_addr_sql.format(v="value", src="probe")}),
 verdict AS (
   SELECT p.value,
-         (CASE WHEN sum(CASE WHEN (p.mask & coalesce(sk.bits, 0)) = p.mask
-                             THEN 1 ELSE 0 END) = {BLOOM_K}
-               THEN 1 ELSE 0 END)::BIGINT AS maybe_present
+         min(CASE WHEN (p.mask & coalesce(sk.bits, 0)) = p.mask
+                  THEN 1 ELSE 0 END)::BIGINT AS maybe_present
   FROM paddr p LEFT JOIN sk ON sk.word = p.word
   GROUP BY p.value
 ),

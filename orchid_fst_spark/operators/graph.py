@@ -14,13 +14,21 @@ Scale notes (100 TB of edges):
   aggregate); the edge frame is joined with out-degrees ONCE and
   persisted, so iterations re-scan the cached (src, dst, outdeg) frame
   instead of recomputing it.  Per-iteration scalars (dangling mass,
-  node count) travel as broadcast one-row frames — no driver round
-  trips inside the loop, no collect.
-- Ranks are persisted each iteration BECAUSE each iteration reads the
-  previous rank frame twice (dangling mass + contributions): without
-  the persist, lineage doubles per iteration and recompute cost is
-  O(2^iterations).  Persists are registered with util.storage so
-  long-lived sessions can release them.
+  node count) travel as broadcast one-row frames.
+- Rank/score frames are lineage-TRUNCATED each iteration
+  (``localCheckpoint(eager=True)``, or a parquet round-trip under
+  ``checkpoint_dir`` — the cluster-reliable form) because each
+  iteration reads the previous frame twice (dangling mass +
+  contributions / normalizer + score join): an un-truncated double
+  reference doubles the ANALYZED plan tree per iteration and AQE's
+  per-stage re-planning goes superlinear (measured on ``hits``: 105 s
+  for 3 iterations at sf0.1 vs 6.6 s truncated; ``persist()`` alone
+  makes it worse — it eagerly plans the doubled tree per call).
+  Truncation costs one node-sized materialization job per iteration;
+  the long-lived frames that ARE persisted (edges, nodes) register
+  with util.storage for release.  localCheckpoint data is freed when
+  the RDD is garbage collected (same lifecycle as
+  ``er.clustering.connected_components``).
 
 Cross-engine determinism: ranks are double sums whose order Spark does
 not fix; the published recipe (CLAUDE.md) is followed — iterate

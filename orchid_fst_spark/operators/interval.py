@@ -32,6 +32,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _us(name: str):
+    """Exact integer event time.  unix_micros rejects TIMESTAMP_NTZ;
+    the cast applies the same session-zone interpretation to every
+    column, so compares and bucket arithmetic stay mutually
+    consistent."""
+    return F.unix_micros(F.col(name).cast("timestamp"))
+
+
+def _explode_buckets(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    b_us: int,
+    max_span_buckets: int,
+    op_name: str,
+) -> DataFrame:
+    """One row per bucket the half-open interval ``[start, end)``
+    covers, as ``_bkt``; empty/inverted intervals are dropped, and an
+    interval spanning more than ``max_span_buckets`` buckets raises at
+    run time (deliberately loud — never a silent truncation).  Shared
+    by both interval joins so the bucket/guard arithmetic has one
+    definition."""
+    su, eu = _us(start_col), _us(end_col)
+    first_b = F.floor(su / b_us)
+    last_b = F.floor((eu - 1) / b_us)  # end-exclusive
+    span_ok = F.when(
+        last_b - first_b < max_span_buckets, F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: interval spans more than "),
+                F.lit(str(max_span_buckets)),
+                F.lit(" buckets; raise bucket_seconds or max_span_buckets"),
+            )
+        )
+    )
+    return (
+        df.filter(eu > su)
+        .filter(span_ok)
+        .withColumn("_bkt", F.explode(F.sequence(first_b, last_b)))
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -58,32 +101,11 @@ def interval_join(
         raise ValueError("need bucket_seconds > 0")
     b_us = int(bucket_seconds) * 1_000_000
 
-    def _us(name: str):
-        # unix_micros rejects TIMESTAMP_NTZ; the cast applies the same
-        # session-zone interpretation to every column, so the compare
-        # and bucket arithmetic stay mutually consistent
-        return F.unix_micros(F.col(name).cast("timestamp"))
-
     lt = _us(left_ts)
     rs = _us(right_start)
     re = _us(right_end)
-    first_b = F.floor(rs / b_us)
-    last_b = F.floor((re - 1) / b_us)  # end-exclusive
-    span_ok = F.when(
-        last_b - first_b < max_span_buckets, F.lit(True)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("interval_join: interval spans more than "),
-                F.lit(str(max_span_buckets)),
-                F.lit(" buckets; raise bucket_seconds or max_span_buckets"),
-            )
-        )
-    )
-    r_bucketed = (
-        right.filter(re > rs)
-        .filter(span_ok)
-        .withColumn("_bkt", F.explode(F.sequence(first_b, last_b)))
+    r_bucketed = _explode_buckets(
+        right, right_start, right_end, b_us, max_span_buckets, "interval_join"
     )
     l_bucketed = left.withColumn("_bkt", F.floor(lt / b_us))
     return (
@@ -128,34 +150,17 @@ def interval_overlap_join(
         raise ValueError("need bucket_seconds > 0")
     b_us = int(bucket_seconds) * 1_000_000
 
-    def _us(name: str):
-        return F.unix_micros(F.col(name).cast("timestamp"))
-
-    def _bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
-        su, eu = _us(s), _us(e)
-        first_b = F.floor(su / b_us)
-        last_b = F.floor((eu - 1) / b_us)
-        span_ok = F.when(
-            last_b - first_b < max_span_buckets, F.lit(True)
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("interval_overlap_join: interval spans more than "),
-                    F.lit(str(max_span_buckets)),
-                    F.lit(" buckets; raise bucket_seconds or max_span_buckets"),
-                )
-            )
-        )
-        return (
-            df.filter(eu > su)
-            .filter(span_ok)
-            .withColumn("_bkt", F.explode(F.sequence(first_b, last_b)))
-        )
-
     ls, le = _us(left_start), _us(left_end)
     rs, re = _us(right_start), _us(right_end)
-    joined = _bucketed(left, left_start, left_end).join(
-        _bucketed(right, right_start, right_end), [*on, "_bkt"]
+    joined = _explode_buckets(
+        left, left_start, left_end, b_us, max_span_buckets,
+        "interval_overlap_join",
+    ).join(
+        _explode_buckets(
+            right, right_start, right_end, b_us, max_span_buckets,
+            "interval_overlap_join",
+        ),
+        [*on, "_bkt"],
     )
     return (
         joined.filter((ls < re) & (rs < le))

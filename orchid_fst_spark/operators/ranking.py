@@ -428,7 +428,10 @@ def hashed_classifier_score(
     def _feat(tok) -> F.Column:
         return _hash32(tok) % F.lit(int(n_features))
 
-    n = F.size(toks)
+    # NULL text => size() is NULL: coalesce to 0 so a NULL-text row
+    # keeps the one-row-per-doc contract with n_tokens 0 / score 0.5
+    # (identical to the trained-weights path and the DuckDB oracle)
+    n = F.coalesce(F.size(toks), F.lit(0))
     if weights is None:
         w_int = lambda tok: _hash32(  # noqa: E731
             F.concat(F.lit(f"{seed}|"), _feat(tok).cast("string"))

@@ -622,6 +622,59 @@ def cosine_lsh_band_metrics(
     )
 
 
+def _keep_one_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pairs_fn,
+    storage: str | None,
+    max_iter: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Shared keep-one-per-cluster scaffold for the embedding dedups:
+    NULL-vec split -> exact byte-identical collapse (min id per value
+    group, ONE hash shuffle, before any candidate generation so
+    mega-duplicate clusters never reach it) -> ``pairs_fn(reps)``
+    produces the verified (id_a, id_b) near-dup pairs over the exact
+    representatives -> alternating-star connected components -> every
+    input row labeled ``(id, rep_id, keep)`` with keep = 1 iff the row
+    is its cluster's representative.  The candidate stage is the ONLY
+    thing that differs between ``embedding_dedup`` (LSH bands) and
+    ``semantic_dedup`` (IVF cells), so it is the pluggable argument.
+
+    A NULL embedding carries no content to match on AND would be
+    silently dropped by the non-null-safe vec equi-join (violating
+    one-row-per-input), so NULL-vec rows come back as singleton keeps
+    (oracles mirror)."""
+    from ..er.clustering import connected_components
+    from .dedup import _maybe_persist
+
+    ids = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    nulls = ids.filter(F.col("vec").isNull()).select(
+        "id", F.col("id").alias("rep_id"), F.lit(1).cast("long").alias("keep")
+    )
+    nn = ids.filter(F.col("vec").isNotNull())
+    ex = nn.groupBy("vec").agg(F.min("id").alias("ex_rep"))
+    # mapped keeps vec so the representative frame is a plain filter of
+    # it (no second source scan / join to re-attach the vector)
+    mapped = _maybe_persist(nn.join(ex, "vec"), storage)
+    reps = mapped.filter(F.col("id") == F.col("ex_rep")).select("id", "vec")
+    pairs = pairs_fn(reps)
+    comps = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return (
+        mapped.join(comps.withColumnRenamed("node", "ex_rep"), "ex_rep", "left")
+        .select("id", F.coalesce("component", "ex_rep").alias("rep_id"))
+        .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
+        .unionByName(nulls)
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str,
@@ -671,42 +724,23 @@ def semantic_dedup(
     aggregation buffer (the vector payload), so keep ``cell_cap`` in
     the low thousands for wide vectors.  Deterministic for a fixed
     input set under the default hash quantizer."""
-    from ..er.clustering import connected_components
-    from .dedup import _maybe_persist, grouped_bucket_pairs
+    from .dedup import grouped_bucket_pairs
 
-    ids = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    nulls = ids.filter(F.col("vec").isNull()).select(
-        "id", F.col("id").alias("rep_id"), F.lit(1).cast("long").alias("keep")
-    )
-    nn = ids.filter(F.col("vec").isNotNull())
-    ex = nn.groupBy("vec").agg(F.min("id").alias("ex_rep"))
-    mapped = _maybe_persist(nn.join(ex, "vec"), storage)
-    reps = mapped.filter(F.col("id") == F.col("ex_rep")).select("id", "vec")
+    def _pairs(reps: DataFrame) -> DataFrame:
+        cents = ivf_centroids(
+            reps, "id", "vec", n_centroids, algo=centroid_algo, seed=seed
+        )
+        cells = ivf_assign(reps, "id", "vec", cents=cents)
+        stacked = cells.select("id", "vec", F.col("cell").alias("bucket"))
+        cand = grouped_bucket_pairs(
+            stacked, cell_cap, payload_col="vec", distinct=False
+        )
+        return cand.filter(
+            cosine(F.col("vec_a"), F.col("vec_b")) >= F.lit(float(threshold))
+        ).select("id_a", "id_b")
 
-    cents = ivf_centroids(
-        reps, "id", "vec", n_centroids, algo=centroid_algo, seed=seed
-    )
-    cells = ivf_assign(reps, "id", "vec", cents=cents)
-    stacked = cells.select("id", "vec", F.col("cell").alias("bucket"))
-    cand = grouped_bucket_pairs(
-        stacked, cell_cap, payload_col="vec", distinct=False
-    )
-    pairs = cand.filter(
-        cosine(F.col("vec_a"), F.col("vec_b")) >= F.lit(float(threshold))
-    ).select("id_a", "id_b")
-
-    comps = connected_components(
-        pairs,
-        src="id_a",
-        dst="id_b",
-        max_iter=max_iter,
-        checkpoint_dir=checkpoint_dir,
-    )
-    return (
-        mapped.join(comps.withColumnRenamed("node", "ex_rep"), "ex_rep", "left")
-        .select("id", F.coalesce("component", "ex_rep").alias("rep_id"))
-        .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
-        .unionByName(nulls)
+    return _keep_one_dedup(
+        emb, id_col, vec_col, _pairs, storage, max_iter, checkpoint_dir
     )
 
 
@@ -743,49 +777,26 @@ def embedding_dedup(
          (lexicographic-min id through BOTH collapses).
 
     Returns one row per input vector: ``(id, rep_id, keep)`` with
-    ``keep = 1`` iff the vector is its cluster's representative.
+    ``keep = 1`` iff the vector is its cluster's representative
+    (NULL-vec rows are singleton keeps — see ``_keep_one_dedup``).
     Deterministic for a fixed input set (md5-derived planes by default,
     so even the LSH candidate set is engine-reproducible)."""
-    from ..er.clustering import connected_components
-    from .dedup import _maybe_persist
 
-    ids = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # a NULL embedding carries no content to match on AND would be
-    # silently dropped by the non-null-safe equi-join below (violating
-    # one-row-per-input): split NULL-vec rows out as their own
-    # singleton keeps and union them back at the end (oracle mirrors)
-    nulls = ids.filter(F.col("vec").isNull()).select(
-        "id", F.col("id").alias("rep_id"), F.lit(1).cast("long").alias("keep")
-    )
-    nn = ids.filter(F.col("vec").isNotNull())
-    ex = nn.groupBy("vec").agg(F.min("id").alias("ex_rep"))
-    # mapped keeps vec so the representative frame is a plain filter of
-    # it (no second source scan / join to re-attach the vector)
-    mapped = _maybe_persist(nn.join(ex, "vec"), storage)
-    reps = mapped.filter(F.col("id") == F.col("ex_rep")).select("id", "vec")
-    pairs = cosine_lsh_pairs(
-        reps,
-        "id",
-        "vec",
-        threshold,
-        dim,
-        n_planes=n_planes,
-        bands=bands,
-        seed=seed,
-        plane_scheme=plane_scheme,
-        bucket_cap=bucket_cap,
-        storage=storage,
-    )
-    comps = connected_components(
-        pairs.select("id_a", "id_b"),
-        src="id_a",
-        dst="id_b",
-        max_iter=max_iter,
-        checkpoint_dir=checkpoint_dir,
-    )
-    return (
-        mapped.join(comps.withColumnRenamed("node", "ex_rep"), "ex_rep", "left")
-        .select("id", F.coalesce("component", "ex_rep").alias("rep_id"))
-        .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
-        .unionByName(nulls)
+    def _pairs(reps: DataFrame) -> DataFrame:
+        return cosine_lsh_pairs(
+            reps,
+            "id",
+            "vec",
+            threshold,
+            dim,
+            n_planes=n_planes,
+            bands=bands,
+            seed=seed,
+            plane_scheme=plane_scheme,
+            bucket_cap=bucket_cap,
+            storage=storage,
+        )
+
+    return _keep_one_dedup(
+        emb, id_col, vec_col, _pairs, storage, max_iter, checkpoint_dir
     )

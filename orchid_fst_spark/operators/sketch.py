@@ -275,9 +275,17 @@ def bloom_probe(
     probe side is tiny; the sketch side is bounded at ``m_bits / 32``
     rows — the lookup is one equi-join plus one aggregate, never a
     corpus scan.  ``m_bits``/``k_hashes``/``seed`` must match the
-    build call (same contract as ``cms_lookup``)."""
+    build call (same contract as ``cms_lookup``).  Duplicate probe
+    values are deduplicated (one output row per distinct value), and
+    the verdict is ``min`` over the k addressed bits — NOT a
+    ``sum == k`` count, which would return a false negative whenever a
+    value reached the aggregate with more than k address rows (e.g. a
+    duplicated probe) and silently break the one-sided-error
+    guarantee."""
     spark = sketch.sparkSession
-    probe = spark.createDataFrame([(v,) for v in values], "value string")
+    probe = spark.createDataFrame(
+        [(v,) for v in dict.fromkeys(values)], "value string"
+    )
     addr = probe.select(
         "value",
         F.explode(_bloom_addr(F.col("value"), m_bits, k_hashes, seed)).alias("r"),
@@ -290,7 +298,7 @@ def bloom_probe(
         addr.join(sketch, "word", "left")
         .groupBy("value")
         .agg(
-            (F.sum(F.when(hit, 1).otherwise(0)) == F.lit(k_hashes))
+            F.min(F.when(hit, 1).otherwise(0))
             .cast("long")
             .alias("maybe_present")
         )

@@ -326,3 +326,23 @@ def test_collocations_matches_python(spark, rdocs):
     # the planted phrase "the cat"/"the mat" repeats across docs, so at
     # least one pair above min_count survives and ranks by rounded pmi
     assert all(got[i][5] >= got[i + 1][5] for i in range(len(got) - 1))
+
+
+def test_hashed_classifier_score_null_text_row(spark):
+    """Regression: size(tokens(NULL)) is NULL under ANSI — a NULL-text
+    row must still emit (id, 0, 0.5) on BOTH weight paths."""
+    from orchid_fst_spark.operators.ranking import hashed_classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    for w in (None, spark.createDataFrame([(0, 1.0)], "feature long, weight double")):
+        got = {
+            r.id: (r.n_tokens, r.score)
+            for r in hashed_classifier_score(
+                df, "doc_id", "text", weights=w
+            ).collect()
+        }
+        assert len(got) == 3
+        assert got[2] == (0, 0.5) and got[3] == (0, 0.5)

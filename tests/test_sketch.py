@@ -270,3 +270,22 @@ def test_bloom_partitioning_independent_and_rejects_bad_params(spark):
     assert a == b
     with _pytest.raises(ValueError):
         bloom_sketch(df, "v", m_bits=16)
+
+
+def test_bloom_probe_duplicate_values_no_false_negative(spark):
+    """Regression: a duplicated probe value used to trip the sum==k
+    verdict into a false negative; the min-over-bits form is immune and
+    the probe list is deduplicated (one row per distinct value)."""
+    from orchid_fst_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    df = spark.range(100).select(F.concat(F.lit("key"), "id").alias("v"))
+    sk = bloom_sketch(df, "v", m_bits=1 << 12, k_hashes=4)
+    got = {
+        r.value: r.maybe_present
+        for r in bloom_probe(
+            sk, ["key1", "key1", "key2", "nope", "nope"],
+            m_bits=1 << 12, k_hashes=4,
+        ).collect()
+    }
+    assert got["key1"] == 1 and got["key2"] == 1
+    assert len(got) == 3  # deduplicated output
