@@ -1615,6 +1615,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_pagerank"] = lambda spark, sf: pagerank(
         _doc_edges(spark, sf), iterations=5, alpha=0.85, round_dp=6
     ).withColumnRenamed("rank", "pr")
+    # link extraction from text (the text->graph bridge): deterministic
+    # doc_id-arithmetic URLs injected like pii_stats, extracted with the
+    # shared URL_RE/HOST_RE dialect, aggregated per host
+    def _extracted_links(spark, sf):
+        from orchid_fst_spark.operators.graph import extract_links
+
+        docs = _docs(spark, sf)
+        did = F.col("doc_id").cast("string")
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(
+                        F.lit(" see https://h"),
+                        ((F.col("doc_id") * 7) % 20).cast("string"),
+                        F.lit(".example.org/p/"),
+                        did,
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" and https://h"),
+                        ((F.col("doc_id") * 11) % 20).cast("string"),
+                        F.lit(".example.org/q/"),
+                        did,
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        links = extract_links(aug, "doc_id", "text")
+        return links.groupBy("host").agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("src_doc").cast("long").alias("n_docs"),
+        )
+
+    q["extracted_link_hosts"] = _extracted_links
+
     # HITS hubs/authorities (sum-normalized, 3 fixed iterations) over
     # the same deterministic link graph
     # default storage: each iteration reads the score frame twice, so
@@ -3310,5 +3350,29 @@ FROM (
 ) GROUP BY node"""
     o["doc_pagerank"] = _pagerank_oracle_sql(iterations=5, alpha=0.85)
     o["doc_hits"] = _hits_oracle_sql(iterations=3)
+    # link extraction: the same URL/host regexes (Java∩RE2∩DuckDB
+    # dialect) over the same doc_id-arithmetic augmented text
+    o["extracted_link_hosts"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' see https://h' || ((doc_id * 7) % 20)::VARCHAR
+                      || '.example.org/p/' || doc_id::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' and https://h' || ((doc_id * 11) % 20)::VARCHAR
+                      || '.example.org/q/' || doc_id::VARCHAR
+                 ELSE '' END AS t
+  FROM documents
+),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+  FROM aug
+)
+SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM links GROUP BY 1"""
 
     return o

@@ -247,6 +247,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "events_overlap",
         "collocations",
         "bloom_seen_terms",
+        "extracted_link_hosts",
     ]
     out = {}
     for name in headline:

@@ -72,6 +72,38 @@ def degree_stats(
     )
 
 
+def extract_links(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    url_re: str | None = None,
+) -> DataFrame:
+    """Extract the outbound link list from document text: one row per
+    URL occurrence as ``(src_doc, url, host)`` — the text→graph bridge
+    that feeds ``degree_stats`` / ``pagerank`` / ``hits`` with a REAL
+    edge list (src_doc/host bipartite, or host-level after a host-side
+    self-join) instead of a pre-extracted one.
+
+    The pattern defaults to the engine-wide ``functions.text.URL_RE``
+    and the host comes from ``functions.normalize.url_host`` — both in
+    the Java∩RE2∩DuckDB common dialect, so the extraction is
+    oracle-reproducible.  Pure map-side (regexp_extract_all + explode,
+    ZERO exchanges); output size is the inherent link count."""
+    from ..functions.normalize import url_host
+    from ..functions.text import URL_RE
+
+    pattern = url_re if url_re is not None else URL_RE
+    return (
+        docs.select(
+            F.col(id_col).alias("src_doc"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+            ).alias("url"),
+        )
+        .withColumn("host", url_host("url"))
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

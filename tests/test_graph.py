@@ -150,3 +150,26 @@ def test_hits_partitioning_independent(spark, edges_df):
         for r in hits(edges_df.repartition(7), iterations=3).collect()
     }
     assert a == b
+
+
+def test_extract_links_rows_and_hosts(spark):
+    from orchid_fst_spark.operators.graph import extract_links
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.org/x and http://b.net/y?z=1 done"),
+            (2, "no links here"),
+            (3, None),
+            (4, "dup https://a.org/x https://a.org/x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.src_doc, r.url, r.host) for r in extract_links(df, "doc_id", "text").collect()
+    )
+    assert got == [
+        (1, "http://b.net/y?z=1", "b.net"),
+        (1, "https://a.org/x", "a.org"),
+        (4, "https://a.org/x", "a.org"),
+        (4, "https://a.org/x", "a.org"),
+    ]
