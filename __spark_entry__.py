@@ -1414,6 +1414,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_seen_terms"] = _bloom
 
+    # the corpus-scale bloom path: collect the bounded word table once
+    # (bloom_collect) and screen the NEXT crawl's terms map-side with
+    # bloom_contains (literal-array bit tests, zero shuffles, no
+    # Python) — novel doc_id-arithmetic tokens are definitely-new,
+    # every current-corpus token answers maybe
+    def _bloom_new(spark, sf):
+        from orchid_fst_spark.operators.sketch import (
+            bloom_collect,
+            bloom_contains,
+            bloom_sketch,
+        )
+
+        docs = _docs(spark, sf)
+        terms = docs.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        sk = bloom_sketch(terms, "term", m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K)
+        words = bloom_collect(sk, BLOOM_M_BITS)
+        did = F.col("doc_id").cast("string")
+        nxt = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.concat(F.lit(" novel"), did),
+                ).otherwise(F.lit("")),
+            ).alias("t2"),
+        )
+        nt = nxt.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("t2")))).alias("term")
+        ).distinct()
+        ann = nt.withColumn(
+            "maybe",
+            bloom_contains(
+                F.col("term"), words, m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K
+            ),
+        )
+        return ann.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(F.when(F.col("maybe") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+
+    q["bloom_new_terms"] = _bloom_new
+
     # --- bigram LM quality scoring (operators/ranking.py): the CCNet-
     # style perplexity filter signal, LM trained on the corpus itself;
     # integer counts until the final ln/divide rounded to 6 dp ---
@@ -3187,6 +3234,50 @@ truep AS (SELECT DISTINCT term AS value, 1::BIGINT AS present FROM t
           WHERE term IN (SELECT value FROM probe))
 SELECT v.value, v.maybe_present, coalesce(tp.present, 0)::BIGINT AS present
 FROM verdict v LEFT JOIN truep tp ON tp.value = v.value"""
+
+    # corpus-scale bloom screen: same sketch words, membership per
+    # (doc, term) of the augmented next crawl, min-over-bits verdict
+    _bloom_doc_addr_sql = " UNION ALL ".join(
+        f"""SELECT doc_id, term,
+           (('0x' || substr(md5('bloom{i}|' || term), 1, 8))::BIGINT
+            % {BLOOM_M_BITS}) // 32 AS word,
+           (1::BIGINT << (((('0x' || substr(md5('bloom{i}|' || term), 1, 8))::BIGINT
+            % {BLOOM_M_BITS}) % 32)::INTEGER)) AS mask FROM nt"""
+        for i in range(BLOOM_K)
+    )
+    o["bloom_new_terms"] = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+addr AS ({_bloom_addr_sql.format(v="term", src="t")}),
+sk AS (SELECT word, bit_or(mask) AS bits FROM addr GROUP BY word),
+nxt AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' novel' || doc_id::VARCHAR ELSE '' END AS t2
+  FROM documents
+),
+nt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(t2)), '\\s+'),
+                  x -> x <> '')) AS term
+    FROM nxt
+  )
+),
+paddr AS ({_bloom_doc_addr_sql}),
+mem AS (
+  SELECT p.doc_id, p.term,
+         min(CASE WHEN (p.mask & coalesce(sk.bits, 0)) = p.mask
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM paddr p LEFT JOIN sk ON sk.word = p.word
+  GROUP BY p.doc_id, p.term
+)
+SELECT doc_id, count(*)::BIGINT AS n_terms,
+       sum(CASE WHEN maybe = 0 THEN 1 ELSE 0 END)::BIGINT AS n_new
+FROM mem GROUP BY doc_id"""
 
     # bigram LM scoring: integer counts, one ln/divide rounded to 6 dp
     o["lm_doc_scores"] = """

@@ -37,6 +37,8 @@ __all__ = [
     "cms_lookup",
     "bloom_sketch",
     "bloom_probe",
+    "bloom_collect",
+    "bloom_contains",
 ]
 
 
@@ -303,6 +305,53 @@ def bloom_probe(
             .alias("maybe_present")
         )
     )
+
+
+def bloom_collect(sketch: DataFrame, m_bits: int) -> list[int]:
+    """Collect a ``bloom_sketch`` word table to a dense driver-side
+    word list (index = word, value = 32-bit mask; untouched words 0).
+    The sketch is BOUNDED at ``m_bits / 32`` longs (a 2^20-bit filter
+    is 32k longs ≈ 256 KB), so this is the legitimate small-side
+    collect that turns the filter into a broadcastable constant —
+    the bloom analog of collecting a dimension table for a broadcast
+    join."""
+    words = [0] * ((m_bits + 31) // 32)
+    for r in sketch.collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_contains(
+    value: Column,
+    words: list[int],
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    seed: str = "bloom",
+) -> Column:
+    """Map-side bloom membership COLUMN: 1 iff all k addressed bits of
+    ``value`` are set in the collected word list (``bloom_collect``) —
+    the corpus-scale probe path.  ``bloom_probe`` answers a literal
+    probe list; this annotates/filters an arbitrarily large frame
+    ("drop already-crawled URLs", "skip already-seen line hashes")
+    with ZERO shuffles and no Python: the word list rides the plan as
+    a literal array (bounded by ``m_bits / 32`` — keep filters at
+    ~2^20 bits or below on this path; beyond that, join against the
+    word table instead) and the k bit tests are plain JVM integer
+    expressions.  Same one-sided error as ``bloom_probe``: 0 =
+    definitely not inserted, 1 = maybe."""
+    arr = F.lit(words)  # literal array<long>, element_at is 1-based
+    checks = []
+    for i in range(k_hashes):
+        b = _h32(value, f"{seed}{i}") % m_bits
+        word = (b / F.lit(32)).cast("long")
+        mask = F.pow(F.lit(2.0), (b % 32).cast("double")).cast("long")
+        checks.append(
+            F.element_at(arr, (word + 1).cast("int")).bitwiseAND(mask) == mask
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out.cast("long")
 
 
 def cms_lookup(

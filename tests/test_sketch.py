@@ -289,3 +289,31 @@ def test_bloom_probe_duplicate_values_no_false_negative(spark):
     }
     assert got["key1"] == 1 and got["key2"] == 1
     assert len(got) == 3  # deduplicated output
+
+
+def test_bloom_contains_matches_probe_and_plan_is_map_side(spark):
+    from orchid_fst_spark.operators.sketch import (
+        bloom_collect,
+        bloom_contains,
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    df = spark.range(200).select(F.concat(F.lit("k"), "id").alias("v"))
+    sk = bloom_sketch(df, "v", m_bits=1 << 12, k_hashes=4).cache()
+    words = bloom_collect(sk, 1 << 12)
+    probes = [f"k{i}" for i in range(0, 200, 17)] + [f"absent{i}" for i in range(10)]
+    via_probe = {
+        r.value: r.maybe_present
+        for r in bloom_probe(sk, probes, m_bits=1 << 12, k_hashes=4).collect()
+    }
+    pf = spark.createDataFrame([(p,) for p in probes], "value string")
+    ann = pf.withColumn(
+        "m", bloom_contains(F.col("value"), words, m_bits=1 << 12, k_hashes=4)
+    )
+    via_col = {r.value: r.m for r in ann.collect()}
+    assert via_col == via_probe
+    # the membership column is pure map-side: no exchange, no Python
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    sk.unpersist()
