@@ -139,3 +139,58 @@ def pack_sequences(
             (F.col("_before") % seq_tokens).cast("long").alias("seq_offset"),
         )
     )
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_tokens: int = 2048,
+    seqs_per_shard: int = 1024,
+    num_partitions: int | None = None,
+    mode: str = "error",
+) -> DataFrame:
+    """Materialize the ``pack_sequences`` layout as the shard-
+    partitioned parquet artifact a training loader actually reads —
+    the sink end of the training-data pipeline (dedup/filter upstream,
+    chunk/pack here, loaders stream shards): each row carries
+    ``(shard, seq_id, seq_offset, id, n_tokens, <text_col>)``, rows
+    inside every file are sorted by ``(seq_id, seq_offset, id)`` so a
+    loader reconstructs the concatenated token stream by reading a
+    shard's files in order, and ``shard = seq_id // seqs_per_shard``
+    is a PARTITION DIRECTORY — a loader (or resume) asking for shards
+    [a, b) prunes to those directories at planning time, the same
+    pruning contract as the persisted text/fuzzy indexes.
+
+    Scale notes: one range exchange inside ``pack_sequences`` (the
+    distributed cumsum), one id-keyed join to re-attach the text, and
+    one hash exchange on ``shard`` before the write; a shard's size is
+    bounded by ``seqs_per_shard * seq_tokens`` tokens by construction,
+    so output files stay uniform regardless of document skew.
+
+    Returns the written artifact re-read (schema as stored, shard as a
+    partition column)."""
+    if seqs_per_shard <= 0:
+        raise ValueError("need seqs_per_shard > 0")
+    man = pack_sequences(docs, id_col, text_col, seq_tokens, num_partitions)
+    out = (
+        man.withColumn(
+            "shard", (F.col("seq_id") / seqs_per_shard).cast("long")
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
+            ),
+            "id",
+        )
+        .select("shard", "seq_id", "seq_offset", "id", "n_tokens", text_col)
+    )
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("shard", "seq_id", "seq_offset", "id")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return docs.sparkSession.read.parquet(out_dir)

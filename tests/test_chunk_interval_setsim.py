@@ -308,3 +308,53 @@ def test_interval_overlap_join_bruteforce_exactly_once(spark):
         if lk == rk and e1 > s1 and e2 > s2 and (e1 == s2 or e2 == s1)
     ]
     assert all(p not in got for p in touch)
+
+
+def test_write_packed_shards_layout_and_pruning(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.operators.chunking import (
+        pack_sequences,
+        write_packed_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    back = write_packed_shards(
+        docs, out, seq_tokens=8, seqs_per_shard=2, mode="overwrite"
+    )
+    # shard directories exist and shard = seq_id // 2 everywhere
+    assert any(d.startswith("shard=") for d in os.listdir(out))
+    rows = back.collect()
+    assert len(rows) == 40  # one row per document
+    assert all(r.shard == r.seq_id // 2 for r in rows)
+    # the stored layout equals the manifest joined to the text
+    man = {
+        r.id: (r.n_tokens, r.seq_id, r.seq_offset)
+        for r in pack_sequences(docs, "doc_id", "text", 8).collect()
+    }
+    for r in rows:
+        assert man[r.id] == (r.n_tokens, r.seq_id, r.seq_offset)
+        assert r.text.startswith(f"w{r.id}_0")
+    # in-file order: every parquet file is sorted by (seq_id, seq_offset)
+    import pyarrow.parquet as pq
+
+    for d in os.listdir(out):
+        if not d.startswith("shard="):
+            continue
+        for f in os.listdir(os.path.join(out, d)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(out, d, f)).to_pylist()
+            keys = [(x["seq_id"], x["seq_offset"], x["id"]) for x in t]
+            assert keys == sorted(keys)
+    # shard-range pruning reaches the scan as a partition filter
+    pruned = back.filter(F.col("shard") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    assert pruned.count() >= 1
