@@ -644,18 +644,19 @@ def main() -> None:
 
     add(
         "PageRank power iteration (`operators.graph.pagerank`, 1 iter)",
-        "One iteration = equi-join of the persisted (src,dst,outdeg) "
-        "edge frame with the node-sized rank frame + ONE hash aggregate "
-        "on dst; the two scalars (node count, dangling mass) ride "
-        "broadcast one-row frames (BroadcastNestedLoopJoin over a "
-        "single row, not a cartesian of data).  Rank frame persisted "
-        "per iteration because two consumers read it (contribs + "
-        "dangling mass) — without it lineage doubles per iteration.  "
-        "No Python, no corpus-wide window.",
+        "Each iteration's rank frame is lineage-TRUNCATED "
+        "(localCheckpoint) because two consumers read it (contribs + "
+        "dangling mass): an un-truncated double reference doubles the "
+        "analyzed plan per iteration and AQE planning goes superlinear "
+        "(measured on hits: 105 s for 3 iterations at sf0.1).  The "
+        "returned plan is therefore a constant-size projection over "
+        "the checkpointed leaf — the per-iteration join + hash "
+        "aggregate ran in the loop's own constant-size jobs.  No "
+        "Python, no corpus-wide window, no cartesian in any stage.",
         pagerank(entry._doc_edges(spark, SF), iterations=1, storage=None),
-        must_contain=("HashAggregate",),
+        must_contain=("Scan ExistingRDD",),
         must_not=("CartesianProduct", "Window", "BatchEvalPython",
-                  "ArrowEvalPython", "MapInPandas"),
+                  "ArrowEvalPython", "MapInPandas", "HashAggregate"),
     )
 
     from orchid_fst_spark.operators.dedup import strip_boilerplate
