@@ -352,12 +352,18 @@ edges AS (
 """
 
 
-def _pagerank_oracle_sql(iterations: int = 5, alpha: float = 0.85) -> str:
+def _pagerank_oracle_sql(
+    iterations: int = 5,
+    alpha: float = 0.85,
+    edges_cte: str | None = None,
+) -> str:
     """Unrolled fixed-iteration PageRank as plain (non-recursive) CTEs —
     the aggregate-in-recursive-term restriction makes WITH RECURSIVE a
-    non-starter, and unrolling keeps the oracle pure ANSI."""
+    non-starter, and unrolling keeps the oracle pure ANSI.  The edge
+    list defaults to the doc_id-arithmetic graph; pass ``edges_cte``
+    (must define ``edges(src, dst)``) to rank any other graph."""
     parts = [
-        _SQL_DOC_EDGES.strip(),
+        (edges_cte or _SQL_DOC_EDGES).strip(),
         "nodes AS (SELECT DISTINCT src AS node FROM edges"
         " UNION SELECT DISTINCT dst FROM edges)",
         "cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
@@ -1701,6 +1707,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["extracted_link_hosts"] = _extracted_links
+
+    # end-to-end text -> graph -> rank composition: the host graph is
+    # EXTRACTED from document text (source host links to every host its
+    # pages mention), deduped to a simple graph, then PageRanked — the
+    # full link-authority pipeline over raw webtext, oracle-checked
+    # against the unrolled-CTE twin over the same extraction
+    def _host_pagerank(spark, sf):
+        from orchid_fst_spark.operators.graph import extract_links
+
+        docs = _docs(spark, sf)
+        did = F.col("doc_id").cast("string")
+        aug = docs.select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(
+                        F.lit(" see https://h"),
+                        ((F.col("doc_id") * 7) % 20).cast("string"),
+                        F.lit(".example.org/p/"),
+                        did,
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" and https://h"),
+                        ((F.col("doc_id") * 11) % 20).cast("string"),
+                        F.lit(".example.org/q/"),
+                        did,
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        links = extract_links(aug, "doc_id", "text")
+        edges = (
+            links.join(
+                aug.select(F.col("doc_id").alias("src_doc"), "src_host"),
+                "src_doc",
+            )
+            .select(F.col("src_host").alias("src"), F.col("host").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return pagerank(edges, iterations=3, round_dp=6).withColumnRenamed(
+            "rank", "pr"
+        )
+
+    q["host_pagerank"] = _host_pagerank
 
     # HITS hubs/authorities (sum-normalized, 3 fixed iterations) over
     # the same deterministic link graph
@@ -3441,6 +3498,36 @@ FROM (
 ) GROUP BY node"""
     o["doc_pagerank"] = _pagerank_oracle_sql(iterations=5, alpha=0.85)
     o["doc_hits"] = _hits_oracle_sql(iterations=3)
+    # text -> graph -> rank composition: the SAME extraction as
+    # extracted_link_hosts, host-level simple graph, unrolled PageRank
+    _host_edges_cte = r"""
+aug AS (
+  SELECT doc_id, source || '.example.com' AS src_host,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' see https://h' || ((doc_id * 7) % 20)::VARCHAR
+                      || '.example.org/p/' || doc_id::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' and https://h' || ((doc_id * 11) % 20)::VARCHAR
+                      || '.example.org/q/' || doc_id::VARCHAR
+                 ELSE '' END AS t
+  FROM documents
+),
+lnk AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+  FROM aug
+),
+edges AS (
+  SELECT DISTINCT a.src_host AS src,
+         regexp_extract(l.url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS dst
+  FROM lnk l JOIN aug a USING (doc_id)
+  WHERE a.src_host <> regexp_extract(l.url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+)
+"""
+    o["host_pagerank"] = _pagerank_oracle_sql(
+        iterations=3, alpha=0.85, edges_cte=_host_edges_cte
+    )
     # link extraction: the same URL/host regexes (Java∩RE2∩DuckDB
     # dialect) over the same doc_id-arithmetic augmented text
     o["extracted_link_hosts"] = r"""
