@@ -342,6 +342,64 @@ def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic doc_id-arithmetic URLs injected
+    (and the page's own host as ``src_host``) — the ONE definition of
+    the link-extraction fixture, shared by ``extracted_link_hosts``
+    and ``host_pagerank`` so the Spark queries and their SQL twins
+    (``_SQL_LINK_AUG``) cannot drift apart."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" see https://h"),
+                    ((F.col("doc_id") * 7) % 20).cast("string"),
+                    F.lit(".example.org/p/"),
+                    did,
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" and https://h"),
+                    ((F.col("doc_id") * 11) % 20).cast("string"),
+                    F.lit(".example.org/q/"),
+                    did,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+# the DuckDB twin of _link_aug_docs (aug) plus the URL explode (lnk) —
+# change BOTH or neither
+_SQL_LINK_AUG = r"""
+aug AS (
+  SELECT doc_id, source || '.example.com' AS src_host,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' see https://h' || ((doc_id * 7) % 20)::VARCHAR
+                      || '.example.org/p/' || doc_id::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' and https://h' || ((doc_id * 11) % 20)::VARCHAR
+                      || '.example.org/q/' || doc_id::VARCHAR
+                 ELSE '' END AS t
+  FROM documents
+),
+lnk AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+  FROM aug
+)
+"""
+
+
 _SQL_DOC_EDGES = r"""
 nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
 edges AS (
@@ -1674,33 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _extracted_links(spark, sf):
         from orchid_fst_spark.operators.graph import extract_links
 
-        docs = _docs(spark, sf)
-        did = F.col("doc_id").cast("string")
-        aug = docs.select(
-            "doc_id",
-            F.concat(
-                F.col("text"),
-                F.when(
-                    F.col("doc_id") % 2 == 0,
-                    F.concat(
-                        F.lit(" see https://h"),
-                        ((F.col("doc_id") * 7) % 20).cast("string"),
-                        F.lit(".example.org/p/"),
-                        did,
-                    ),
-                ).otherwise(F.lit("")),
-                F.when(
-                    F.col("doc_id") % 3 == 0,
-                    F.concat(
-                        F.lit(" and https://h"),
-                        ((F.col("doc_id") * 11) % 20).cast("string"),
-                        F.lit(".example.org/q/"),
-                        did,
-                    ),
-                ).otherwise(F.lit("")),
-            ).alias("text"),
-        )
-        links = extract_links(aug, "doc_id", "text")
+        links = extract_links(_link_aug_docs(spark, sf), "doc_id", "text")
         return links.groupBy("host").agg(
             F.count("*").cast("long").alias("n_links"),
             F.countDistinct("src_doc").cast("long").alias("n_docs"),
@@ -1716,33 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _host_pagerank(spark, sf):
         from orchid_fst_spark.operators.graph import extract_links
 
-        docs = _docs(spark, sf)
-        did = F.col("doc_id").cast("string")
-        aug = docs.select(
-            "doc_id",
-            F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
-            F.concat(
-                F.col("text"),
-                F.when(
-                    F.col("doc_id") % 2 == 0,
-                    F.concat(
-                        F.lit(" see https://h"),
-                        ((F.col("doc_id") * 7) % 20).cast("string"),
-                        F.lit(".example.org/p/"),
-                        did,
-                    ),
-                ).otherwise(F.lit("")),
-                F.when(
-                    F.col("doc_id") % 3 == 0,
-                    F.concat(
-                        F.lit(" and https://h"),
-                        ((F.col("doc_id") * 11) % 20).cast("string"),
-                        F.lit(".example.org/q/"),
-                        did,
-                    ),
-                ).otherwise(F.lit("")),
-            ).alias("text"),
-        )
+        aug = _link_aug_docs(spark, sf)
         links = extract_links(aug, "doc_id", "text")
         edges = (
             links.join(
@@ -3262,8 +3268,10 @@ FROM est e LEFT JOIN truec tc ON tc.term = e.term"""
     # Bloom membership: identical md5 bit addressing, 32-bit words,
     # bit_or cells — the sketch words agree bit-for-bit, so the probe
     # verdicts must too
+    # ONE address template for every bloom oracle: {cols} = carried
+    # columns, {v} = the hashed value, {src} = the source relation
     _bloom_addr_sql = " UNION ALL ".join(
-        f"""SELECT {{v}}, (('0x' || substr(md5('bloom{i}|' || {{v}}), 1, 8))::BIGINT
+        f"""SELECT {{cols}}, (('0x' || substr(md5('bloom{i}|' || {{v}}), 1, 8))::BIGINT
             % {BLOOM_M_BITS}) // 32 AS word,
            (1::BIGINT << (((('0x' || substr(md5('bloom{i}|' || {{v}}), 1, 8))::BIGINT
             % {BLOOM_M_BITS}) % 32)::INTEGER)) AS mask FROM {{src}}"""
@@ -3276,10 +3284,10 @@ WITH t AS (
                 x -> x <> '')) AS term
   FROM documents
 ),
-addr AS ({_bloom_addr_sql.format(v="term", src="t")}),
+addr AS ({_bloom_addr_sql.format(cols="term", v="term", src="t")}),
 sk AS (SELECT word, bit_or(mask) AS bits FROM addr GROUP BY word),
 probe(value) AS (VALUES {_bloom_probe_rows}),
-paddr AS ({_bloom_addr_sql.format(v="value", src="probe")}),
+paddr AS ({_bloom_addr_sql.format(cols="value", v="value", src="probe")}),
 verdict AS (
   SELECT p.value,
          min(CASE WHEN (p.mask & coalesce(sk.bits, 0)) = p.mask
@@ -3294,21 +3302,13 @@ FROM verdict v LEFT JOIN truep tp ON tp.value = v.value"""
 
     # corpus-scale bloom screen: same sketch words, membership per
     # (doc, term) of the augmented next crawl, min-over-bits verdict
-    _bloom_doc_addr_sql = " UNION ALL ".join(
-        f"""SELECT doc_id, term,
-           (('0x' || substr(md5('bloom{i}|' || term), 1, 8))::BIGINT
-            % {BLOOM_M_BITS}) // 32 AS word,
-           (1::BIGINT << (((('0x' || substr(md5('bloom{i}|' || term), 1, 8))::BIGINT
-            % {BLOOM_M_BITS}) % 32)::INTEGER)) AS mask FROM nt"""
-        for i in range(BLOOM_K)
-    )
     o["bloom_new_terms"] = f"""
 WITH t AS (
   SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 x -> x <> '')) AS term
   FROM documents
 ),
-addr AS ({_bloom_addr_sql.format(v="term", src="t")}),
+addr AS ({_bloom_addr_sql.format(cols="term", v="term", src="t")}),
 sk AS (SELECT word, bit_or(mask) AS bits FROM addr GROUP BY word),
 nxt AS (
   SELECT doc_id,
@@ -3324,7 +3324,7 @@ nt AS (
     FROM nxt
   )
 ),
-paddr AS ({_bloom_doc_addr_sql}),
+paddr AS ({_bloom_addr_sql.format(cols="doc_id, term", v="term", src="nt")}),
 mem AS (
   SELECT p.doc_id, p.term,
          min(CASE WHEN (p.mask & coalesce(sk.bits, 0)) = p.mask
@@ -3498,26 +3498,11 @@ FROM (
 ) GROUP BY node"""
     o["doc_pagerank"] = _pagerank_oracle_sql(iterations=5, alpha=0.85)
     o["doc_hits"] = _hits_oracle_sql(iterations=3)
-    # text -> graph -> rank composition: the SAME extraction as
-    # extracted_link_hosts, host-level simple graph, unrolled PageRank
-    _host_edges_cte = r"""
-aug AS (
-  SELECT doc_id, source || '.example.com' AS src_host,
-         text
-         || CASE WHEN doc_id % 2 = 0
-                 THEN ' see https://h' || ((doc_id * 7) % 20)::VARCHAR
-                      || '.example.org/p/' || doc_id::VARCHAR
-                 ELSE '' END
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' and https://h' || ((doc_id * 11) % 20)::VARCHAR
-                      || '.example.org/q/' || doc_id::VARCHAR
-                 ELSE '' END AS t
-  FROM documents
-),
-lnk AS (
-  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
-  FROM aug
-),
+    # text -> graph -> rank composition: the SAME _SQL_LINK_AUG
+    # extraction, host-level simple graph, unrolled PageRank
+    _host_edges_cte = (
+        _SQL_LINK_AUG.strip().rstrip()
+        + r""",
 edges AS (
   SELECT DISTINCT a.src_host AS src,
          regexp_extract(l.url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS dst
@@ -3525,32 +3510,18 @@ edges AS (
   WHERE a.src_host <> regexp_extract(l.url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
 )
 """
+    )
     o["host_pagerank"] = _pagerank_oracle_sql(
         iterations=3, alpha=0.85, edges_cte=_host_edges_cte
     )
     # link extraction: the same URL/host regexes (Java∩RE2∩DuckDB
-    # dialect) over the same doc_id-arithmetic augmented text
-    o["extracted_link_hosts"] = r"""
-WITH aug AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 2 = 0
-                 THEN ' see https://h' || ((doc_id * 7) % 20)::VARCHAR
-                      || '.example.org/p/' || doc_id::VARCHAR
-                 ELSE '' END
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' and https://h' || ((doc_id * 11) % 20)::VARCHAR
-                      || '.example.org/q/' || doc_id::VARCHAR
-                 ELSE '' END AS t
-  FROM documents
-),
-links AS (
-  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
-  FROM aug
-)
+    # dialect) over the shared _SQL_LINK_AUG fixture (the twin of
+    # _link_aug_docs — one definition per engine)
+    o["extracted_link_hosts"] = f"""
+WITH {_SQL_LINK_AUG.strip()}
 SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
        count(*)::BIGINT AS n_links,
        count(DISTINCT doc_id)::BIGINT AS n_docs
-FROM links GROUP BY 1"""
+FROM lnk GROUP BY 1"""
 
     return o

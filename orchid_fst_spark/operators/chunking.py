@@ -154,43 +154,92 @@ def write_packed_shards(
     """Materialize the ``pack_sequences`` layout as the shard-
     partitioned parquet artifact a training loader actually reads —
     the sink end of the training-data pipeline (dedup/filter upstream,
-    chunk/pack here, loaders stream shards): each row carries
-    ``(shard, seq_id, seq_offset, id, n_tokens, <text_col>)``, rows
-    inside every file are sorted by ``(seq_id, seq_offset, id)`` so a
-    loader reconstructs the concatenated token stream by reading a
-    shard's files in order, and ``shard = seq_id // seqs_per_shard``
-    is a PARTITION DIRECTORY — a loader (or resume) asking for shards
-    [a, b) prunes to those directories at planning time, the same
-    pruning contract as the persisted text/fuzzy indexes.
+    chunk/pack here, loaders stream shards).
+
+    A shard covers a CONTIGUOUS token range of ``seqs_per_shard *
+    seq_tokens`` tokens, and every document contributes exactly the
+    token SLICE that falls inside each shard it touches (a document
+    straddling shard boundaries appears in every shard it spans, each
+    row carrying only that shard's tokens) — so reading the shard
+    directories [a, b) yields the COMPLETE, exact token stream of that
+    range, no matter how long any single document is, and every
+    shard's token count is exactly the shard budget (except the last).
+    Rows carry ``(shard, gstart, id, n_tokens, slice_tokens,
+    <text_col>)`` — ``gstart`` the slice's global token offset (the
+    in-shard sort key), ``n_tokens`` the document's full length,
+    ``slice_tokens`` this row's contribution — and are in-file sorted
+    by ``(gstart, id)``; ``shard`` is a PARTITION DIRECTORY, so a
+    loader (or resume) asking for a shard range prunes at planning
+    time (the same contract as the persisted text/fuzzy indexes).
 
     Scale notes: one range exchange inside ``pack_sequences`` (the
-    distributed cumsum), one id-keyed join to re-attach the text, and
-    one hash exchange on ``shard`` before the write; a shard's size is
-    bounded by ``seqs_per_shard * seq_tokens`` tokens by construction,
-    so output files stay uniform regardless of document skew.
+    distributed cumsum), one id-keyed join to re-attach the text, a
+    row-local slice explode (fan-out = shards spanned, usually 1), and
+    one hash exchange on ``shard`` before the write.
 
-    Returns the written artifact re-read (schema as stored, shard as a
-    partition column)."""
+    Returns the written artifact re-read, with ``shard`` cast back to
+    the long it was computed as (partition-directory inference would
+    otherwise narrow it to int)."""
     if seqs_per_shard <= 0:
         raise ValueError("need seqs_per_shard > 0")
+    shard_tokens = int(seqs_per_shard) * int(seq_tokens)
     man = pack_sequences(docs, id_col, text_col, seq_tokens, num_partitions)
-    out = (
-        man.withColumn(
-            "shard", (F.col("seq_id") / seqs_per_shard).cast("long")
-        )
+    # global token offset of the document start; integer div throughout
+    # (the `/ then cast` double path loses exactness at ~2^43 quotients)
+    g0 = F.expr(f"seq_id * {int(seq_tokens)} + seq_offset")
+    with_text = (
+        man.withColumn("gstart0", g0)
         .join(
             docs.select(
                 F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
             ),
             "id",
         )
-        .select("shard", "seq_id", "seq_offset", "id", "n_tokens", text_col)
+        .withColumn("_toks", tokens(F.col(text_col)))
+    )
+    first_s = F.expr(f"gstart0 div {shard_tokens}")
+    last_s = F.expr(
+        f"greatest((gstart0 + n_tokens - 1) div {shard_tokens},"
+        f" gstart0 div {shard_tokens})"  # n_tokens = 0 keeps one row
+    )
+    sliced = (
+        with_text.withColumn(
+            "shard", F.explode(F.sequence(first_s, last_s))
+        )
+        .withColumn(
+            "gstart",
+            F.greatest(F.expr(f"shard * {shard_tokens}"), F.col("gstart0")),
+        )
+        .withColumn(
+            "slice_tokens",
+            F.least(
+                F.expr(f"(shard + 1) * {shard_tokens}"),
+                F.col("gstart0") + F.col("n_tokens"),
+            )
+            - F.col("gstart"),
+        )
+        .select(
+            "shard",
+            "gstart",
+            "id",
+            "n_tokens",
+            F.col("slice_tokens").cast("long").alias("slice_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    (F.col("gstart") - F.col("gstart0") + 1).cast("int"),
+                    F.greatest(F.col("slice_tokens"), F.lit(0)).cast("int"),
+                ),
+            ).alias(text_col),
+        )
     )
     (
-        out.repartition("shard")
-        .sortWithinPartitions("shard", "seq_id", "seq_offset", "id")
+        sliced.repartition("shard")
+        .sortWithinPartitions("shard", "gstart", "id")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(out_dir)
     )
-    return docs.sparkSession.read.parquet(out_dir)
+    back = docs.sparkSession.read.parquet(out_dir)
+    return back.withColumn("shard", F.col("shard").cast("long"))

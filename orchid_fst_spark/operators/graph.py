@@ -112,6 +112,7 @@ def hits(
     round_dp: int | None = 6,
     storage: str | None = "MEMORY_AND_DISK",
     checkpoint_dir: str | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg, JACM'99) for a FIXED
     number of power iterations — the link-analysis complement of
@@ -171,6 +172,8 @@ def hits(
     e2 = _maybe_persist(e, storage)
 
     def _cut(df: DataFrame, name: str, i: int) -> DataFrame:
+        if not truncate:  # plan-audit knob, same contract as pagerank's
+            return df
         if checkpoint_dir:
             path = f"{checkpoint_dir}/hits_{name}_{i}"
             df.write.mode("overwrite").parquet(path)
@@ -250,6 +253,7 @@ def pagerank(
     round_dp: int | None = 6,
     storage: str | None = "MEMORY_AND_DISK",
     checkpoint_dir: str | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """Classic PageRank with dangling-mass redistribution, run for a
     FIXED number of power iterations (deterministic output — no
@@ -287,7 +291,10 @@ def pagerank(
     iteration count (the failure mode measured on ``hits``, which hits
     it at 4x per iteration).  Truncation costs one materialization job
     per iteration and keeps every planned tree constant-size, so the
-    iteration count can grow freely."""
+    iteration count can grow freely.  ``truncate=False`` disables the
+    cut — ONLY for plan auditing (gen_plans asserts the iteration
+    body's physical plan, which truncation would hide behind a
+    checkpointed leaf); never run real iteration counts with it."""
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = _maybe_persist(
@@ -312,6 +319,8 @@ def pagerank(
     )
 
     def _cut(df: DataFrame, i: int) -> DataFrame:
+        if not truncate:
+            return df
         if checkpoint_dir:
             path = f"{checkpoint_dir}/pagerank_rank_{i}"
             df.write.mode("overwrite").parquet(path)

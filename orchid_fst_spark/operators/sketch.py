@@ -338,7 +338,20 @@ def bloom_contains(
     ~2^20 bits or below on this path; beyond that, join against the
     word table instead) and the k bit tests are plain JVM integer
     expressions.  Same one-sided error as ``bloom_probe``: 0 =
-    definitely not inserted, 1 = maybe."""
+    definitely not inserted, 1 = maybe.  NULL values answer 0
+    (``bloom_sketch`` never inserts NULLs, so they are definitely not
+    seen) rather than propagating NULL into downstream filters.  The
+    word-list length must match ``m_bits`` — a mismatched collect
+    would index past the array (NULL verdicts or ANSI errors), so it
+    raises here instead."""
+    if m_bits < 32 or k_hashes < 1:
+        raise ValueError("need m_bits >= 32 and k_hashes >= 1")
+    if len(words) != (m_bits + 31) // 32:
+        raise ValueError(
+            f"word list has {len(words)} words but m_bits={m_bits} needs "
+            f"{(m_bits + 31) // 32} — bloom_collect/bloom_contains m_bits "
+            "must match"
+        )
     arr = F.lit(words)  # literal array<long>, element_at is 1-based
     checks = []
     for i in range(k_hashes):
@@ -351,7 +364,9 @@ def bloom_contains(
     out = checks[0]
     for c in checks[1:]:
         out = out & c
-    return out.cast("long")
+    return F.when(value.isNull(), F.lit(0)).otherwise(out.cast("long")).cast(
+        "long"
+    )
 
 
 def cms_lookup(

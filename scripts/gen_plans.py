@@ -643,20 +643,24 @@ def main() -> None:
     )
 
     add(
-        "PageRank power iteration (`operators.graph.pagerank`, 1 iter)",
-        "Each iteration's rank frame is lineage-TRUNCATED "
-        "(localCheckpoint) because two consumers read it (contribs + "
-        "dangling mass): an un-truncated double reference doubles the "
+        "PageRank power iteration (`operators.graph.pagerank`, 1 iter, "
+        "truncate=False plan audit)",
+        "One iteration = equi-join of the (src,dst,outdeg) edge frame "
+        "with the node-sized rank frame + ONE hash aggregate on dst; "
+        "the two scalars (node count, dangling mass) ride broadcast "
+        "one-row frames.  No Python, no corpus-wide window, no "
+        "cartesian of data rows.  In real runs each iteration's rank "
+        "frame is lineage-TRUNCATED (localCheckpoint/parquet) — a "
+        "doubly-referenced un-truncated rank frame doubles the "
         "analyzed plan per iteration and AQE planning goes superlinear "
-        "(measured on hits: 105 s for 3 iterations at sf0.1).  The "
-        "returned plan is therefore a constant-size projection over "
-        "the checkpointed leaf — the per-iteration join + hash "
-        "aggregate ran in the loop's own constant-size jobs.  No "
-        "Python, no corpus-wide window, no cartesian in any stage.",
-        pagerank(entry._doc_edges(spark, SF), iterations=1, storage=None),
-        must_contain=("Scan ExistingRDD",),
+        "(measured on hits: 105 s for 3 iterations at sf0.1); "
+        "truncate=False exists ONLY so this audit can see the "
+        "iteration body instead of a checkpointed leaf.",
+        pagerank(entry._doc_edges(spark, SF), iterations=1, storage=None,
+                 truncate=False),
+        must_contain=("HashAggregate",),
         must_not=("CartesianProduct", "Window", "BatchEvalPython",
-                  "ArrowEvalPython", "MapInPandas", "HashAggregate"),
+                  "ArrowEvalPython", "MapInPandas"),
     )
 
     from orchid_fst_spark.operators.dedup import strip_boilerplate

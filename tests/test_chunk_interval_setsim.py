@@ -315,33 +315,55 @@ def test_write_packed_shards_layout_and_pruning(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from orchid_fst_spark.operators.chunking import (
-        pack_sequences,
-        write_packed_shards,
-    )
+    from orchid_fst_spark.operators.chunking import write_packed_shards
 
+    # doc 7 is LONG (100 tokens): it must straddle several 16-token
+    # shards and contribute exactly each shard's slice to each
+    texts = {
+        i: " ".join(
+            f"w{i}_{j}" for j in range(100 if i == 7 else 3 + i % 5)
+        )
+        for i in range(40)
+    }
     docs = spark.createDataFrame(
-        [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 5))) for i in range(40)],
-        "doc_id long, text string",
+        list(texts.items()), "doc_id long, text string"
     )
     out = str(tmp_path / "shards")
     back = write_packed_shards(
         docs, out, seq_tokens=8, seqs_per_shard=2, mode="overwrite"
     )
-    # shard directories exist and shard = seq_id // 2 everywhere
     assert any(d.startswith("shard=") for d in os.listdir(out))
     rows = back.collect()
-    assert len(rows) == 40  # one row per document
-    assert all(r.shard == r.seq_id // 2 for r in rows)
-    # the stored layout equals the manifest joined to the text
-    man = {
-        r.id: (r.n_tokens, r.seq_id, r.seq_offset)
-        for r in pack_sequences(docs, "doc_id", "text", 8).collect()
-    }
+    assert dict(back.dtypes)["shard"] == "bigint"
+
+    # full-stream reconstruction: concatenating every shard's slices in
+    # (shard, gstart) order reproduces the id-ordered token stream
+    got_stream = [
+        t
+        for r in sorted(rows, key=lambda r: (r.shard, r.gstart, r.id))
+        for t in (r.text.split() if r.text else [])
+    ]
+    want_stream = [
+        t for i in sorted(texts) for t in texts[i].split()
+    ]
+    assert got_stream == want_stream
+
+    # every shard's token budget is exactly 16 except the last
+    per_shard = {}
     for r in rows:
-        assert man[r.id] == (r.n_tokens, r.seq_id, r.seq_offset)
-        assert r.text.startswith(f"w{r.id}_0")
-    # in-file order: every parquet file is sorted by (seq_id, seq_offset)
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + r.slice_tokens
+    last = max(per_shard)
+    assert set(per_shard) == set(range(last + 1))  # contiguous shards
+    assert all(per_shard[s] == 16 for s in per_shard if s != last)
+    assert 0 < per_shard[last] <= 16
+
+    # the long doc straddles: present in >= 6 shards, slices sum to 100
+    d7 = [r for r in rows if r.id == 7]
+    assert len(d7) >= 6
+    assert sum(r.slice_tokens for r in d7) == 100
+    assert all(r.n_tokens == 100 for r in d7)
+
+    # in-file order: every parquet file is sorted by (gstart, id)
     import pyarrow.parquet as pq
 
     for d in os.listdir(out):
@@ -351,8 +373,9 @@ def test_write_packed_shards_layout_and_pruning(spark, tmp_path):
             if not f.endswith(".parquet"):
                 continue
             t = pq.read_table(os.path.join(out, d, f)).to_pylist()
-            keys = [(x["seq_id"], x["seq_offset"], x["id"]) for x in t]
+            keys = [(x["gstart"], x["id"]) for x in t]
             assert keys == sorted(keys)
+
     # shard-range pruning reaches the scan as a partition filter
     pruned = back.filter(F.col("shard") == 0)
     plan = pruned._jdf.queryExecution().executedPlan().toString()

@@ -317,3 +317,29 @@ def test_bloom_contains_matches_probe_and_plan_is_map_side(spark):
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
     sk.unpersist()
+
+
+def test_bloom_contains_guards_and_null_policy(spark):
+    import pytest as _pytest
+
+    from orchid_fst_spark.operators.sketch import (
+        bloom_collect,
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    df = spark.range(50).select(F.concat(F.lit("k"), "id").alias("v"))
+    sk = bloom_sketch(df, "v", m_bits=1 << 12, k_hashes=4)
+    words = bloom_collect(sk, 1 << 12)
+    # mismatched m_bits vs word-list length raises loudly
+    with _pytest.raises(ValueError):
+        bloom_contains(F.col("v"), words, m_bits=1 << 16, k_hashes=4)
+    # NULL values answer 0 (definitely not inserted), never NULL
+    pf = spark.createDataFrame([("k1",), (None,)], "value string")
+    got = {
+        r.value: r.m
+        for r in pf.withColumn(
+            "m", bloom_contains(F.col("value"), words, m_bits=1 << 12)
+        ).collect()
+    }
+    assert got["k1"] == 1 and got[None] == 0
