@@ -247,3 +247,67 @@ def clusters_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.coalesce("cluster_id", "norm_key"))
         .select("url", "norm_key", "cluster_id")
     )
+
+
+def stream_text_index(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    n_buckets: int = 64,
+    lowercase: bool = False,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Maintain the persisted inverted-index artifact
+    (``operators.text_index``) from a document STREAM — the streaming
+    twin of ``append_text_index`` and the same incremental-build-
+    frontier grounding as the rest of this module (fst.h:16-22: keys
+    arrive, the structure grows, queries keep serving).
+
+    Per micro-batch (foreachBatch): the first batch full-builds the
+    artifact, every later batch appends with the artifact's own
+    bucket mapping/normalization; ``indexed_bm25``/``phrase_search``
+    over the artifact equal the batch operators over everything
+    ingested so far (pinned by test).  A ``_batch_<id>`` marker makes
+    re-delivered batch ids no-ops, with the same two-step caveat
+    ``append_text_index`` documents: a crash BETWEEN the append and
+    the marker write duplicates that one batch on retry (single-writer
+    discipline; the batch path's atomic-rename publication is the
+    stronger alternative when full rebuilds are affordable).
+
+    Returns the started StreamingQuery."""
+    import json as _json
+
+    from ..operators.text_index import (
+        append_text_index,
+        build_text_index,
+        load_text_index,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(index_dir, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        if not batch.take(1):
+            return
+        if not os.path.exists(os.path.join(index_dir, "_meta")):
+            build_text_index(
+                batch, id_col, text_col, index_dir,
+                n_buckets=n_buckets, lowercase=lowercase,
+            )
+        else:
+            append_text_index(
+                batch, id_col, text_col, load_text_index(spark, index_dir)
+            )
+        with open(marker, "w") as f:
+            _json.dump({"batch_id": int(batch_id)}, f)
+
+    w = docs_stream.writeStream.foreachBatch(_apply).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -573,3 +573,69 @@ def test_stream_interval_join_batch_inputs_and_max_span_cut(spark):
     )
     # point at t+150min is inside [0, 300) but beyond max_span=120min
     assert got == [1]
+
+
+def test_stream_text_index_equals_batch_build(spark, tmp_path):
+    """Streaming maintenance of the inverted-index artifact: ingesting
+    the corpus in micro-batches must serve EXACTLY what one batch full
+    build over the same documents serves (phrase + BM25), and the
+    sidecar corpus stats must advance to the full-corpus integers."""
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.operators.text_index import (
+        build_text_index,
+        indexed_bm25,
+        indexed_phrase_search,
+        load_text_index,
+    )
+    from orchid_fst_spark.streaming import stream_text_index
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+
+    # batch reference artifact
+    bdir = str(tmp_path / "batch_idx")
+    build_text_index(docs, "doc_id", "text", bdir, n_buckets=8, lowercase=True)
+    bidx = load_text_index(spark, bdir)
+
+    # stream the same docs in several micro-batches (file source,
+    # maxFilesPerTrigger=1 over a multi-file write)
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sdir = str(tmp_path / "stream_idx")
+    q = stream_text_index(
+        stream, "doc_id", "text", sdir, n_buckets=8, lowercase=True,
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(180)
+    sidx = load_text_index(spark, sdir)
+
+    # sidecar integers advanced to the full corpus
+    assert (sidx.n_docs, sidx.sum_dl) == (bidx.n_docs, bidx.sum_dl)
+
+    # served results identical to the batch artifact
+    terms = ["fast", "merge"]
+    b_phrase = sorted(
+        map(tuple, indexed_phrase_search(spark, bidx, terms).collect())
+    )
+    s_phrase = sorted(
+        map(tuple, indexed_phrase_search(spark, sidx, terms).collect())
+    )
+    assert s_phrase == b_phrase
+    b_bm = sorted(map(tuple, indexed_bm25(spark, bidx, terms).collect()))
+    s_bm = sorted(map(tuple, indexed_bm25(spark, sidx, terms).collect()))
+    assert s_bm == b_bm and len(s_bm) > 0
+
+    # marker files make re-delivered batch ids no-ops
+    import os
+
+    markers = [f for f in os.listdir(sdir) if f.startswith("_batch_")]
+    assert len(markers) >= 2  # really ingested in multiple batches
