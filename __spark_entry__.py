@@ -1036,6 +1036,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_search"] = lambda spark, sf: bm25_scores(
         _docs(spark, sf), "doc_id", "text", list(BM25_QUERY_TERMS)
     )
+    # --- fuzzy term search (the reference's fuzzy dictionary lookup
+    # applied to retrieval): documents containing any token within
+    # Levenshtein 1 of the query, banded JVM levenshtein(term, q, k) ---
+    def _fuzzy_term(spark, sf):
+        from orchid_fst_spark.operators.search import fuzzy_term_docs
+
+        return fuzzy_term_docs(_docs(spark, sf), "doc_id", "text", "fast", k=1)
+
+    q["fuzzy_term_search"] = _fuzzy_term
+
     # --- model-based quality scoring (feature hashing + logistic,
     # the fastText/LR corpus-filter shape): per-doc accumulation is an
     # EXACT integer sum of md5-derived bucket weights (order- and
@@ -2766,6 +2776,20 @@ SELECT d.doc_id,
        coalesce(a.n_removed, 0)::BIGINT AS n_removed,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    # fuzzy term search: DuckDB's native levenshtein() is the oracle
+    # for the banded JVM 3-arg levenshtein
+    o["fuzzy_term_search"] = r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+)
+SELECT term, levenshtein(term, 'fast')::BIGINT AS dist, doc_id, tf
+FROM tf WHERE levenshtein(term, 'fast') <= 1"""
 
     # model-based quality scoring: per-token contribution is an exact
     # integer (hash32(seed|bucket) - 2^31), so the per-doc sum is

@@ -127,3 +127,50 @@ def boolean_search(
         .distinct()
     )
     return boolean_match_hits(hits, must_set, not_set)
+
+
+def fuzzy_term_docs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 1,
+) -> DataFrame:
+    """Documents containing any token within Levenshtein distance ``k``
+    of ``query`` — the reference's core capability (fuzzy dictionary
+    lookup, fst_cmd.cpp fuzzy subcommand) applied to the retrieval
+    surface ("did you mean" search over the corpus vocabulary).
+
+    Returns ``(term, dist, doc_id, tf)`` — one row per (matched
+    vocabulary term, document containing it) with the in-document
+    occurrence count — so callers can rank exact hits above distance-1
+    hits and aggregate however they score.
+
+    Plan shape: the (doc, term, tf) frame aggregates ONCE from the
+    token explode (the same map-side-combine shape as the BM25/TF-IDF
+    family); the fuzzy predicate is Spark's banded JVM
+    ``levenshtein(term, query, k)`` (the 3-arg form early-exits above
+    the bound) applied AFTER the per-doc aggregate, so the distance
+    runs once per distinct (doc, term), never per occurrence.  The
+    vocabulary scan is unavoidable for an un-indexed fuzzy query —
+    the same reason the reference walks its FST — but nothing here is
+    quadratic: one explode, one hash aggregate, one filtered
+    projection.  For repeated fuzzy queries over a fixed corpus, build
+    the persisted dictionary index (``operators.index``) over the
+    vocabulary instead and use its DFA-pruned lookups."""
+    if k < 0:
+        raise ValueError("need k >= 0")
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    d = F.levenshtein(F.col("term"), F.lit(query.lower()), int(k))
+    return (
+        tf.withColumn("dist", d.cast("long"))
+        .filter(F.col("dist") >= 0)  # 3-arg levenshtein returns -1 above k
+        .select("term", "dist", "doc_id", "tf")
+    )

@@ -89,3 +89,41 @@ def test_postings_positions(spark, docs_df):
         (1, "the"),
         (2, "cat"),
     ]
+
+
+def test_fuzzy_term_docs_matches_python(spark):
+    from orchid_fst_spark.operators.search import fuzzy_term_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast merge fast"),
+            (2, "last cast FAST"),
+            (3, "feast fist nothing"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.term, r.dist, r.doc_id, r.tf)
+        for r in fuzzy_term_docs(docs, "doc_id", "text", "Fast", k=1).collect()
+    )
+    # lowercased both sides: fast(0), last/cast/fist(1); feast is 1 too
+    assert got == [
+        ("cast", 1, 2, 1),
+        ("fast", 0, 1, 2),
+        ("fast", 0, 2, 1),
+        ("feast", 1, 3, 1),
+        ("fist", 1, 3, 1),
+        ("last", 1, 2, 1),
+    ]
+    # k=0 degrades to exact match
+    exact = sorted(
+        (r.term, r.doc_id)
+        for r in fuzzy_term_docs(docs, "doc_id", "text", "fast", k=0).collect()
+    )
+    assert exact == [("fast", 1), ("fast", 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fuzzy_term_docs(docs, "doc_id", "text", "x", k=-1)
