@@ -1713,6 +1713,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["indexed_bm25_search"] = _indexed_bm25
 
+    # fuzzy term search served off the SAME lowercase artifact: banded
+    # levenshtein once per distinct vocabulary term, postings via a
+    # broadcast semi-join — no corpus re-tokenize, no bucket scan of
+    # text; must equal the batch fuzzy_term_docs exactly
+    def _indexed_fuzzy_terms(spark, sf):
+        from orchid_fst_spark.operators.text_index import (
+            build_text_index,
+            indexed_fuzzy_terms,
+            load_text_index,
+        )
+
+        docs = _docs(spark, sf)
+        fp = docs.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
+        ).collect()[0]
+        path = f"/tmp/orchid_fst_textidx_lc_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
+        _publish_artifact(
+            path,
+            lambda tmp: build_text_index(
+                docs, "doc_id", "text", tmp, n_buckets=16, lowercase=True
+            ),
+        )
+        return indexed_fuzzy_terms(
+            spark, load_text_index(spark, path), "fast", k=1
+        )
+
+    q["indexed_fuzzy_term_scan"] = _indexed_fuzzy_terms
+
     # --- line-level boilerplate removal (CCNet-style): per-source
     # line-df strike over the deterministic multi-line corpus — the
     # injected per-source footer is boilerplate everywhere, the per-doc
@@ -2790,6 +2819,8 @@ WITH tf AS (
 )
 SELECT term, levenshtein(term, 'fast')::BIGINT AS dist, doc_id, tf
 FROM tf WHERE levenshtein(term, 'fast') <= 1"""
+    # the indexed serve must equal the batch operator over the same docs
+    o["indexed_fuzzy_term_scan"] = o["fuzzy_term_search"]
 
     # model-based quality scoring: per-token contribution is an exact
     # integer (hash32(seed|bucket) - 2^31), so the per-doc sum is

@@ -331,3 +331,42 @@ def append_text_index(
             f,
         )
     return new
+
+
+def indexed_fuzzy_terms(
+    spark: SparkSession, idx: TextIndex, query: str, k: int = 1
+) -> DataFrame:
+    """Fuzzy term search served off the artifact — identical output to
+    ``search.fuzzy_term_docs`` over the indexed documents: ``(term,
+    dist, doc_id, tf)`` for every vocabulary term within Levenshtein
+    ``k`` of ``query``.
+
+    A fuzzy query cannot prune bucket DIRECTORIES (the bucket hash
+    scatters near-neighbors), but the read is still index-shaped, not
+    corpus-shaped: the artifact's (term, doc_id) columns are
+    column-pruned out of the postings files (no text, no re-tokenize),
+    the banded 3-arg ``levenshtein`` runs once per DISTINCT vocabulary
+    term (one hash aggregate over the term column), and only the
+    surviving terms' postings aggregate to (doc, term, tf) via a
+    broadcast semi-join — so query cost scales with vocabulary size +
+    matched postings, not corpus text size.  Requires a
+    ``lowercase=True`` artifact when matching case-insensitively
+    (same contract as ``indexed_bm25``)."""
+    if k < 0:
+        raise ValueError("need k >= 0")
+    q = query.lower() if idx.lowercase else query
+    p = spark.read.parquet(idx.path).select("term", "doc_id")
+    vocab = (
+        p.select("term")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(q), int(k)).cast("long")
+        )
+        .filter(F.col("dist") >= 0)
+    )
+    return (
+        p.join(F.broadcast(vocab), "term")
+        .groupBy("term", "dist", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("term", "dist", "doc_id", "tf")
+    )

@@ -187,3 +187,45 @@ def test_load_rejects_unpublished(spark, tmp_path):
 def test_uri_paths_rejected(spark, docs):
     with pytest.raises(ValueError):
         build_text_index(docs, "doc_id", "text", "hdfs://nn/x", 8)
+
+
+def test_indexed_fuzzy_terms_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.operators.search import fuzzy_term_docs
+    from orchid_fst_spark.operators.text_index import (
+        build_text_index,
+        indexed_fuzzy_terms,
+        load_text_index,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    path = str(tmp_path / "fidx")
+    build_text_index(docs, "doc_id", "text", path, n_buckets=8, lowercase=True)
+    idx = load_text_index(spark, path)
+    for q, k in (("fast", 1), ("merge", 2), ("zzz-none", 0)):
+        batch = sorted(
+            map(tuple, fuzzy_term_docs(docs, "doc_id", "text", q, k).collect())
+        )
+        served = sorted(
+            map(tuple, indexed_fuzzy_terms(spark, idx, q, k).collect())
+        )
+        assert served == batch, (q, k)
+    # the artifact reads are column-pruned: neither scan reads the
+    # positional/doc-length columns (vocab scan reads term only)
+    import re
+
+    plan = (
+        indexed_fuzzy_terms(spark, idx, "fast", 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        "pos" not in s and "dl" not in s for s in schemas
+    ), schemas
