@@ -136,3 +136,75 @@ def test_lfu_hit_values_are_truthful(ops):
     # internal structures stay consistent
     assert set(cache.data) == set(cache.freq)
     assert sum(len(b) for b in cache.buckets.values()) == len(cache.data)
+
+
+# --------------------------------------------------------------------------
+# Spark-operator properties (few examples — every example runs real jobs)
+# --------------------------------------------------------------------------
+
+_IV = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),       # key
+        st.integers(0, 50),                # start minute
+        st.integers(0, 25),                # duration minutes (0 = empty)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=_IV, right=_IV, bucket_min=st.sampled_from([1, 3, 7, 60]))
+def test_interval_overlap_join_matches_bruteforce(spark, left, right, bucket_min):
+    from datetime import datetime, timedelta
+
+    from orchid_fst_spark.operators.interval import interval_overlap_join
+
+    base = datetime(2024, 1, 1)
+
+    def rows(data):
+        return [
+            (i, k, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+            for i, (k, s, d) in enumerate(data)
+        ]
+
+    lr, rr = rows(left), rows(right)
+    ldf = spark.createDataFrame(lr, "lid long, k string, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(rr, "rid long, k string, rs timestamp, re timestamp")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, ["k"], "ls", "le", "rs", "re",
+            bucket_seconds=bucket_min * 60,
+        ).collect()
+    )
+    want = sorted(
+        (li, rj)
+        for (li, lk, s1, e1) in lr
+        for (rj, rk, s2, e2) in rr
+        if lk == rk and s1 < e2 and s2 < e1 and e1 > s1 and e2 > s2
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    values=st.lists(st.text(alphabet="abc中!", min_size=1, max_size=6),
+                    min_size=1, max_size=30, unique=True)
+)
+def test_bloom_sketch_matches_python_model(spark, values):
+    import hashlib
+
+    from orchid_fst_spark.operators.sketch import bloom_collect, bloom_sketch
+
+    m_bits, k = 1 << 10, 3
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    words = bloom_collect(bloom_sketch(df, "v", m_bits=m_bits, k_hashes=k), m_bits)
+
+    model = [0] * (m_bits // 32)
+    for v in values:
+        for i in range(k):
+            h = int(hashlib.md5(f"bloom{i}|{v}".encode()).hexdigest()[:8], 16)
+            b = h % m_bits
+            model[b // 32] |= 1 << (b % 32)
+    assert words == model
