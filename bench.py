@@ -248,6 +248,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "collocations",
         "bloom_seen_terms",
         "extracted_link_hosts",
+        "fuzzy_term_search",
     ]
     out = {}
     for name in headline:
