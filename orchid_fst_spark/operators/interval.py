@@ -40,6 +40,16 @@ def _us(name: str):
     return F.unix_micros(F.col(name).cast("timestamp"))
 
 
+def _bucket_of(e, b_us: int):
+    """floor(e / b_us) in EXACT long arithmetic: ``e - pmod(e, b)`` is
+    divisible by ``b``, so the one division is lossless at any long
+    magnitude — the double-division ``floor(e / b)`` silently mis-
+    buckets once |e| exceeds 2^53 µs (same exactness discipline as
+    chunking's ``div``); pmod keeps floor semantics for negative
+    (pre-epoch) timestamps too."""
+    return ((e - F.pmod(e, F.lit(b_us))) / F.lit(b_us)).cast("long")
+
+
 def _explode_buckets(
     df: DataFrame,
     start_col: str,
@@ -55,8 +65,8 @@ def _explode_buckets(
     by both interval joins so the bucket/guard arithmetic has one
     definition."""
     su, eu = _us(start_col), _us(end_col)
-    first_b = F.floor(su / b_us)
-    last_b = F.floor((eu - 1) / b_us)  # end-exclusive
+    first_b = _bucket_of(su, b_us)
+    last_b = _bucket_of(eu - 1, b_us)  # end-exclusive
     span_ok = F.when(
         last_b - first_b < max_span_buckets, F.lit(True)
     ).otherwise(
@@ -107,7 +117,7 @@ def interval_join(
     r_bucketed = _explode_buckets(
         right, right_start, right_end, b_us, max_span_buckets, "interval_join"
     )
-    l_bucketed = left.withColumn("_bkt", F.floor(lt / b_us))
+    l_bucketed = left.withColumn("_bkt", _bucket_of(lt, b_us))
     return (
         l_bucketed.join(r_bucketed, [*on, "_bkt"])
         .filter((lt >= rs) & (lt < re))
@@ -166,7 +176,7 @@ def interval_overlap_join(
         joined.filter((ls < re) & (rs < le))
         .filter(
             F.col("_bkt")
-            == F.greatest(F.floor(ls / b_us), F.floor(rs / b_us))
+            == F.greatest(_bucket_of(ls, b_us), _bucket_of(rs, b_us))
         )
         .drop("_bkt")
     )

@@ -381,3 +381,31 @@ def test_write_packed_shards_layout_and_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard" in plan
     assert pruned.count() >= 1
+
+
+def test_interval_join_exact_buckets_beyond_double_precision(spark):
+    """Regression: bucket ids are computed in exact long arithmetic.
+    At year-5000 timestamps unix_micros exceeds 2^53, where the old
+    double-division floor can mis-bucket a point relative to its
+    interval and silently drop the pair."""
+    from orchid_fst_spark.operators.interval import interval_join
+
+    rows = [
+        # points exactly ON and just before far-future bucket boundaries
+        (1, "k", datetime(5000, 1, 1, 0, 0, 0)),
+        (2, "k", datetime(5000, 1, 1, 0, 59, 59)),
+        (3, "k", datetime(7777, 6, 15, 12, 0, 0)),
+    ]
+    left = _ts_df(spark, rows, "pid long, k string, ts timestamp")
+    iv = [
+        (10, "k", datetime(5000, 1, 1, 0, 0, 0), datetime(5000, 1, 1, 1, 0, 0)),
+        (11, "k", datetime(7777, 6, 15, 11, 30, 0), datetime(7777, 6, 15, 12, 30, 0)),
+    ]
+    right = _ts_df(spark, iv, "iid long, k string, s timestamp, e timestamp")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            left, right, ["k"], "ts", "s", "e", bucket_seconds=3600
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 10), (3, 11)]
