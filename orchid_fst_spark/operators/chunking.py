@@ -135,7 +135,16 @@ def pack_sequences(
         .select(
             "id",
             "n_tokens",
-            F.floor(F.col("_before") / seq_tokens).cast("long").alias("seq_id"),
+            # exact long floor division: _before is the GLOBAL token
+            # cumsum (doubles lose integer exactness past 2^53, within
+            # reach of a long-running 100 TB pipeline); _before >= 0 so
+            # % == pmod here
+            (
+                (F.col("_before") - F.col("_before") % seq_tokens)
+                / seq_tokens
+            )
+            .cast("long")
+            .alias("seq_id"),
             (F.col("_before") % seq_tokens).cast("long").alias("seq_offset"),
         )
     )
