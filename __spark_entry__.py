@@ -1688,10 +1688,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BM25 served off a lowercase-built artifact: tf/dl from the pruned
     # postings read, n_docs/avgdl from the _meta sidecar — zero corpus
     # scans per query; must equal the batch bm25_search scorer exactly
-    def _indexed_bm25(spark, sf):
+    def _lc_text_index(spark, sf):
+        """Build-or-reuse the lowercase text-index artifact (content-
+        fingerprint keyed, race-safe publish) — the ONE artifact recipe
+        shared by every lowercase-indexed query, so path format and
+        build args cannot drift between them."""
         from orchid_fst_spark.operators.text_index import (
             build_text_index,
-            indexed_bm25,
             load_text_index,
         )
 
@@ -1707,8 +1710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 docs, "doc_id", "text", tmp, n_buckets=16, lowercase=True
             ),
         )
+        return load_text_index(spark, path)
+
+    def _indexed_bm25(spark, sf):
+        from orchid_fst_spark.operators.text_index import indexed_bm25
+
         return indexed_bm25(
-            spark, load_text_index(spark, path), list(BM25_QUERY_TERMS)
+            spark, _lc_text_index(spark, sf), list(BM25_QUERY_TERMS)
         )
 
     q["indexed_bm25_search"] = _indexed_bm25
@@ -1718,27 +1726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # broadcast semi-join — no corpus re-tokenize, no bucket scan of
     # text; must equal the batch fuzzy_term_docs exactly
     def _indexed_fuzzy_terms(spark, sf):
-        from orchid_fst_spark.operators.text_index import (
-            build_text_index,
-            indexed_fuzzy_terms,
-            load_text_index,
-        )
+        from orchid_fst_spark.operators.text_index import indexed_fuzzy_terms
 
-        docs = _docs(spark, sf)
-        fp = docs.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
-        ).collect()[0]
-        path = f"/tmp/orchid_fst_textidx_lc_{fp.n}_{fp.h & 0xFFFFFFFFFFFF:x}"
-        _publish_artifact(
-            path,
-            lambda tmp: build_text_index(
-                docs, "doc_id", "text", tmp, n_buckets=16, lowercase=True
-            ),
-        )
-        return indexed_fuzzy_terms(
-            spark, load_text_index(spark, path), "fast", k=1
-        )
+        return indexed_fuzzy_terms(spark, _lc_text_index(spark, sf), "fast", k=1)
 
     q["indexed_fuzzy_term_scan"] = _indexed_fuzzy_terms
 

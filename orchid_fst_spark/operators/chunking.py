@@ -135,14 +135,12 @@ def pack_sequences(
         .select(
             "id",
             "n_tokens",
-            # exact long floor division: _before is the GLOBAL token
-            # cumsum (doubles lose integer exactness past 2^53, within
-            # reach of a long-running 100 TB pipeline); _before >= 0 so
-            # % == pmod here
-            (
-                (F.col("_before") - F.col("_before") % seq_tokens)
-                / seq_tokens
-            )
+            # exact integral division: _before is the GLOBAL token
+            # cumsum; long `/` in Spark is DOUBLE division, which loses
+            # integer exactness past 2^53 — within reach of a
+            # long-running 100 TB pipeline.  _before >= 0, so
+            # truncating div == floor
+            F.call_function("div", F.col("_before"), F.lit(int(seq_tokens)))
             .cast("long")
             .alias("seq_id"),
             (F.col("_before") % seq_tokens).cast("long").alias("seq_offset"),

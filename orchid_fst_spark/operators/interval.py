@@ -41,13 +41,14 @@ def _us(name: str):
 
 
 def _bucket_of(e, b_us: int):
-    """floor(e / b_us) in EXACT long arithmetic: ``e - pmod(e, b)`` is
-    divisible by ``b``, so the one division is lossless at any long
-    magnitude — the double-division ``floor(e / b)`` silently mis-
-    buckets once |e| exceeds 2^53 µs (same exactness discipline as
-    chunking's ``div``); pmod keeps floor semantics for negative
-    (pre-epoch) timestamps too."""
-    return ((e - F.pmod(e, F.lit(b_us))) / F.lit(b_us)).cast("long")
+    """floor(e / b_us) in EXACT long arithmetic: integral ``div`` of
+    ``e - pmod(e, b)`` (divisible by ``b``, so truncation == floor,
+    including for negative pre-epoch timestamps) — long `/` in Spark
+    is DOUBLE division, which silently mis-buckets once |e| exceeds
+    2^53 µs (verified: (2^53+1-pmod)/3 via `/` is off by one)."""
+    return F.call_function(
+        "div", e - F.pmod(e, F.lit(b_us)), F.lit(b_us)
+    ).cast("long")
 
 
 def _explode_buckets(

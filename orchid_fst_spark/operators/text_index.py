@@ -350,11 +350,18 @@ def indexed_fuzzy_terms(
     surviving terms' postings aggregate to (doc, term, tf) via a
     broadcast semi-join — so query cost scales with vocabulary size +
     matched postings, not corpus text size.  Requires a
-    ``lowercase=True`` artifact when matching case-insensitively
-    (same contract as ``indexed_bm25``)."""
+    ``lowercase=True`` artifact — ``fuzzy_term_docs`` always lowercases
+    both text and query, so a case-preserving artifact would silently
+    return DIFFERENT results than the operator this one promises to
+    equal (same guard as ``indexed_bm25``)."""
     if k < 0:
         raise ValueError("need k >= 0")
-    q = query.lower() if idx.lowercase else query
+    if not idx.lowercase:
+        raise ValueError(
+            "indexed_fuzzy_terms needs an index built with lowercase=True "
+            "(fuzzy_term_docs matches case-insensitively)"
+        )
+    q = query.lower()
     p = spark.read.parquet(idx.path).select("term", "doc_id")
     vocab = (
         p.select("term")

@@ -294,6 +294,15 @@ def stream_text_index(
         if not batch.take(1):
             return
         if not os.path.exists(os.path.join(index_dir, "_meta")):
+            # a directory without _meta is a partial first build (crash
+            # between the parquet write and the sidecar): clear it, or
+            # the mode='error' rebuild would throw on every retry and
+            # wedge the stream permanently.  No markers can exist yet —
+            # they are only written after _meta.
+            if os.path.exists(index_dir):
+                import shutil as _shutil
+
+                _shutil.rmtree(index_dir, ignore_errors=True)
             build_text_index(
                 batch, id_col, text_col, index_dir,
                 n_buckets=n_buckets, lowercase=lowercase,

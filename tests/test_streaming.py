@@ -534,7 +534,7 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         .option("path", out)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out, output partial
     got = {
         (r.event_id, r.user_id, r.win_start, r.err_id)
         for r in spark.read.parquet(out).collect()
@@ -615,7 +615,7 @@ def test_stream_text_index_equals_batch_build(spark, tmp_path):
         stream, "doc_id", "text", sdir, n_buckets=8, lowercase=True,
         checkpoint_dir=str(tmp_path / "ck"), available_now=True,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out, index partial
     sidx = load_text_index(spark, sdir)
 
     # sidecar integers advanced to the full corpus
@@ -639,3 +639,39 @@ def test_stream_text_index_equals_batch_build(spark, tmp_path):
 
     markers = [f for f in os.listdir(sdir) if f.startswith("_batch_")]
     assert len(markers) >= 2  # really ingested in multiple batches
+
+    # EXERCISE the idempotency path: a fresh checkpoint re-delivers
+    # every file as batch ids 0..n again — all already marked, so the
+    # second run must leave the artifact byte-identical (no double
+    # appends)
+    import pyspark.sql.functions as _F
+
+    before_fp = (
+        spark.read.parquet(sdir)
+        .agg(
+            _F.count("*").alias("n"),
+            _F.bit_xor(_F.xxhash64("term", "doc_id", "pos")).alias("h"),
+        )
+        .collect()[0]
+    )
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = stream_text_index(
+        stream2, "doc_id", "text", sdir, n_buckets=8, lowercase=True,
+        checkpoint_dir=str(tmp_path / "ck2"), available_now=True,
+    )
+    assert q2.awaitTermination(180)
+    after = load_text_index(spark, sdir)
+    assert (after.n_docs, after.sum_dl) == (sidx.n_docs, sidx.sum_dl)
+    after_fp = (
+        spark.read.parquet(sdir)
+        .agg(
+            _F.count("*").alias("n"),
+            _F.bit_xor(_F.xxhash64("term", "doc_id", "pos")).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert (after_fp.n, after_fp.h) == (before_fp.n, before_fp.h)
