@@ -1054,6 +1054,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["classifier_scores"] = lambda spark, sf: hashed_classifier_score(
         _docs(spark, sf), "doc_id", "text", n_features=16384, seed="cls1"
     ).withColumnRenamed("id", "doc_id")
+    # --- hybrid retrieval: reciprocal rank fusion (Cormack SIGIR'09)
+    # of BM25 top-50 with a length-prior top-50 — ranks derive from
+    # TakeOrderedAndProject-bounded frames (the windows run over <= 50
+    # rows by construction, never the corpus), fusion is one aggregate
+    def _hybrid(spark, sf):
+        from pyspark.sql import Window
+
+        from orchid_fst_spark.operators.ranking import reciprocal_rank_fusion
+
+        docs = _docs(spark, sf)
+        bm = bm25_scores(docs, "doc_id", "text", list(BM25_QUERY_TERMS), topk=50)
+        ra = bm.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        lp = (
+            docs.select("doc_id", "n_chars")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(50)
+        )
+        rb = lp.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            ),
+        )
+        return reciprocal_rank_fusion([ra, rb], top_n=25).withColumnRenamed(
+            "id", "doc_id"
+        )
+
+    q["hybrid_search_rrf"] = _hybrid
+
     # --- exact span-level dedup (boilerplate removal; Lee et al.
     # ACL'22 simplified to tumbling token windows) ---
     q["span_dedup"] = lambda spark, sf: span_dedup(
@@ -2764,6 +2796,25 @@ GROUP BY doc_id"""
     # the artifact-served scorer must reproduce the batch scorer row for
     # row — same oracle
     o["indexed_bm25_search"] = o["bm25_search"]
+
+    # hybrid RRF: BM25 top-50 ∪ length-prior top-50, one aggregate;
+    # rrf rounded 6dp BEFORE the final rank/limit (published recipe —
+    # the per-system 1/(k+r) terms sum in engine-specific order)
+    o["hybrid_search_rrf"] = f"""
+WITH bm AS ({o["bm25_search"]}),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm QUALIFY r <= 50
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= 50
+),
+u AS (SELECT doc_id, r FROM ra UNION ALL SELECT doc_id, r FROM rb)
+SELECT doc_id, round(sum(1.0 / (60.0 + r)), 6) AS rrf,
+       count(*)::BIGINT AS n_systems
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 25"""
 
     # span dedup twin: spans are 1-based inclusive list slices; DuckDB's
     # generate_series(0, -1) is empty, so token-less docs re-enter via

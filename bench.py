@@ -249,6 +249,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "bloom_seen_terms",
         "extracted_link_hosts",
         "fuzzy_term_search",
+        "hybrid_search_rrf",
     ]
     out = {}
     for name in headline:

@@ -375,6 +375,58 @@ def collocations(
     )
 
 
+def reciprocal_rank_fusion(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    round_dp: int = 6,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) —
+    the standard score-free combiner for hybrid retrieval (BM25 +
+    embedding ANN + any other ranker):
+
+        rrf(d) = sum over systems s ranking d of 1 / (k + rank_s(d))
+
+    Each input frame carries ``(id_col, rank_col)`` with rank 1-based
+    within that system (absent documents simply contribute nothing —
+    no outer-join NULL handling needed).  Returns ``(id, rrf,
+    n_systems)``, optionally cut to the global ``top_n`` under the
+    total order (rrf DESC, id) — ranked on the ROUNDED score, because
+    the per-system 1/(k+rank) terms sum in nondeterministic order and
+    the published 6-dp recipe absorbs the ulp noise in both engines.
+
+    Scale notes: union-tag + ONE hash aggregate with map-side partial
+    combine (inputs are per-system top-k lists, bounded by
+    systems × k rows, never corpus-sized); the optional cut is
+    TakeOrderedAndProject.  No joins at all — the aggregate IS the
+    fusion."""
+    if not ranked:
+        raise ValueError("need at least one ranked input")
+    if k < 0:
+        raise ValueError("need k >= 0")
+    tagged = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("long").alias("r"),
+        )
+        for df in ranked
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    out = u.groupBy("id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("r"))), round_dp
+        ).alias("rrf"),
+        F.count("*").cast("long").alias("n_systems"),
+    )
+    if top_n is None:
+        return out
+    return out.orderBy(F.desc("rrf"), F.asc("id")).limit(int(top_n))
+
+
 def hashed_classifier_score(
     docs: DataFrame,
     id_col: str,

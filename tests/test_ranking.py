@@ -346,3 +346,39 @@ def test_hashed_classifier_score_null_text_row(spark):
         }
         assert len(got) == 3
         assert got[2] == (0, 0.5) and got[3] == (0, 0.5)
+
+
+def test_reciprocal_rank_fusion_matches_python(spark):
+    from orchid_fst_spark.operators.ranking import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (9, 3)], "doc_id long, rank long"
+    )
+    got = {
+        r.id: (r.rrf, r.n_systems)
+        for r in reciprocal_rank_fusion([a, b], k=60).collect()
+    }
+    want = {
+        1: round(1 / 61 + 1 / 62, 6),
+        2: round(1 / 62, 6),
+        3: round(1 / 63 + 1 / 61, 6),
+        9: round(1 / 63, 6),
+    }
+    assert {i: v[0] for i, v in got.items()} == want
+    assert got[1][1] == 2 and got[2][1] == 1 and got[9][1] == 1
+    # top_n cuts under the (rrf DESC, id) total order
+    top = [
+        r.id
+        for r in reciprocal_rank_fusion([a, b], k=60, top_n=2).collect()
+    ]
+    assert top == [1, 3]  # 1 outranks 3 (1/61+1/62 > 1/61+1/63)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reciprocal_rank_fusion([])
+    with _pytest.raises(ValueError):
+        reciprocal_rank_fusion([a], k=-1)
