@@ -452,7 +452,7 @@ def _pagerank_oracle_sql(
     )
 
 
-def _hits_oracle_sql(iterations: int = 3) -> str:
+def _hits_oracle_sql(iterations: int = 3, edges_cte: str | None = None) -> str:
     """Unrolled sum-normalized HITS (graph.hits twin) as plain CTEs —
     same unrolling rationale as ``_pagerank_oracle_sql``.  Each
     iteration CTE is MATERIALIZED: the score chains reference their
@@ -460,9 +460,11 @@ def _hits_oracle_sql(iterations: int = 3) -> str:
     DuckDB's default CTE inlining re-expands the whole upstream chain
     per reference — exponential in the iteration count without the
     hint (measured: the 3-iteration inlined form did not finish in
-    minutes; materialized it is sub-second)."""
+    minutes; materialized it is sub-second).  Pass ``edges_cte``
+    (defining ``edges(src, dst)``) to rank any other graph, same
+    contract as ``_pagerank_oracle_sql``."""
     parts = [
-        _SQL_DOC_EDGES.strip(),
+        (edges_cte or _SQL_DOC_EDGES).strip(),
         "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges"
         " UNION SELECT DISTINCT dst FROM edges)",
         "cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes)",
@@ -1825,6 +1827,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["host_pagerank"] = _host_pagerank
+
+    # the HITS twin over the same extracted host graph (hub = page
+    # host that links out to authoritative .org hosts)
+    def _host_hits(spark, sf):
+        from orchid_fst_spark.operators.graph import extract_links
+
+        aug = _link_aug_docs(spark, sf)
+        links = extract_links(aug, "doc_id", "text")
+        edges = (
+            links.join(
+                aug.select(F.col("doc_id").alias("src_doc"), "src_host"),
+                "src_doc",
+            )
+            .select(F.col("src_host").alias("src"), F.col("host").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return hits(edges, iterations=3, round_dp=6)
+
+    q["host_hits"] = _host_hits
 
     # HITS hubs/authorities (sum-normalized, 3 fixed iterations) over
     # the same deterministic link graph
@@ -3610,6 +3632,7 @@ edges AS (
     o["host_pagerank"] = _pagerank_oracle_sql(
         iterations=3, alpha=0.85, edges_cte=_host_edges_cte
     )
+    o["host_hits"] = _hits_oracle_sql(iterations=3, edges_cte=_host_edges_cte)
     # link extraction: the same URL/host regexes (Java∩RE2∩DuckDB
     # dialect) over the shared _SQL_LINK_AUG fixture (the twin of
     # _link_aug_docs — one definition per engine)
