@@ -331,15 +331,29 @@ def fst_file_to_df(spark, path: str, encoding: str = "utf-8"):
 
 def df_to_fst_file(dict_df, path: str, encoding: str = "utf-8") -> None:
     """Export a dictionary DataFrame to the reference's binary format
-    (the reverse migration: our engine -> reference CLI).  Collects to
-    the driver (see module note); keys are sorted by UTF-8 byte order —
-    the only order the format accepts."""
+    (the reverse migration: our engine -> reference CLI).
+
+    Streams rows through the driver one partition at a time: the frame
+    is sorted cluster-side on the *encoded* key bytes (the only order
+    the format accepts — Spark's binary ordering is unsigned-byte
+    lexicographic, matching the reference's byte comparison) and
+    consumed via ``toLocalIterator``, so driver memory holds one
+    partition of rows plus the output buffer — never the whole
+    dictionary row set.  The single-file format itself remains
+    one-writer/sequential (see module note): the *artifact* must fit on
+    the driver, but the input DataFrame no longer has to fit as rows.
+    """
+    from pyspark.sql import functions as F
+
     has_output = "value" in dict_df.columns
-    rows = dict_df.collect()
+    cols = [F.encode(F.col("key"), encoding).alias("kb")]
     if has_output:
-        items = sorted(
-            (r["key"].encode(encoding), int(r["value"])) for r in rows
-        )
-    else:
-        items = sorted((r["key"].encode(encoding), 0) for r in rows)
-    write_fst_file(path, items, has_output)
+        cols.append(F.col("value").cast("long").alias("v"))
+    # orderBy range-partitions globally; toLocalIterator then yields
+    # partitions in order => globally byte-sorted stream of keys.
+    ordered = dict_df.select(*cols).orderBy("kb")
+    w = FstWriter(has_output)
+    for row in ordered.toLocalIterator(prefetchPartitions=True):
+        w.insert(bytes(row[0]), int(row[1]) if has_output else 0)
+    with open(path, "wb") as f:
+        f.write(w.finish())

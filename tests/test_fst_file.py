@@ -12,6 +12,7 @@ from orchid_fst_spark.sources.fst_file import (
     fst_file_to_df,
     df_to_fst_file,
     read_fst_bytes,
+    read_fst_file,
     write_fst_bytes,
 )
 
@@ -102,6 +103,33 @@ def test_out_of_order_and_oversized_rejected():
         write_fst_bytes(
             sorted((bytes([b]) * 2, 0) for b in range(256)), False
         )
+
+
+def test_export_streams_off_driver(spark, tmp_path, monkeypatch):
+    """The export path must never materialize the whole dictionary as a
+    driver row list: collect() is forbidden (patched to raise) and the
+    rows stream through toLocalIterator one partition at a time.  A
+    multi-partition unsorted input also pins that the cluster-side
+    orderBy on encoded bytes, not driver-side sorting, produces the
+    byte order the format requires."""
+    from pyspark.sql import DataFrame
+
+    words = gen_dict_words(3000)
+    df = (
+        spark.createDataFrame([(w,) for w in words], "key string")
+        .dropDuplicates(["key"])
+        .repartition(8)
+    )
+
+    def _no_collect(self):
+        raise AssertionError("df_to_fst_file must not collect()")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    path = str(tmp_path / "streamed.fst")
+    df_to_fst_file(df, path)
+    monkeypatch.undo()
+    got = [k.decode() for k, _ in read_fst_file(path)]
+    assert got == sorted(set(words))
 
 
 def test_spark_mount_and_export(spark, tmp_path):
