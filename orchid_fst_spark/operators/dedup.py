@@ -18,7 +18,7 @@ caps bound the one remaining O(df²) join (ngram_jaccard_pairs.df_cap).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.normalize import tokens
 from ..util.storage import maybe_persist as _maybe_persist  # noqa: F401
@@ -72,28 +72,34 @@ def grouped_bucket_pairs(
     bucket_cap: int,
     payload_col: str | None = None,
     distinct: bool = True,
-    precap: bool = False,
+    precap: bool = True,
 ) -> DataFrame:
     """Candidate pairs from an (id[, payload], bucket) LSH band frame in
-    ONE shuffle: groupBy(bucket) -> collect members -> cap -> in-group
-    pair expansion.  Replaces the previous three-stage pipeline
-    (hot-bucket count shuffle + broadcast anti-join + two-sided
+    ONE shuffle: window-count cap -> groupBy(bucket) -> collect members
+    -> in-group pair expansion.  Replaces the previous three-stage
+    pipeline (hot-bucket count shuffle + broadcast anti-join + two-sided
     band self-join), whose extra stages cost ~5 s of AQE driver
     re-planning per query on this pipeline; the band frame is now
     scanned exactly once, so callers no longer persist it.
 
     Cap semantics are identical to ``cap_hot_buckets``: buckets with
     more than ``bucket_cap`` members contribute nothing.  The default
-    path builds the member list BEFORE the size filter drops it —
-    bounded at ~8-16 bytes x the hottest bucket's true size in one
-    aggregation buffer (the same exposure
-    ``dictionary.grouped_self_candidates`` accepts).  ``exact_dedup``
-    upstream keeps byte-identical mega-clusters out of LSH, but a
-    NEAR-identical boilerplate cluster (same bands, different bytes)
-    still reaches this aggregate: if such clusters can plausibly exceed
-    ~1M members, pass ``precap=True`` to run the constant-memory
-    ``cap_hot_buckets`` count + anti-join first, trading the two extra
-    stages for a hard memory bound.  The expansion itself is two
+    (``precap=True``) enforces the cap with a ``count() over
+    (partition by bucket)`` window BEFORE the collect: WindowExec's
+    per-group buffer is an UnsafeExternalSorter that SPILLS, and the
+    filtered rows never reach the collect_list aggregation buffer (which
+    cannot spill a single group's array) — so a near-identical 10M-member
+    boilerplate cluster costs disk, never an OOM.  The window's
+    hash-partitioning on ``bucket`` is exactly what the following
+    groupBy requires, so EnsureRequirements elides the second Exchange:
+    still ONE shuffle end-to-end (plan pinned in
+    tests/test_dedup_similarity.py).  ``precap=False`` skips the window
+    (and its partition-local sort) for callers that KNOW the bucket
+    domain is bounded — e.g. after exact-dup collapse on short keys —
+    accepting an aggregation buffer of ~8-16 bytes x the hottest
+    bucket's true size.  Measured sf0.1 cost of the default window cap:
+    within VM noise of the legacy in-buffer cap (minhash/simhash/cosine
+    LSH all within ±0.4 s of their r03 numbers).  The expansion itself is two
     successive Generates — posexplode of the member array, then explode
     of its position-sliced tail — so pairs stream through the pipeline
     row-by-row (never one O(cap**2) array), each array referenced
@@ -108,7 +114,12 @@ def grouped_bucket_pairs(
     final pair dedup for callers that filter (e.g. Hamming-verify)
     first."""
     if precap:
-        stacked = cap_hot_buckets(stacked, bucket_cap)
+        w = Window.partitionBy("bucket")
+        stacked = (
+            stacked.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     member = (
         F.struct(F.col("id"), F.col(payload_col)) if payload_col else F.col("id")
     )

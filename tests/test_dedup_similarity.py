@@ -734,6 +734,48 @@ def test_lsh_planted_hot_bucket_caps(spark):
     assert prof_sh.n_hot_buckets >= 1 and prof_sh.dropped_rows >= m
 
 
+def test_grouped_bucket_pairs_precap_modes_agree(spark):
+    """Both cap paths (default window precap = constant-memory; legacy
+    in-aggregate cap) must produce the identical pair set on a planted
+    200-copy hot cluster, and the window path must stay ONE shuffle —
+    the count() window's hash-partitioning on bucket is reused by the
+    groupBy, so EnsureRequirements elides the second Exchange."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.operators.dedup import grouped_bucket_pairs
+
+    m, cap = 200, 50
+    # one hot bucket with m members (over cap) + several small buckets
+    rows = [(i, 0, i * 3) for i in range(m)]
+    rows += [(1000 + i, 1 + i % 7, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, bucket long, sig long")
+
+    pre = {
+        tuple(r)
+        for r in grouped_bucket_pairs(df, cap, payload_col="sig").collect()
+    }
+    legacy = {
+        tuple(r)
+        for r in grouped_bucket_pairs(
+            df, cap, payload_col="sig", precap=False
+        ).collect()
+    }
+    assert pre == legacy
+    assert all(a < 1000 + 30 and a >= 1000 for a, b, *_ in pre)  # hot gone
+    assert len(pre) > 0
+
+    plan = (
+        grouped_bucket_pairs(df, cap, payload_col="sig", distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Window" in plan
+
+
 def test_cosine_lsh_planted_hot_bucket_cap(spark):
     from orchid_fst_spark.operators.similarity import (
         cosine_lsh_band_metrics,
