@@ -2317,14 +2317,14 @@ cdots AS (
 cells AS (
   SELECT id, cid AS cell FROM (
     SELECT id, cid,
-           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+           row_number() OVER (PARTITION BY id ORDER BY round(ccos, 6) DESC, cid) AS rn
     FROM cdots
   ) WHERE rn = 1
 ),
 qprobe AS (
   SELECT id AS q_id, cid AS cell FROM (
     SELECT id, cid,
-           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+           row_number() OVER (PARTITION BY id ORDER BY round(ccos, 6) DESC, cid) AS rn
     FROM cdots WHERE id < 20
   ) WHERE rn <= 2
 ),
@@ -2415,14 +2415,14 @@ cdots AS (
 cells AS (
   SELECT id, cell_id AS cell FROM (
     SELECT id, cell_id,
-           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cell_id) AS rn
+           row_number() OVER (PARTITION BY id ORDER BY round(ccos, 6) DESC, cell_id) AS rn
     FROM cdots
   ) WHERE rn = 1
 ),
 qprobe AS (
   SELECT id AS q_id, cell_id AS cell FROM (
     SELECT id, cell_id,
-           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cell_id) AS rn
+           row_number() OVER (PARTITION BY id ORDER BY round(ccos, 6) DESC, cell_id) AS rn
     FROM cdots WHERE id < 20
   ) WHERE rn <= 4
 ),
@@ -2721,7 +2721,7 @@ cdots AS (
 cells AS (
   SELECT id, cid AS cell FROM (
     SELECT id, cid,
-           row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+           row_number() OVER (PARTITION BY id ORDER BY round(ccos, 6) DESC, cid) AS rn
     FROM cdots
   ) WHERE rn = 1
 ),

@@ -162,22 +162,32 @@ def ivf_assign(
     (cid, cvec) is passed — callers that also probe (ivf_topk) pass the
     same frame to both stages so a trained quantizer is fit once.
     The assignment is a broadcast join against the bounded centroid set
-    + a per-vector argmax window (tie-break: centroid id), so the
-    corpus is scanned once and nothing shuffles except the (id, cell)
-    pairs."""
+    + a per-vector argmax as ONE ``max_by`` aggregate ordered by
+    ``struct(round(ccos, 6), -cid)``: the rounding is the cross-engine
+    determinism recipe (a near-tie between two centroids must resolve
+    identically under Spark's fold order and a SQL oracle's sum order),
+    the negated cid breaks exact ties toward the smaller centroid id,
+    and the declarative aggregate gets map-side partial combine by
+    construction — only one (id, best) row per vector per input
+    partition ever shuffles, never the n x n_centroids scored frame
+    (the previous row_number window relied on the WindowGroupLimit
+    optimizer rule for the same bound)."""
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if cents is None:
         cents = ivf_centroids(
             emb, id_col, vec_col, n_centroids, algo=centroid_algo, seed=seed
         )
     scored = src.join(F.broadcast(cents)).withColumn(
-        "ccos", cosine(F.col("vec"), F.col("cvec"))
+        "ccos", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
     )
-    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "vec", F.col("cid").alias("cell"))
+    best = scored.groupBy("id").agg(
+        F.max_by(
+            F.struct(F.col("cid"), F.col("vec")),
+            F.struct(F.col("ccos"), (-F.col("cid")).alias("tb")),
+        ).alias("best")
+    )
+    return best.select(
+        "id", F.col("best.vec").alias("vec"), F.col("best.cid").alias("cell")
     )
 
 
@@ -211,7 +221,7 @@ def ivf_topk(
     cells = ivf_assign(emb, id_col, vec_col, n_centroids, cents=cents)
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
     qs = q.join(F.broadcast(cents)).withColumn(
-        "ccos", cosine(F.col("qv"), F.col("cvec"))
+        "ccos", F.round(cosine(F.col("qv"), F.col("cvec")), 6)
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probed = (
@@ -463,7 +473,7 @@ def ivfpq_topk(
 
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
     qs = q.join(F.broadcast(cents)).withColumn(
-        "ccos", cosine(F.col("qv"), F.col("cvec"))
+        "ccos", F.round(cosine(F.col("qv"), F.col("cvec")), 6)
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probed = (

@@ -734,6 +734,27 @@ def test_lsh_planted_hot_bucket_caps(spark):
     assert prof_sh.n_hot_buckets >= 1 and prof_sh.dropped_rows >= m
 
 
+def test_ivf_assign_partial_argmax_plan(spark, emb_df):
+    """ivf_assign's per-vector argmax must never shuffle the
+    n x n_centroids scored frame: the max_by aggregate shows a
+    partial_max_by BELOW the single Exchange (map-side combine reduces
+    to one row per vector per partition), and the ordering struct
+    rounds ccos to 6dp (the cross-engine determinism recipe)."""
+    import re
+
+    from orchid_fst_spark.operators.similarity import ivf_assign
+
+    plan = (
+        ivf_assign(emb_df, "vec_id", "embedding", 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max_by" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "round(" in plan
+
+
 def test_grouped_bucket_pairs_precap_modes_agree(spark):
     """Both cap paths (default window precap = constant-memory; legacy
     in-aggregate cap) must produce the identical pair set on a planted
