@@ -141,6 +141,7 @@ from orchid_fst_spark.operators.similarity import (
     semantic_dedup,
     ivfpq_topk,
     pq_topk,
+    recall_at_k,
 )
 from orchid_fst_spark.er.clustering import connected_components
 from orchid_fst_spark.er.scoring import score_pairs
@@ -932,6 +933,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ivfpq_topk"] = _ivfpq
+
+    # ANN recall observability: recall@k of the IVF index against the
+    # brute-force truth, composed from two already-oracle-checked
+    # frames (the FAISS-standard eval — exposes what n_probe costs).
+    def _ann_recall_ivf(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qset = emb.filter(F.col("vec_id") < 20)
+        approx = ivf_topk(
+            emb, qset, "vec_id", "embedding", "vec_id", "embedding",
+            k=3, n_centroids=16, n_probe=2,
+        )
+        exact = cosine_topk(
+            emb, qset, "vec_id", "embedding", "vec_id", "embedding", k=3
+        )
+        return recall_at_k(approx, exact, 3).select(
+            "q_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round("recall", 6).alias("recall"),
+        )
+
+    q["ann_recall_ivf"] = _ann_recall_ivf
     q["cosine_near_pairs"] = lambda spark, sf: (
         cosine_threshold_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet"),
@@ -2345,6 +2368,21 @@ SELECT q_id, n_id, rnk::BIGINT AS rank FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
   FROM pd
 ) WHERE rnk <= 3"""
+
+    # recall@k composed from the two ANN oracles above (nested WITH in
+    # CTE bodies is standard SQL; DuckDB supports it)
+    o["ann_recall_ivf"] = f"""WITH approx AS ({o["ann_ivf_topk"]}),
+exact AS ({o["ann_topk"]}),
+hits AS (
+  SELECT e.q_id, count(*) AS n_hit
+  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+  GROUP BY e.q_id
+),
+perq AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id)
+SELECT p.q_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       p.n_exact::BIGINT AS n_exact,
+       round(coalesce(h.n_hit, 0) / p.n_exact, 6) AS recall
+FROM perq p LEFT JOIN hits h ON h.q_id = p.q_id"""
 
     # PQ/ADC: the dists CTE (per-vector per-subspace distance to every
     # sub-centroid, rounded to 6 dp like the Spark fold) serves both the

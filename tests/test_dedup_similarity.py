@@ -734,6 +734,29 @@ def test_lsh_planted_hot_bucket_caps(spark):
     assert prof_sh.n_hot_buckets >= 1 and prof_sh.dropped_rows >= m
 
 
+def test_recall_at_k(spark, emb_df):
+    """Hand-checkable recall arithmetic (missed query => 0 row kept)
+    plus the self-consistency identity recall(exact, exact) == 1 on the
+    real operator output."""
+    from orchid_fst_spark.operators.similarity import cosine_topk, recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "q_id long, n_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        # q1 recovers 2 of 3 (rank-4 row must be ignored); q2 none
+        [(1, 10, 1), (1, 99, 2), (1, 11, 3), (1, 12, 4), (2, 98, 1)],
+        "q_id long, n_id long, rank long",
+    )
+    got = {r.q_id: (r.n_hit, r.n_exact, r.recall) for r in recall_at_k(approx, exact, 3).collect()}
+    assert got == {1: (2, 3, 2 / 3), 2: (0, 3, 0.0)}
+
+    topk = cosine_topk(emb_df, emb_df.limit(5), "vec_id", "embedding", "vec_id", "embedding", k=3)
+    perfect = recall_at_k(topk, topk, 3).collect()
+    assert len(perfect) == 5 and all(r.recall == 1.0 for r in perfect)
+
+
 def test_ivf_assign_partial_argmax_plan(spark, emb_df):
     """ivf_assign's per-vector argmax must never shuffle the
     n x n_centroids scored frame: the max_by aggregate shows a
