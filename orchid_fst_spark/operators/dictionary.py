@@ -41,20 +41,34 @@ def build_dict(
     key_col: str,
     value_col: str | None = None,
     dedup: str = "max",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Build the logical dictionary: distinct keys, blank keys dropped
     (reference skips empty lines, fst_cmd.cpp:144), duplicate keys
-    collapsed (reference: last-wins upsert, fst.cpp:180-189 — in a
-    DataFrame there is no insertion order, so the caller picks a
-    deterministic policy: 'max' | 'min' | 'sum' over the value)."""
-    out = df.select(F.col(key_col).alias("key"), *(
-        [F.col(value_col).cast(LongType()).alias("value")] if value_col else []
-    ))
+    collapsed.  The reference's own policy is last-wins in file order
+    (FstBuilder::Insert updates the value in place on a repeated key,
+    fst.cpp:180-189): pass ``dedup='last'`` with an ``order_col``
+    carrying the input order (e.g. a line id) to reproduce it exactly —
+    one ``max_by(value, order)`` aggregate, still map-side combinable.
+    In a bare DataFrame there is no insertion order, so without an
+    order column the caller picks a deterministic policy instead:
+    'max' | 'min' | 'sum' over the value."""
+    out = df.select(
+        F.col(key_col).alias("key"),
+        *([F.col(value_col).cast(LongType()).alias("value")] if value_col else []),
+        *([F.col(order_col).alias("_ord")] if order_col else []),
+    )
     out = out.filter(F.length(F.trim(F.col("key"))) > 0)
     if value_col:
+        if dedup == "last":
+            if order_col is None:
+                raise ValueError("dedup='last' requires an order_col")
+            return out.groupBy("key").agg(
+                F.max_by("value", "_ord").alias("value")
+            )
         agg = {"max": F.max, "min": F.min, "sum": F.sum}[dedup]
         return out.groupBy("key").agg(agg("value").alias("value"))
-    return out.distinct()
+    return out.drop("_ord").distinct() if order_col else out.distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -73,13 +73,32 @@ def _bounds_filter(df, args):
 
 
 def _emit(df, out=None) -> int:
+    """Print results one per line (stdout), then the reference's
+    per-query timing summary (fst_cmd.cpp:225-239 match, :284-301
+    prefix, :345-362 range, :370-387 fuzzy — the reference emits it
+    through TLOG, so it rides the log stream here too: stderr, keeping
+    stdout byte-parseable as pure results)."""
+    import time
+
     out = out if out is not None else sys.stdout  # resolve at call time
+    st = time.perf_counter_ns()
     rows = df.orderBy("key").collect()
+    us = (time.perf_counter_ns() - st) // 1000
     for r in rows:
         if "value" in df.columns and r.value is not None:
             print(f"{r.key},{r.value}", file=out)
         else:
             print(r.key, file=out)
+    if rows:
+        print(
+            f"Totally got [{len(rows)}] results, time consumed:[{us}] us.",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"Can not found any key in dictionary! time consumed:[{us}] us.",
+            file=sys.stderr,
+        )
     return len(rows)
 
 
@@ -158,15 +177,22 @@ def main(argv: list[str] | None = None) -> int:
         lines = lines.filter(F.length(F.trim("line")) > 0)
         if args.cmd == "map":
             # split on the FIRST comma (fst_cmd.cpp:144-163); a line with
-            # no comma gets value 0 like the reference's stringstream
-            kv = lines.select(
+            # no comma gets value 0 like the reference's stringstream.
+            # Duplicate keys: LAST occurrence in file order wins, exactly
+            # like FstBuilder::Insert's in-place update (fst.cpp:180-189)
+            # — monotonically_increasing_id over a single text file is
+            # monotone with byte offset (splits of one file are packed in
+            # offset order), giving the line id the last-wins agg needs.
+            kv = lines.withColumn("_line_id", F.monotonically_increasing_id())
+            kv = kv.select(
                 F.regexp_extract("line", r"^([^,]*)", 1).alias("key"),
                 F.coalesce(
                     F.regexp_extract("line", r"^[^,]*,(.*)$", 1).cast("long"),
                     F.lit(0),
                 ).alias("value"),
+                "_line_id",
             )
-            d = build_dict(kv, "key", "value", dedup="max")
+            d = build_dict(kv, "key", "value", dedup="last", order_col="_line_id")
         else:
             d = build_dict(lines.select(F.col("line").alias("key")), "key")
         if args.fst_file.endswith(".fst"):

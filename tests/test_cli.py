@@ -45,7 +45,7 @@ def test_ofst_map_and_queries(spark, tmp_path, capsys, ofst):
 
     truth = {}
     for k, v in kvs:
-        truth[k] = max(truth.get(k, v), v)  # build_dict dedup='max'
+        truth[k] = v  # LAST occurrence in file order wins (fst.cpp:180-189)
 
     some_key = sorted(truth)[3]
     assert ofst.main(["match", "-f", idx, "-q", some_key]) == 0
@@ -72,6 +72,54 @@ def test_ofst_map_and_queries(spark, tmp_path, capsys, ofst):
     assert ofst.main(["dot", "-f", idx, "-o", str(dot)]) == 0
     capsys.readouterr()
     assert "digraph fst" in dot.read_text()
+
+
+def test_ofst_map_duplicate_key_last_wins(spark, tmp_path, capsys, ofst):
+    """`ofst map` keeps the LAST value of a repeated key in file order —
+    FstBuilder::Insert's in-place update semantics (fst.cpp:180-189).
+    Values are chosen so every other dedup policy (max/min/sum/first)
+    would answer differently."""
+    dict_file = tmp_path / "dups.txt"
+    dict_file.write_text("alpha,9\nbeta,2\nalpha,3\nalpha,1\nbeta,7\n")
+    idx = str(tmp_path / "dupidx")
+    assert ofst.main(["map", "-f", str(dict_file), "-o", idx, "-l", "2"]) == 0
+    capsys.readouterr()
+    assert ofst.main(["match", "-f", idx, "-q", "alpha"]) == 0
+    assert _out_lines(capsys) == ["alpha,1"]
+    assert ofst.main(["match", "-f", idx, "-q", "beta"]) == 0
+    assert _out_lines(capsys) == ["beta,7"]
+
+    # same semantics through the reference binary-artifact build path
+    fst = str(tmp_path / "dup.fst")
+    assert ofst.main(["map", "-f", str(dict_file), "-o", fst]) == 0
+    capsys.readouterr()
+    assert ofst.main(["match", "-f", fst, "-q", "alpha"]) == 0
+    assert _out_lines(capsys) == ["alpha,1"]
+
+
+def test_ofst_query_timing_line(spark, tmp_path, capsys, ofst):
+    """Every query prints the reference's per-query timing summary
+    (fst_cmd.cpp:225-239/284-301) on the log stream (stderr), leaving
+    stdout pure results."""
+    import re
+
+    dict_file = tmp_path / "t.txt"
+    dict_file.write_text("apple,1\napricot,2\nbanana,3\n")
+    idx = str(tmp_path / "tidx")
+    assert ofst.main(["map", "-f", str(dict_file), "-o", idx, "-l", "2"]) == 0
+    capsys.readouterr()
+
+    assert ofst.main(["prefix", "-f", idx, "-p", "ap"]) == 0
+    err = capsys.readouterr().err
+    assert re.search(
+        r"Totally got \[2\] results, time consumed:\[\d+\] us\.", err
+    )
+
+    assert ofst.main(["match", "-f", idx, "-q", "missing"]) == 1
+    err = capsys.readouterr().err
+    assert re.search(
+        r"Can not found any key in dictionary! time consumed:\[\d+\] us\.", err
+    )
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference testdata absent")
