@@ -133,6 +133,13 @@ def fuzzy_lookup(
       'dfa'      compiled DFA ∩ per-partition trie in mapInPandas —
                  reference-parity path, required for Damerau.
       'auto'     builtin for plain Levenshtein, dfa for Damerau.
+
+    Non-BMP note: Spark 4's ``levenshtein`` (UTF8String) counts CODE
+    POINTS, matching the reference's UTF-8 char granularity
+    (utf8_util.cpp:78-90) even for astral-plane chars (emoji /
+    surrogate pairs) — pinned by a differential test against the Python
+    kernel in tests/test_distance.py, on both the full and the banded
+    (threshold) form, so the builtin fast path is exact everywhere.
     """
     out = dict_df
     if prefix_len > 0:
