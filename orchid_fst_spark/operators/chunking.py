@@ -250,3 +250,82 @@ def write_packed_shards(
     )
     back = docs.sparkSession.read.parquet(out_dir)
     return back.withColumn("shard", F.col("shard").cast("long"))
+
+
+def read_packed_shards(
+    spark,
+    path: str,
+    shard_lo: int | None = None,
+    shard_hi: int | None = None,
+) -> DataFrame:
+    """Loader-side read of the ``write_packed_shards`` artifact: the
+    slice rows of shard directories ``[shard_lo, shard_hi)``, pruned at
+    PLANNING time (the range filter lands on the raw partition column
+    BEFORE the long cast, so it becomes a PartitionFilter — only the
+    asked directories are even listed; plan + inputFiles pinned in
+    tests/test_chunk_interval_setsim.py).  Because every shard carries
+    exactly its token range, the result is the complete token stream of
+    ``[shard_lo * shard_tokens, shard_hi * shard_tokens)`` — the
+    resume/DDP contract: worker i reads its own shard range and nothing
+    else."""
+    df = spark.read.parquet(path)
+    if shard_lo is not None:
+        df = df.filter(F.col("shard") >= int(shard_lo))
+    if shard_hi is not None:
+        df = df.filter(F.col("shard") < int(shard_hi))
+    return df.withColumn("shard", F.col("shard").cast("long"))
+
+
+def sequences_from_shards(
+    slices: DataFrame, text_col: str = "text", seq_tokens: int = 2048
+) -> DataFrame:
+    """Reconstruct the actual training sequences ``(seq_id, n_tokens,
+    seq_text)`` from packed-shard slice rows — the inverse of
+    ``pack_sequences`` + ``write_packed_shards`` (round-trip pinned by
+    test: concatenating the sequences in seq_id order reproduces the
+    corpus token stream in id order, every sequence exactly
+    ``seq_tokens`` tokens except the last).
+
+    Row-local re-slice (a slice spans the sequences it crosses — fan-out
+    usually 1) then ONE groupBy(seq_id) assembling the pieces with an
+    in-aggregate array_sort by global offset; a group holds at most
+    ``seq_tokens`` tokens, so the aggregation buffer is bounded by the
+    sequence budget, never by document length."""
+    if seq_tokens <= 0:
+        raise ValueError("need seq_tokens > 0")
+    base = slices.filter(F.col("slice_tokens") > 0).select(
+        "gstart", "slice_tokens", tokens(F.col(text_col)).alias("_toks")
+    )
+    first_q = F.expr(f"gstart div {int(seq_tokens)}")
+    last_q = F.expr(f"(gstart + slice_tokens - 1) div {int(seq_tokens)}")
+    ex = base.withColumn("seq_id", F.explode(F.sequence(first_q, last_q)))
+    pstart = F.greatest(
+        F.expr(f"seq_id * {int(seq_tokens)}"), F.col("gstart")
+    )
+    pend = F.least(
+        F.expr(f"(seq_id + 1) * {int(seq_tokens)}"),
+        F.col("gstart") + F.col("slice_tokens"),
+    )
+    piece = F.slice(
+        F.col("_toks"),
+        (pstart - F.col("gstart") + 1).cast("int"),
+        (pend - pstart).cast("int"),
+    )
+    pieces = ex.select(
+        "seq_id",
+        pstart.alias("pstart"),
+        (pend - pstart).cast("long").alias("p_n"),
+        F.array_join(piece, " ").alias("piece"),
+    )
+    ps = F.array_sort(F.collect_list(F.struct("pstart", "piece")))
+    return (
+        pieces.groupBy("seq_id")
+        .agg(F.sum("p_n").alias("n_tokens"), ps.alias("_ps"))
+        .select(
+            "seq_id",
+            "n_tokens",
+            F.array_join(
+                F.transform("_ps", lambda s: s["piece"]), " "
+            ).alias("seq_text"),
+        )
+    )

@@ -333,6 +333,49 @@ def append_text_index(
     return new
 
 
+def compact_text_index(spark: SparkSession, idx: TextIndex) -> TextIndex:
+    """Rewrite the artifact so each ``bucket=`` directory holds ONE
+    term-sorted file again.
+
+    N appends leave N small files per bucket directory — the classic
+    small-files decay: at 100 TB with daily appends a year of growth
+    turns every query's k-bucket read into k x 365 file opens and
+    destroys row-group pruning (each tiny file spans the full term
+    range it touched).  Compaction is one job: read the postings,
+    re-sort within each bucket, write a fresh artifact next to the old
+    one, then publish by directory swap (two renames — crash before the
+    first leaves the old artifact live and intact; between them there
+    is a moment with no directory at ``path``, the same single-writer
+    window the append path documents).  The ``_meta`` sidecar is
+    carried over unchanged (corpus stats don't change) and so are the
+    streaming ``_batch_*`` idempotency markers — they are the ledger of
+    WHAT is incorporated, which compaction does not alter, so a stream
+    resuming against the compacted artifact still no-ops re-delivered
+    batches.  Returns the same handle (stats unchanged)."""
+    path = idx.path
+    tmp = path + ".compact_tmp"
+    old = path + ".compact_old"
+    postings = spark.read.parquet(path).select(
+        "doc_id", "dl", "pos", "term", "bucket"
+    )
+    (
+        postings.repartition(idx.n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("error")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    import shutil
+
+    for name in os.listdir(path):
+        if name == "_meta" or name.startswith("_batch_"):
+            shutil.copy2(os.path.join(path, name), os.path.join(tmp, name))
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return idx
+
+
 def indexed_fuzzy_terms(
     spark: SparkSession, idx: TextIndex, query: str, k: int = 1
 ) -> DataFrame:

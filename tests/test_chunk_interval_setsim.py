@@ -383,6 +383,75 @@ def test_write_packed_shards_layout_and_pruning(spark, tmp_path):
     assert pruned.count() >= 1
 
 
+def test_read_packed_shards_roundtrip_and_pruning(spark, tmp_path):
+    """write -> read_packed_shards -> sequences_from_shards round-trip:
+    the reconstructed sequences reproduce pack_sequences' layout and the
+    corpus token stream exactly; a shard-range read prunes to just those
+    partition directories (PartitionFilters + inputFiles pinned)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.operators.chunking import (
+        pack_sequences,
+        read_packed_shards,
+        sequences_from_shards,
+        write_packed_shards,
+    )
+
+    texts = {
+        i: " ".join(f"w{i}_{j}" for j in range(100 if i == 7 else 3 + i % 5))
+        for i in range(40)
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = str(tmp_path / "shards_rt")
+    write_packed_shards(docs, out, seq_tokens=8, seqs_per_shard=2, mode="overwrite")
+
+    # full read -> sequence reconstruction == the pack_sequences layout
+    full = read_packed_shards(spark, out)
+    seqs = {
+        r.seq_id: (r.n_tokens, r.seq_text)
+        for r in sequences_from_shards(full, seq_tokens=8).collect()
+    }
+    total = sum(len(t.split()) for t in texts.values())
+    assert set(seqs) == set(range((total + 7) // 8))
+    last = max(seqs)
+    assert all(seqs[s][0] == 8 for s in seqs if s != last)
+    got_stream = [t for s in sorted(seqs) for t in seqs[s][1].split()]
+    want_stream = [t for i in sorted(texts) for t in texts[i].split()]
+    assert got_stream == want_stream
+
+    # every document starts exactly where the manifest says
+    man = {
+        r.id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(docs, seq_tokens=8).collect()
+    }
+    for i, (sid, off) in man.items():
+        if texts[i]:
+            first_tok = texts[i].split()[0]
+            assert seqs[sid][1].split()[off] == first_tok
+
+    # pruned read: only the asked shard directories are scanned, and the
+    # result is exactly that contiguous token range
+    pruned = read_packed_shards(spark, out, shard_lo=1, shard_hi=3)
+    files = [
+        r.f
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all(
+        ("/shard=1/" in f or "/shard=2/" in f) for f in files
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "shard#" in plan.split("PartitionFilters")[1][:200]
+    stream_13 = [
+        t
+        for r in sorted(pruned.collect(), key=lambda r: (r.gstart, r.id))
+        for t in (r.text.split() if r.text else [])
+    ]
+    assert stream_13 == want_stream[16:48]  # shard_tokens = 16
+
+
 def test_interval_join_exact_buckets_beyond_double_precision(spark):
     """Regression: bucket ids are computed in exact long arithmetic.
     At year-5000 timestamps unix_micros exceeds 2^53, where the old
