@@ -211,6 +211,12 @@ def hits(
             "auth",
             i,
         )
+        if storage and truncate:
+            # the eager _cut materialized auths; the cached raw frame
+            # has served both its consumers (normalizer action + score
+            # join) — release it, or 2*iterations cache entries pile up
+            # until release_persisted() (ADVICE r3)
+            a_raw.unpersist()
         h_raw = _maybe_persist(
             e2.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -233,6 +239,8 @@ def hits(
             "hub",
             i,
         )
+        if storage and truncate:
+            h_raw.unpersist()
 
     out = hubs.join(auths, "node")
     if round_dp is not None:

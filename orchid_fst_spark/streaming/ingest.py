@@ -270,9 +270,16 @@ def stream_text_index(
     bucket mapping/normalization; ``indexed_bm25``/``phrase_search``
     over the artifact equal the batch operators over everything
     ingested so far (pinned by test).  A ``_batch_<id>`` marker makes
-    re-delivered batch ids no-ops, with the same two-step caveat
-    ``append_text_index`` documents: a crash BETWEEN the append and
-    the marker write duplicates that one batch on retry (single-writer
+    re-delivered batch ids no-ops — and each marker records the
+    batch's (row count, xor-of-doc-id-hashes) fingerprint, so a
+    batch-id COLLISION carrying different documents (a stream restarted
+    with a fresh checkpoint against an index built from other data —
+    checkpoint and index lifetimes decoupled) RAISES instead of
+    silently dropping the new documents; a collision with a matching
+    fingerprint (crash retry, or a same-source replay under a new
+    checkpoint) stays a no-op.  The same two-step caveat as
+    ``append_text_index`` remains: a crash BETWEEN the append and the
+    marker write duplicates that one batch on retry (single-writer
     discipline; the batch path's atomic-rename publication is the
     stronger alternative when full rebuilds are affordable).
 
@@ -287,10 +294,32 @@ def stream_text_index(
 
     spark = docs_stream.sparkSession
 
+    def _fingerprint(batch: DataFrame) -> tuple[int, int]:
+        r = batch.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return int(r.n), int(r.h)
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         marker = os.path.join(index_dir, f"_batch_{batch_id}")
         if os.path.exists(marker):
-            return
+            with open(marker) as f:
+                m = _json.load(f)
+            if "n" not in m:
+                return  # legacy marker (no fingerprint): assume replay
+            if tuple(_fingerprint(batch)) == (m["n"], m["h"]):
+                return  # true re-delivery of the same documents
+            raise ValueError(
+                f"batch id {batch_id} already incorporated into "
+                f"{index_dir} with DIFFERENT documents — the stream's "
+                "checkpoint was reset against an existing index; "
+                "refusing to silently drop this batch (couple the "
+                "index_dir and checkpoint_dir lifetimes, or rebuild)"
+            )
         if not batch.take(1):
             return
         if not os.path.exists(os.path.join(index_dir, "_meta")):
@@ -298,10 +327,33 @@ def stream_text_index(
             # between the parquet write and the sidecar): clear it, or
             # the mode='error' rebuild would throw on every retry and
             # wedge the stream permanently.  No markers can exist yet —
-            # they are only written after _meta.
+            # they are only written after _meta.  Before deleting,
+            # verify the directory actually LOOKS like a partial index
+            # build (bucket=*/ dirs and Spark write debris only) — a
+            # misconfigured path pointing at unrelated data must fail
+            # loudly, not vanish.
             if os.path.exists(index_dir):
                 import shutil as _shutil
 
+                foreign = [
+                    e
+                    for e in os.listdir(index_dir)
+                    if not (
+                        e.startswith("bucket=")
+                        or e.startswith("_SUCCESS")
+                        or e.startswith("._SUCCESS")
+                        or e == "_temporary"
+                        or e.startswith("part-")
+                        or e.startswith(".part-")
+                    )
+                ]
+                if foreign:
+                    raise ValueError(
+                        f"{index_dir} exists without a _meta sidecar but "
+                        f"holds non-index entries {foreign[:5]} — not a "
+                        "partial index build; refusing to delete it "
+                        "(point the stream at an empty/new index_dir)"
+                    )
                 _shutil.rmtree(index_dir, ignore_errors=True)
             build_text_index(
                 batch, id_col, text_col, index_dir,
@@ -311,8 +363,9 @@ def stream_text_index(
             append_text_index(
                 batch, id_col, text_col, load_text_index(spark, index_dir)
             )
+        n, h = _fingerprint(batch)
         with open(marker, "w") as f:
-            _json.dump({"batch_id": int(batch_id)}, f)
+            _json.dump({"batch_id": int(batch_id), "n": n, "h": h}, f)
 
     w = docs_stream.writeStream.foreachBatch(_apply).outputMode("append")
     if checkpoint_dir:

@@ -675,3 +675,60 @@ def test_stream_text_index_equals_batch_build(spark, tmp_path):
         .collect()[0]
     )
     assert (after_fp.n, after_fp.h) == (before_fp.n, before_fp.h)
+
+
+def test_stream_text_index_guards(spark, tmp_path):
+    """Safety rails (ADVICE r3): (1) the first-batch crash-recovery
+    rmtree refuses a directory that does not look like a partial index
+    build; (2) a batch-id collision carrying DIFFERENT documents (fresh
+    checkpoint against an existing index) raises instead of silently
+    no-op'ing the new data."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from orchid_fst_spark.streaming import stream_text_index
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+
+    # (1) foreign directory without _meta: must raise, not rmtree
+    foreign = tmp_path / "precious"
+    foreign.mkdir()
+    (foreign / "user_data.txt").write_text("do not delete")
+    src1 = str(tmp_path / "src1")
+    docs.limit(10).coalesce(1).write.mode("overwrite").parquet(src1)
+    s1 = spark.readStream.schema(docs.schema).parquet(src1)
+    q1 = stream_text_index(
+        s1, "doc_id", "text", str(foreign), n_buckets=4, lowercase=True,
+        checkpoint_dir=str(tmp_path / "ckg1"), available_now=True,
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q1.awaitTermination(120)
+    assert "non-index entries" in str(ei.value)
+    assert (foreign / "user_data.txt").read_text() == "do not delete"
+
+    # (2) same batch ids, different documents: must raise, not drop
+    sdir = str(tmp_path / "col_idx")
+    q2 = stream_text_index(
+        spark.readStream.schema(docs.schema).parquet(src1),
+        "doc_id", "text", sdir, n_buckets=4, lowercase=True,
+        checkpoint_dir=str(tmp_path / "ckg2"), available_now=True,
+    )
+    assert q2.awaitTermination(120)
+    src2 = str(tmp_path / "src2")
+    docs.filter("doc_id >= 10").limit(10).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src2)
+    q3 = stream_text_index(
+        spark.readStream.schema(docs.schema).parquet(src2),
+        "doc_id", "text", sdir, n_buckets=4, lowercase=True,
+        checkpoint_dir=str(tmp_path / "ckg3"), available_now=True,
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q3.awaitTermination(120)
+    assert "DIFFERENT documents" in str(ei.value)
