@@ -250,6 +250,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "extracted_link_hosts",
         "fuzzy_term_search",
         "hybrid_search_rrf",
+        "ann_recall_ivf",
     ]
     out = {}
     for name in headline:
