@@ -144,6 +144,11 @@ from orchid_fst_spark.operators.similarity import (
     recall_at_k,
 )
 from orchid_fst_spark.er.clustering import connected_components
+from orchid_fst_spark.er.evaluate import (
+    blocking_quality,
+    clustering_pair_metrics,
+    pair_metrics,
+)
 from orchid_fst_spark.er.scoring import score_pairs
 from orchid_fst_spark.streaming.windows import (
     extract_event_props,
@@ -215,6 +220,21 @@ dict AS (
   FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
   WHERE tok <> ''
   GROUP BY tok
+)
+"""
+
+# eval dictionary with planted typo variants (see the ER evaluation
+# entries): suffix-insert / first-two-swap / mid-substitution
+_SQL_VDICT = _SQL_DICT + r""",
+vdict AS (
+  SELECT DISTINCT key FROM (
+    SELECT key FROM dict
+    UNION ALL SELECT key || 'q' FROM dict WHERE length(key) >= 5
+    UNION ALL SELECT substr(key, 2, 1) || substr(key, 1, 1) || substr(key, 3)
+      FROM dict WHERE length(key) >= 5
+    UNION ALL SELECT substr(key, 1, 1) || 'x' || substr(key, 3, 1)
+      FROM dict WHERE length(key) = 3
+  )
 )
 """
 
@@ -728,6 +748,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("component")
         .agg(F.count("*").alias("n"))
     )
+
+    # --- ER evaluation surface (the north-rule metric as operators) ---
+    # the eval dictionary plants deterministic typo variants so every
+    # confusion-matrix cell is non-empty at every sf: key||'q' (dist 1,
+    # JW ~.97 -> tp), first-two-chars swap (dist 2, JW ~.93 -> fp at the
+    # 0.9 rule), and a mid-char substitution on 3-letter words (dist 1,
+    # JW .80 -> fn)
+    def _vdict(spark, sf):
+        d = _dict(spark, sf).select("key")
+        k = F.col("key")
+        suffixed = d.filter(F.length(k) >= 5).select(
+            F.concat(k, F.lit("q")).alias("key")
+        )
+        swapped = d.filter(F.length(k) >= 5).select(
+            F.concat(
+                F.substring(k, 2, 1),
+                F.substring(k, 1, 1),
+                F.expr("substring(key, 3)"),
+            ).alias("key")
+        )
+        subbed = d.filter(F.length(k) == 3).select(
+            F.concat(
+                F.substring(k, 1, 1), F.lit("x"), F.substring(k, 3, 1)
+            ).alias("key")
+        )
+        return (
+            d.unionByName(suffixed)
+            .unionByName(swapped)
+            .unionByName(subbed)
+            .distinct()
+        )
+
+    # pair-level P/R/F1: predicted = JW >= 0.9 pairs out of the k=2
+    # candidate set (the scoring stage's match rule), truth = the
+    # edit-distance-1 pairs.  JW is rounded 6dp BEFORE the threshold in
+    # both engines (cross-engine float recipe) so a near-0.9 tie cannot
+    # flip membership (planted margins are >= 0.03).
+    def _er_pair_metrics(spark, sf):
+        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        scored = score_pairs(cands)
+        pred = scored.filter(F.round(F.col("jw"), 6) >= 0.9).select(
+            "key_a", "key_b"
+        )
+        truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
+        return pair_metrics(pred, truth)
+
+    q["er_pair_metrics"] = _er_pair_metrics
+
+    # clustering-level P/R/F1 via the contingency table (no implied-pair
+    # materialization): predicted = components under k=2 edges, truth =
+    # components under the stricter k=1 edges
+    def _er_cluster_metrics(spark, sf):
+        d = _vdict(spark, sf)
+        edges2 = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        pred = (
+            d.select(F.col("key").alias("node"))
+            .join(
+                connected_components(edges2, src="key_a", dst="key_b"),
+                "node",
+                "left",
+            )
+            .withColumn("component", F.coalesce("component", "node"))
+        )
+        edges1 = edges2.filter(F.col("dist") <= 1)
+        truth = (
+            d.select(F.col("key").alias("node"))
+            .join(
+                connected_components(edges1, src="key_a", dst="key_b"),
+                "node",
+                "left",
+            )
+            .withColumn("component", F.coalesce("component", "node"))
+        )
+        return clustering_pair_metrics(
+            pred, truth, id_col="node", pred_col="component",
+            truth_col="component",
+        )
+
+    q["er_cluster_metrics"] = _er_cluster_metrics
+
+    # blocking quality: how much recall a cheap first-2-chars prefix
+    # block (the classic weak blocker) gives up vs the complete
+    # segment-blocking truth, and how much of the n*(n-1)/2 cross
+    # product it avoids
+    def _er_blocking_quality(spark, sf):
+        d = _vdict(spark, sf)
+        blocked = d.select("key", F.substring("key", 1, 2).alias("blk"))
+        cands = (
+            blocked.alias("a")
+            .join(blocked.alias("b"), "blk")
+            .filter(F.col("a.key") < F.col("b.key"))
+            .select(
+                F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b")
+            )
+        )
+        truth = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        return blocking_quality(cands, truth, d)
+
+    q["er_blocking_quality"] = _er_blocking_quality
 
     # --- dedup family over documents ---
     q["dedup_exact"] = lambda spark, sf: exact_dedup(
@@ -2009,6 +2128,124 @@ comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)"""
         f"WITH RECURSIVE {_er_core} "
         "SELECT component, count(*)::BIGINT AS n FROM comp GROUP BY component"
     )
+
+    # pair-level P/R/F1: both engines round JW to 6dp BEFORE the 0.9
+    # threshold and compute f1 from the unrounded precision/recall
+    # (identical integer-ratio double arithmetic -> identical bits)
+    o["er_pair_metrics"] = f"""WITH {_SQL_VDICT},
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key) AS dist
+  FROM vdict a, vdict b WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+pred AS (SELECT key_a, key_b FROM pairs
+         WHERE round(jaro_winkler_similarity(key_a, key_b), 6) >= 0.9),
+truth AS (SELECT key_a, key_b FROM pairs WHERE dist <= 1),
+j AS (
+  SELECT p.key_a IS NOT NULL AS in_p, t.key_a IS NOT NULL AS in_t
+  FROM pred p FULL JOIN truth t
+    ON p.key_a = t.key_a AND p.key_b = t.key_b
+),
+m AS (
+  SELECT
+    coalesce(sum(CASE WHEN in_p AND in_t THEN 1 END), 0)::BIGINT AS tp,
+    coalesce(sum(CASE WHEN in_p AND NOT in_t THEN 1 END), 0)::BIGINT AS fp,
+    coalesce(sum(CASE WHEN NOT in_p AND in_t THEN 1 END), 0)::BIGINT AS fn
+  FROM j
+),
+r AS (
+  SELECT tp, fp, fn,
+    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 1.0 END AS p_raw,
+    CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 1.0 END AS r_raw
+  FROM m
+)
+SELECT tp, fp, fn,
+  round(p_raw, 6) AS "precision", round(r_raw, 6) AS recall,
+  round(CASE WHEN p_raw + r_raw > 0
+             THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
+FROM r"""
+
+    # clustering-level P/R/F1: components under k=2 edges (predicted)
+    # vs k=1 edges (truth), contingency-table pair counts (sum nC2 with
+    # integer // division — exact longs in both engines)
+    o["er_cluster_metrics"] = f"""WITH RECURSIVE {_SQL_VDICT},
+edges2 AS (
+  SELECT a.key AS src, b.key AS dst FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+sym2 AS (
+  SELECT src AS a, dst AS b FROM edges2
+  UNION SELECT dst, src FROM edges2
+  UNION SELECT key, key FROM vdict
+),
+reach2(a, b) AS (
+  SELECT a, b FROM sym2
+  UNION SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a
+),
+comp2 AS (SELECT a AS node, min(b) AS pc FROM reach2 GROUP BY a),
+edges1 AS (
+  SELECT src, dst FROM edges2 WHERE levenshtein(src, dst) <= 1
+),
+sym1 AS (
+  SELECT src AS a, dst AS b FROM edges1
+  UNION SELECT dst, src FROM edges1
+  UNION SELECT key, key FROM vdict
+),
+reach1(a, b) AS (
+  SELECT a, b FROM sym1
+  UNION SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a
+),
+comp1 AS (SELECT a AS node, min(b) AS tc FROM reach1 GROUP BY a),
+j AS (SELECT c2.pc, c1.tc FROM comp2 c2 JOIN comp1 c1 USING (node)),
+cont AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS tp
+  FROM (SELECT pc, tc, count(*) AS n FROM j GROUP BY 1, 2)
+),
+pp AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS pred_pairs
+  FROM (SELECT pc, count(*) AS n FROM j GROUP BY 1)
+),
+tt AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS true_pairs
+  FROM (SELECT tc, count(*) AS n FROM j GROUP BY 1)
+),
+r AS (
+  SELECT tp, pred_pairs, true_pairs,
+    CASE WHEN pred_pairs > 0 THEN tp::DOUBLE / pred_pairs ELSE 1.0 END AS p_raw,
+    CASE WHEN true_pairs > 0 THEN tp::DOUBLE / true_pairs ELSE 1.0 END AS r_raw
+  FROM cont, pp, tt
+)
+SELECT tp, pred_pairs, true_pairs,
+  round(p_raw, 6) AS "precision", round(r_raw, 6) AS recall,
+  round(CASE WHEN p_raw + r_raw > 0
+             THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
+FROM r"""
+
+    # blocking quality of the weak first-2-chars prefix blocker vs the
+    # complete lev<=2 truth pair set
+    o["er_blocking_quality"] = f"""WITH {_SQL_VDICT},
+cands AS (
+  SELECT a.key AS key_a, b.key AS key_b FROM vdict a JOIN vdict b
+    ON substr(a.key, 1, 2) = substr(b.key, 1, 2) AND a.key < b.key
+),
+truth AS (
+  SELECT a.key AS key_a, b.key AS key_b FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM vdict)::BIGINT AS n_records,
+    (SELECT count(*) FROM cands)::BIGINT AS n_candidates,
+    (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+    (SELECT count(*) FROM cands c JOIN truth t
+       ON c.key_a = t.key_a AND c.key_b = t.key_b)::BIGINT AS tp
+)
+SELECT n_records, n_candidates, n_truth, tp,
+  round(CASE WHEN n_truth > 0 THEN tp::DOUBLE / n_truth ELSE 1.0 END,
+        6) AS pair_completeness,
+  round(CASE WHEN n_records * (n_records - 1) // 2 > 0
+             THEN 1 - n_candidates::DOUBLE / (n_records * (n_records - 1) // 2)
+             ELSE 0.0 END, 6) AS reduction_ratio
+FROM m"""
 
     o["events_hourly_counts"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -2,6 +2,7 @@ from .blocking import normalize_pages, candidate_pairs
 from .scoring import score_pairs, match_edges
 from .clustering import connected_components
 from .pipeline import resolve, pairwise_f1
+from .evaluate import pair_metrics, clustering_pair_metrics, blocking_quality
 
 __all__ = [
     "normalize_pages",
@@ -11,4 +12,7 @@ __all__ = [
     "connected_components",
     "resolve",
     "pairwise_f1",
+    "pair_metrics",
+    "clustering_pair_metrics",
+    "blocking_quality",
 ]

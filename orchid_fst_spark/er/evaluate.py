@@ -1,0 +1,204 @@
+"""ER evaluation operators — the north-rule metric as a DataFrame.
+
+The reference validates its fuzzy enumeration by counting golden hits
+exactly (fst_unittest.cpp:90-97: assert 214 matches, then a per-line
+compare); these operators generalize that count-the-hits discipline to
+the ER pipeline's own quality contract (pairwise F1 >= 0.99) using the
+standard record-linkage definitions (Christen, "Data Matching", 2012):
+
+- ``pair_metrics``            precision/recall/F1 of a predicted PAIR set
+                              vs a labeled truth pair set.
+- ``clustering_pair_metrics`` the same metric for two CLUSTERINGS via the
+                              contingency table — never materializes the
+                              O(cluster_size^2) implied pairs.
+- ``blocking_quality``        pair completeness + reduction ratio of a
+                              candidate generator vs truth pairs — the
+                              two numbers that justify a blocking scheme.
+
+All three return ONE-row DataFrames (exact integer counts + ratios
+rounded to 6dp per the cross-engine float recipe) so they are
+oracle-checkable and cheap to log per pipeline run: at 100 TB each is a
+couple of canonicalize-distinct shuffles on pair-sized (not corpus-
+sized) frames followed by single-row aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_pairs(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Distinct unordered pairs as canonical (pa < pb) tuples.
+
+    Self-pairs (a == b) carry no linkage information and are dropped so
+    both metric inputs agree on the universe regardless of whether a
+    generator emits reflexive rows.
+    """
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias("pa"),
+            F.greatest(F.col(a), F.col(b)).alias("pb"),
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .distinct()
+    )
+
+
+def _prf(tp: F.Column, fp: F.Column, fn: F.Column) -> list:
+    """precision/recall/f1 columns from exact long counts, rounded 6dp.
+
+    Empty-side conventions match er.pipeline.pairwise_f1: an empty
+    predicted set has precision 1, an empty truth set has recall 1
+    (nothing was asserted / nothing was missed), and f1 is 0 when both
+    precision and recall are 0.
+    """
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(1.0))
+    f1 = F.when(
+        prec + rec > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return [
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ]
+
+
+def pair_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    a: str = "key_a",
+    b: str = "key_b",
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted pair set vs truth.
+
+    One row: ``(tp, fp, fn, precision, recall, f1)``.  Both inputs are
+    canonicalized (unordered, distinct, no self-pairs) first, so emit
+    order / duplication in either generator cannot skew the counts.
+
+    Plan shape: one distinct shuffle per side, one full-outer equi-join
+    on the canonical pair key (co-partitioned — the distincts already
+    hash-partitioned both sides on (pa, pb)), one single-row aggregate.
+    Inputs are pair-sized; the corpus itself is never touched.
+    """
+    p = _canon_pairs(predicted, a, b).withColumn("in_p", F.lit(1))
+    t = _canon_pairs(truth, a, b).withColumn("in_t", F.lit(1))
+    joined = p.join(t, ["pa", "pb"], "full_outer")
+    agg = joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("in_p").isNotNull() & F.col("in_t").isNotNull(), 1)),
+            F.lit(0),
+        ).cast("long").alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_p").isNotNull() & F.col("in_t").isNull(), 1)),
+            F.lit(0),
+        ).cast("long").alias("fp"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_p").isNull() & F.col("in_t").isNotNull(), 1)),
+            F.lit(0),
+        ).cast("long").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select("tp", "fp", "fn", *_prf(tp, fp, fn))
+
+
+def clustering_pair_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "cluster_id",
+    truth_col: str = "cluster_id",
+) -> DataFrame:
+    """Pairwise P/R/F1 of a predicted CLUSTERING vs a truth clustering.
+
+    One row: ``(tp, pred_pairs, true_pairs, precision, recall, f1)``.
+    The DataFrame twin of ``er.pipeline.pairwise_f1`` (same contingency-
+    table math, same empty-side conventions) for oracle checking and
+    per-run metric logging without a driver collect.
+
+    Pair counts come from cluster-size histograms (sum of nC2) and the
+    (pred, truth) contingency table — a 10M-member cluster contributes
+    one histogram row, never 5*10^13 materialized pairs.  Records absent
+    from either side are ignored (inner join on the id), matching
+    pairwise_f1.
+    """
+    pred = predicted.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("pc")
+    )
+    tr = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("tc"))
+    joined = pred.join(tr, "_id")
+
+    # integer-exact nC2: n*(n-1) is even, and `div` keeps it a long
+    _pair_sum = F.coalesce(
+        F.sum(F.call_function("div", F.col("n") * (F.col("n") - 1), F.lit(2))),
+        F.lit(0),
+    ).cast("long")
+
+    cont = (
+        joined.groupBy("pc", "tc")
+        .agg(F.count("*").alias("n"))
+        .agg(_pair_sum.alias("tp"))
+    )
+    pp = (
+        joined.groupBy("pc")
+        .agg(F.count("*").alias("n"))
+        .agg(_pair_sum.alias("pred_pairs"))
+    )
+    tpairs = (
+        joined.groupBy("tc")
+        .agg(F.count("*").alias("n"))
+        .agg(_pair_sum.alias("true_pairs"))
+    )
+    one = cont.crossJoin(pp).crossJoin(tpairs)
+    tp = F.col("tp")
+    fp = F.col("pred_pairs") - tp
+    fn = F.col("true_pairs") - tp
+    return one.select("tp", "pred_pairs", "true_pairs", *_prf(tp, fp, fn))
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    records: DataFrame,
+    a: str = "key_a",
+    b: str = "key_b",
+) -> DataFrame:
+    """Pair completeness + reduction ratio of a blocking scheme.
+
+    One row: ``(n_records, n_candidates, n_truth, tp, pair_completeness,
+    reduction_ratio)`` — the two standard numbers that justify a
+    candidate generator (Christen 2012): what fraction of true matches
+    survive blocking (completeness = recall of the candidate set) and
+    what fraction of the n*(n-1)/2 full cross-product it avoided
+    (reduction ratio).  ``records`` is the deduplicated record frame the
+    pairs draw from (only its count is used).
+
+    Same plan discipline as pair_metrics; the records count is one
+    map-side-combined aggregate over the corpus (its only corpus-sized
+    touch).
+    """
+    c = _canon_pairs(candidates, a, b)
+    t = _canon_pairs(truth, a, b)
+    n_cand = c.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_truth = t.agg(F.count("*").cast("long").alias("n_truth"))
+    tp = c.join(t, ["pa", "pb"]).agg(F.count("*").cast("long").alias("tp"))
+    n_rec = records.agg(F.count("*").cast("long").alias("n_records"))
+    one = n_rec.crossJoin(n_cand).crossJoin(n_truth).crossJoin(tp)
+    total_pairs = F.call_function(
+        "div", F.col("n_records") * (F.col("n_records") - 1), F.lit(2)
+    )
+    pc = F.when(
+        F.col("n_truth") > 0, F.col("tp") / F.col("n_truth")
+    ).otherwise(F.lit(1.0))
+    rr = F.when(
+        total_pairs > 0, 1 - F.col("n_candidates") / total_pairs
+    ).otherwise(F.lit(0.0))
+    return one.select(
+        "n_records",
+        "n_candidates",
+        "n_truth",
+        "tp",
+        F.round(pc, 6).alias("pair_completeness"),
+        F.round(rr, 6).alias("reduction_ratio"),
+    )

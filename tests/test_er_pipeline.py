@@ -118,3 +118,91 @@ def test_sig_cap_observable_recall_loss(spark, pages_and_truth):
     m_pj = pairwise_f1(pred_pj, truth)
     m_full = pairwise_f1(full, truth)
     assert m_pj["recall"] < m_full["recall"]
+
+
+# --- evaluation operators (er/evaluate.py) ---
+
+
+def test_pair_metrics_hand_counts(spark):
+    from orchid_fst_spark.er import pair_metrics
+
+    # predicted: (a,b) (a,c) (b,d) + a duplicate + a reversed re-emit +
+    # a self pair (all must be canonicalized away)
+    pred = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("b", "a"), ("a", "c"), ("e", "e")],
+        "key_a string, key_b string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("c", "d")], "key_a string, key_b string"
+    )
+    m = pair_metrics(pred, truth).collect()[0]
+    # tp = {(a,b),(b,d)}, fp = {(a,c)}, fn = {(c,d)}
+    assert (m.tp, m.fp, m.fn) == (2, 1, 1)
+    assert m.precision == round(2 / 3, 6)
+    assert m.recall == round(2 / 3, 6)
+    assert m.f1 == round(2 / 3, 6)
+
+
+def test_pair_metrics_empty_sides(spark):
+    from orchid_fst_spark.er import pair_metrics
+
+    pairs = spark.createDataFrame(
+        [("a", "b")], "key_a string, key_b string"
+    )
+    empty = pairs.filter(F.lit(False))
+    m = pair_metrics(empty, pairs).collect()[0]
+    assert (m.tp, m.fp, m.fn) == (0, 0, 1)
+    assert (m.precision, m.recall, m.f1) == (1.0, 0.0, 0.0)
+    m2 = pair_metrics(pairs, empty).collect()[0]
+    assert (m2.precision, m2.recall, m2.f1) == (0.0, 1.0, 0.0)
+    m3 = pair_metrics(empty, empty).collect()[0]
+    assert (m3.precision, m3.recall) == (1.0, 1.0)
+
+
+def test_clustering_pair_metrics_matches_pairwise_f1(spark):
+    from orchid_fst_spark.er import clustering_pair_metrics
+
+    # pred merges {1,2,3} and {4,5}; truth has {1,2} {3,4} {5}
+    pred = spark.createDataFrame(
+        [(str(i), c) for i, c in [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y")]],
+        "url string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [(str(i), c) for i, c in [(1, "p"), (2, "p"), (3, "q"), (4, "q"), (5, "r")]],
+        "url string, cluster_id string",
+    )
+    m = clustering_pair_metrics(pred, truth).collect()[0]
+    d = pairwise_f1(pred, truth)
+    assert m.tp == d["tp_pairs"]
+    assert m.pred_pairs == d["pred_pairs"]
+    assert m.true_pairs == d["true_pairs"]
+    assert m.precision == round(d["precision"], 6)
+    assert m.recall == round(d["recall"], 6)
+    assert m.f1 == round(d["f1"], 6)
+    # hand check: pred pairs 3+1=4, true pairs 1+1=2, tp = {(1,2)} = 1
+    assert (m.tp, m.pred_pairs, m.true_pairs) == (1, 4, 2)
+
+
+def test_blocking_quality_hand_counts(spark):
+    from orchid_fst_spark.er import blocking_quality
+
+    records = spark.createDataFrame(
+        [("aa",), ("ab",), ("ba",), ("bb",)], "key string"
+    )
+    # block on first char: candidates (aa,ab) and (ba,bb)
+    blocked = records.select("key", F.substring("key", 1, 1).alias("blk"))
+    cands = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "blk")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+    )
+    truth = spark.createDataFrame(
+        [("aa", "ab"), ("aa", "ba"), ("ab", "bb")],
+        "key_a string, key_b string",
+    )
+    m = blocking_quality(cands, truth, records).collect()[0]
+    assert (m.n_records, m.n_candidates, m.n_truth, m.tp) == (4, 2, 3, 1)
+    assert m.pair_completeness == round(1 / 3, 6)
+    # 4C2 = 6 total pairs, 2 candidates -> rr = 1 - 2/6
+    assert m.reduction_ratio == round(1 - 2 / 6, 6)
