@@ -72,6 +72,7 @@ from orchid_fst_spark.operators.ranking import (
     vocab_topk,
 )
 from orchid_fst_spark.operators.asof import asof_join
+from orchid_fst_spark.operators.bpe import bpe_pair_counts, bpe_train
 from orchid_fst_spark.operators.chunking import chunk_documents, pack_sequences
 from orchid_fst_spark.operators.cleaning import quality_gate
 from orchid_fst_spark.operators.decontam import contamination_stats
@@ -1249,6 +1250,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 6dp, ranked on the rounded value under a total order
     q["collocations"] = lambda spark, sf: collocations(
         _docs(spark, sf), "doc_id", "text", min_count=2, top_n=100
+    )
+    # BPE tokenizer training (Sennrich'16, operators/bpe.py): iteration-0
+    # pair counts are directly SQL-expressible; the learned merge table
+    # is iterative (argmax + rewrite per merge), so its oracle joins the
+    # pure-Python DP-truth fixture keyed by the corpus word count
+    # (scripts/gen_fixtures.py — the OSA-fixture pattern)
+    q["bpe_pair_stats"] = lambda spark, sf: bpe_pair_counts(
+        _docs(spark, sf), "text", top_n=30
+    )
+    q["bpe_merges"] = lambda spark, sf: bpe_train(
+        _docs(spark, sf), "text", num_merges=12, min_freq=2
     )
 
     # --- per-group top-k (operators/ranking.py): explicit total order
@@ -3211,6 +3223,37 @@ t AS (
 ),"""
         + _vocab_tail
     )
+
+    # BPE iteration-0 pair counts: per-word char pairs (substr is
+    # character-based in both engines) + the '</w>' end-of-word pair,
+    # weighted by word frequency, cut under a total order
+    o["bpe_pair_stats"] = r"""WITH words AS (
+  SELECT tok AS w, count(*)::BIGINT AS f
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+pairs AS (
+  SELECT substr(w, i, 1) AS sym_a, substr(w, i + 1, 1) AS sym_b, f
+  FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+  UNION ALL
+  SELECT substr(w, length(w), 1), '</w>', f FROM words
+)
+SELECT sym_a, sym_b, sum(f)::BIGINT AS n
+FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, sym_a, sym_b LIMIT 30"""
+
+    # BPE merge table: iterative (argmax + rewrite per merge) — the
+    # oracle is the pure-Python reference_bpe's output precomputed into
+    # a fixture (scripts/gen_fixtures.py), selected by the corpus's own
+    # word count (unique across sf dirs, asserted at generation)
+    o["bpe_merges"] = r"""WITH nw AS (
+  SELECT count(*)::BIGINT AS n_words
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+  WHERE tok <> ''
+)
+SELECT f.rank::BIGINT AS rank, f.sym_a, f.sym_b, f.n
+FROM read_parquet('/root/repo/fixtures/bpe_merges.parquet') f
+JOIN nw ON f.n_words = nw.n_words"""
 
     # PMI collocations: integer counts everywhere, one ln of the SAME
     # left-associated double expression, ranked on the rounded value

@@ -251,6 +251,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "fuzzy_term_search",
         "hybrid_search_rrf",
         "ann_recall_ivf",
+        "er_pair_metrics",
+        "bpe_merges",
     ]
     out = {}
     for name in headline:

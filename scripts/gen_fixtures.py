@@ -34,14 +34,78 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from orchid_fst_spark.functions.distance import osa  # noqa: E402
+from orchid_fst_spark.operators.bpe import reference_bpe  # noqa: E402
 
 SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 ]
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "fixtures", "osa_scan_k2.parquet")
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+OUT = os.path.join(_FIXDIR, "osa_scan_k2.parquet")
+BPE_OUT = os.path.join(_FIXDIR, "bpe_merges.parquet")
+
+#: bpe_merges entry parameters (must match __spark_entry__.py)
+BPE_NUM_MERGES = 12
+BPE_MIN_FREQ = 2
+
+
+def gen_bpe_fixture() -> None:
+    """fixtures/bpe_merges.parquet: the BPE merge table of each sf
+    dir's documents corpus, computed with the trusted pure-Python
+    ``reference_bpe`` (differentially tested vs bpe_train).  Rows carry
+    the corpus's TOTAL WORD COUNT as the scale discriminator (document
+    counts collide: sf0.001 and sf0.01 both hold 500 docs): the static
+    oracle SQL joins on the corpus's own word count so the same SQL is
+    correct at any sf (the superset-fixture pattern of the OSA oracle,
+    keyed by corpus instead of by token).  Asserts the discriminator is
+    unique across sf dirs."""
+    import re as _re
+
+    from collections import Counter
+
+    n_words_col, rank_col, a_col, b_col, n_col = [], [], [], [], []
+    seen_discriminators = set()
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        if not os.path.exists(p):
+            continue
+        docs = pq.read_table(p, columns=["text"])
+        texts = docs.column("text").to_pylist()
+        wf = Counter(
+            t
+            for text in texts
+            for t in _re.split(r"\s+", text.strip(), flags=_re.ASCII)
+            if t
+        )
+        n_words = sum(wf.values())
+        assert n_words not in seen_discriminators, (
+            f"word-count discriminator collision at {sf}: {n_words}"
+        )
+        seen_discriminators.add(n_words)
+        merges = reference_bpe(
+            dict(wf), BPE_NUM_MERGES, min_freq=BPE_MIN_FREQ
+        )
+        for rank, a, b, n in merges:
+            n_words_col.append(n_words)
+            rank_col.append(rank)
+            a_col.append(a)
+            b_col.append(b)
+            n_col.append(n)
+    table = pa.table(
+        {
+            "n_words": pa.array(n_words_col, pa.int64()),
+            "rank": pa.array(rank_col, pa.int32()),
+            "sym_a": pa.array(a_col, pa.string()),
+            "sym_b": pa.array(b_col, pa.string()),
+            "n": pa.array(n_col, pa.int64()),
+        }
+    )
+    pq.write_table(table, BPE_OUT)
+    print(f"wrote {BPE_OUT}: {len(rank_col)} rows over word counts "
+          f"{sorted(seen_discriminators)}")
 
 
 def main() -> None:
@@ -73,3 +137,4 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    gen_bpe_fixture()
