@@ -829,6 +829,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_cluster_metrics"] = _er_cluster_metrics
 
+    # incremental resolve: cluster the md5-even half of the dictionary,
+    # fold the other half in with er.incremental, and return the updated
+    # full assignment — which the incremental == full-rerun property
+    # (pinned in test_er_pipeline) makes identical to the er_components
+    # oracle over ALL keys, so the oracle IS that recursive-CTE CC
+    def _er_incremental(spark, sf):
+        from orchid_fst_spark.er import incremental_components
+
+        d = _dict(spark, sf).select("key")
+        is_old = F.substring(F.md5("key"), 1, 1) < "8"
+        old, new = d.filter(is_old), d.filter(~is_old)
+        old_edges = fuzzy_self_pairs(old, "key", k=2, damerau=False)
+        base = (
+            old.select(F.col("key").alias("node"))
+            .join(
+                connected_components(old_edges, src="key_a", dst="key_b"),
+                "node",
+                "left",
+            )
+            .withColumn("component", F.coalesce("component", "node"))
+            .select(
+                F.col("node").alias("norm_key"),
+                F.col("component").alias("cluster_id"),
+            )
+        )
+        out = incremental_components(
+            base,
+            new.select(F.col("key").alias("norm_key")),
+            k=2,
+            damerau=False,
+            algo="deletes",
+        )
+        return out.select(
+            F.col("norm_key").alias("node"),
+            F.col("cluster_id").alias("component"),
+        )
+
+    q["er_incremental"] = _er_incremental
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2136,6 +2175,10 @@ reach(a, b) AS (
 ),
 comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)"""
     o["er_components"] = f"WITH RECURSIVE {_er_core} SELECT node, component FROM comp"
+    # incremental == full re-run (complete blocking => identical edge
+    # set; old clusters collapse to their min-member representative):
+    # the oracle is the full-corpus CC, same as er_components
+    o["er_incremental"] = o["er_components"]
     o["er_cluster_sizes"] = (
         f"WITH RECURSIVE {_er_core} "
         "SELECT component, count(*)::BIGINT AS n FROM comp GROUP BY component"

@@ -3,8 +3,11 @@ from .scoring import score_pairs, match_edges
 from .clustering import connected_components
 from .pipeline import resolve, pairwise_f1
 from .evaluate import pair_metrics, clustering_pair_metrics, blocking_quality
+from .incremental import incremental_components, incremental_resolve
 
 __all__ = [
+    "incremental_components",
+    "incremental_resolve",
     "normalize_pages",
     "candidate_pairs",
     "score_pairs",

@@ -206,3 +206,57 @@ def test_blocking_quality_hand_counts(spark):
     assert m.pair_completeness == round(1 / 3, 6)
     # 4C2 = 6 total pairs, 2 candidates -> rr = 1 - 2/6
     assert m.reduction_ratio == round(1 - 2 / 6, 6)
+
+
+# --- incremental resolution (er/incremental.py) ---
+
+
+def test_incremental_equals_full_rerun(spark, pages_and_truth):
+    from orchid_fst_spark.er import incremental_resolve, resolve
+
+    pages, _ = pages_and_truth
+    # deterministic batch split on the url hash
+    is_old = F.substring(F.md5("url"), 1, 1) < "c"
+    old_pages, new_pages = pages.filter(is_old), pages.filter(~is_old)
+    assert new_pages.count() > 0 and old_pages.count() > 0
+    base = resolve(old_pages, k=2)
+    inc = incremental_resolve(base, new_pages, k=2)
+    full = resolve(pages, k=2)
+    got = {(r.url, r.norm_key, r.cluster_id) for r in inc.collect()}
+    exp = {(r.url, r.norm_key, r.cluster_id) for r in full.collect()}
+    assert got == exp
+
+
+def test_incremental_bridges_old_clusters(spark):
+    from orchid_fst_spark.er import incremental_components
+
+    # old clustering: {aaaa}, {aaddd? } two singletons far apart that a
+    # new key connects: "aaaa" and "aacc" are dist 2 from "aaac"/"aacc"?
+    # use: old keys "aaaa" and "aabb" (dist 2 from each other is 2 —
+    # keep them unlinked by choosing dist 4): "aaaa" and "bbbb".
+    resolved = spark.createDataFrame(
+        [("u1", "aaaa", "aaaa"), ("u2", "bbbb", "bbbb")],
+        "url string, norm_key string, cluster_id string",
+    )
+    # "aabb" is dist 2 from both -> bridges the two old clusters
+    new = spark.createDataFrame([("aabb",)], "norm_key string")
+    out = {
+        (r.norm_key, r.cluster_id)
+        for r in incremental_components(resolved, new, k=2).collect()
+    }
+    assert out == {("aaaa", "aaaa"), ("bbbb", "aaaa"), ("aabb", "aaaa")}
+
+
+def test_incremental_rerun_idempotent_on_duplicate_key(spark):
+    from orchid_fst_spark.er import incremental_components
+
+    resolved = spark.createDataFrame(
+        [("u1", "spark", "spark")],
+        "url string, norm_key string, cluster_id string",
+    )
+    new = spark.createDataFrame([("spark",), ("spork",)], "norm_key string")
+    out = {
+        (r.norm_key, r.cluster_id)
+        for r in incremental_components(resolved, new, k=2).collect()
+    }
+    assert out == {("spark", "spark"), ("spork", "spark")}
