@@ -80,6 +80,8 @@ from orchid_fst_spark.operators.interval import interval_join
 from orchid_fst_spark.operators.sampling import (
     cap_per_group,
     stratified_sample,
+    temperature_rates,
+    temperature_sample,
     train_eval_split,
     weighted_sample,
 )
@@ -868,6 +870,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_incremental"] = _er_incremental
 
+    # Fellegi-Sunter match weights over the scored eval pairs: the
+    # per-feature log2(m/u) weights are Python literals folded into the
+    # plan (and into the oracle SQL verbatim), so the sum is bit-exact
+    def _er_fs_weights(spark, sf):
+        from orchid_fst_spark.er.scoring import fs_match_weights
+
+        scored = score_pairs(
+            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        )
+        return fs_match_weights(scored).select(
+            "key_a",
+            "key_b",
+            "dist",
+            "agree_dist",
+            "agree_jw",
+            "agree_jaccard",
+            "fs_weight",
+        )
+
+    q["er_fs_weights"] = _er_fs_weights
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -1442,6 +1465,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         train_eval_split(_docs(spark, sf), "doc_id", 0.2)
         .groupBy("split", "lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    # temperature-scaled mixture (Arivazhagan'19/mT5): alpha=0.5 makes
+    # the group weight an exact sqrt in both engines; shares and rates
+    # round 6dp before any comparison (cross-engine float recipe)
+    q["mixture_rates"] = lambda spark, sf: temperature_rates(
+        _docs(spark, sf), "lang", alpha=0.5
+    )
+    q["mixture_sample_counts"] = lambda spark, sf: (
+        temperature_sample(_docs(spark, sf), "lang", "doc_id", alpha=0.5)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("kept"))
     )
 
     # --- event-time windowed ops over the events table ---
@@ -2274,6 +2308,46 @@ SELECT tp, pred_pairs, true_pairs,
   round(CASE WHEN p_raw + r_raw > 0
              THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
 FROM r"""
+
+    # Fellegi-Sunter weights: the SAME Python-computed log2 literals the
+    # operator folds into its plan, summed in the same fixed order
+    import math as _math
+
+    _fsw = {
+        "dist": (_math.log2(0.9 / 0.01), _math.log2(0.1 / 0.99)),
+        "jw": (_math.log2(0.85 / 0.02), _math.log2(0.15 / 0.98)),
+        "jaccard": (_math.log2(0.8 / 0.05), _math.log2(0.2 / 0.95)),
+    }
+    o["er_fs_weights"] = f"""WITH {_SQL_VDICT},
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         levenshtein(a.key, b.key)::BIGINT AS dist
+  FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+feat AS (
+  SELECT key_a, key_b, dist,
+    dist <= 1 AS agree_dist,
+    round(jaro_winkler_similarity(key_a, key_b), 6) >= 0.9 AS agree_jw,
+    round(CASE WHEN len(list_distinct(
+            list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')
+            || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\\s+'), x -> x <> ''))) > 0
+       THEN len(list_intersect(
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')),
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\\s+'), x -> x <> ''))))::DOUBLE
+            / len(list_distinct(
+              list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')
+              || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')))
+       ELSE 0.0 END, 6) >= 0.5 AS agree_jaccard
+  FROM pairs
+)
+SELECT key_a, key_b, dist, agree_dist, agree_jw, agree_jaccard,
+  round(0.0::DOUBLE
+    + CASE WHEN agree_dist THEN {_fsw['dist'][0]!r}::DOUBLE ELSE {_fsw['dist'][1]!r}::DOUBLE END
+    + CASE WHEN agree_jw THEN {_fsw['jw'][0]!r}::DOUBLE ELSE {_fsw['jw'][1]!r}::DOUBLE END
+    + CASE WHEN agree_jaccard THEN {_fsw['jaccard'][0]!r}::DOUBLE ELSE {_fsw['jaccard'][1]!r}::DOUBLE END,
+  6) AS fs_weight
+FROM feat"""
 
     # blocking quality of the weak first-2-chars prefix blocker vs the
     # complete lev<=2 truth pair set
@@ -3436,6 +3510,31 @@ FROM documents d LEFT JOIN r ON r.lang = d.lang
 WHERE ('0x' || substr(md5('s1|' || doc_id::VARCHAR), 1, 8))::BIGINT
         / 4294967296.0
       < coalesce(r.rate, {SAMPLE_DEFAULT_RATE})"""
+
+    # temperature mixing: alpha=0.5 -> sqrt weights (bit-exact in both
+    # engines); rate computed from the ROUNDED share exactly as the
+    # operator does
+    _mix_core = """
+c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(sqrt(n::DOUBLE)) AS wsum, sum(n)::BIGINT AS ntot FROM c),
+r AS (
+  SELECT c.lang, c.n,
+    round(sqrt(c.n::DOUBLE) / t.wsum, 6) AS target_share,
+    round(least(1.0,
+      t.ntot::DOUBLE * round(sqrt(c.n::DOUBLE) / t.wsum, 6) / c.n), 6) AS rate
+  FROM c, t
+)"""
+    o["mixture_rates"] = (
+        f"WITH {_mix_core} "
+        'SELECT lang AS "group", n, target_share, rate FROM r'
+    )
+    o["mixture_sample_counts"] = f"""WITH {_mix_core}
+SELECT d.lang, count(*)::BIGINT AS kept
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ('0x' || substr(md5('t1|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+        / 4294967296.0
+      < r.rate
+GROUP BY d.lang"""
 
     # weighted sampling without replacement: the same md5-derived
     # Efraimidis-Spirakis priority ln(u)/w, rounded to 6 dp in BOTH

@@ -48,3 +48,55 @@ def match_edges(
     if jaccard_floor > 0:
         cond = cond & (F.col("token_jaccard") >= jaccard_floor)
     return scored.filter(cond).select("key_a", "key_b")
+
+
+def fs_match_weights(
+    scored: DataFrame,
+    features: list[tuple[str, F.Column, float, float]] | None = None,
+) -> DataFrame:
+    """Fellegi–Sunter match weights (Fellegi & Sunter, JASA 1969) over
+    scored candidate pairs: each feature contributes ``log2(m/u)`` on
+    agreement and ``log2((1-m)/(1-u))`` on disagreement, where m/u are
+    the feature's agreement probabilities among true matches /
+    non-matches (caller-trained parameters — the documented model seam,
+    like the hashed classifier's weights).
+
+    ``features``: ``[(name, agreement_condition, m, u)]``; the default
+    set uses the three similarity features ``score_pairs`` computes
+    (edit distance <= 1, Jaro-Winkler >= 0.9 on the 6dp-rounded value,
+    token Jaccard >= 0.5) with textbook-shaped priors.
+
+    Adds one boolean ``agree_<name>`` per feature and ``fs_weight`` —
+    the sum of per-feature weights, rounded 6dp.  All weights are
+    PYTHON-computed literals folded into the plan (one fixed-order sum
+    of constants per row, map-side, zero exchanges, and bit-exact in
+    any engine — no runtime log calls).  Decide matches by thresholding
+    ``fs_weight`` between the sorted weight masses of labeled pairs.
+    """
+    import math
+
+    if features is None:
+        features = [
+            ("dist", F.col("dist") <= 1, 0.9, 0.01),
+            ("jw", F.round(F.col("jw"), 6) >= 0.9, 0.85, 0.02),
+            (
+                "jaccard",
+                F.round(F.col("token_jaccard"), 6) >= 0.5,
+                0.8,
+                0.05,
+            ),
+        ]
+    out = scored
+    total = F.lit(0.0)
+    for name, cond, m, u in features:
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"feature {name}: need 0 < u < m < 1, got m={m} u={u}"
+            )
+        agree_w = math.log2(m / u)
+        disagree_w = math.log2((1.0 - m) / (1.0 - u))
+        out = out.withColumn(f"agree_{name}", cond)
+        total = total + F.when(
+            F.col(f"agree_{name}"), F.lit(agree_w)
+        ).otherwise(F.lit(disagree_w))
+    return out.withColumn("fs_weight", F.round(total, 6))

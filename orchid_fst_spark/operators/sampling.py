@@ -169,3 +169,90 @@ def cap_per_group(
         rank_col="_rk",
     )
     return out.drop("_pr", "_rk")
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Per-group temperature-scaled sampling rates — the standard
+    multilingual/domain mixing formula (Arivazhagan et al. 2019, mT5):
+    target share ∝ n_g^alpha, so alpha < 1 upweights small groups and
+    alpha = 1 keeps natural proportions.
+
+    Returns ``(group, n, target_share, rate)``: ``rate = min(1,
+    target_total * target_share / n)`` is the Bernoulli keep-rate that
+    hits the target mix at the target budget (``target_total`` defaults
+    to the corpus size — pure re-balancing).  ``target_share`` and
+    ``rate`` are rounded 6dp (the cross-engine float recipe; with
+    alpha = 0.5 the power is an exact sqrt in every engine).
+
+    Plan: ONE hash aggregate over the corpus (map-side combined), then
+    arithmetic on the group-sized frame; corpus totals ride along via a
+    window over the unpartitioned group frame (group-count rows, not
+    corpus rows).
+    """
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = (
+        F.sqrt(F.col("n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    )
+    # the group frame is tiny (one row per language/domain): a global
+    # window over it is a single-partition exchange of group-count rows
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    weighted = counts.withColumn("_w", w).withColumn(
+        "_wsum", F.sum("_w").over(everything)
+    ).withColumn("_ntot", F.sum("n").over(everything))
+    share = F.round(F.col("_w") / F.col("_wsum"), 6)
+    total = (
+        F.lit(int(target_total)).cast("double")
+        if target_total is not None
+        else F.col("_ntot").cast("double")
+    )
+    rate = F.round(
+        F.least(F.lit(1.0), total * share / F.col("n")), 6
+    )
+    return weighted.select(
+        "group", "n", share.alias("target_share"), rate.alias("rate")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    seed: str = "t1",
+) -> DataFrame:
+    """Deterministic temperature-mixed corpus sample: keep each row iff
+    its key's unit hash < its group's ``temperature_rates`` rate.
+
+    The rate table is group-sized and broadcast; the filter is a pure
+    map-side predicate — the corpus is scanned once for counts and once
+    for the filter, with no corpus shuffle.  Selection is partitioning-
+    independent and stable under growth of OTHER groups' membership up
+    to the rate recomputation (documented: rates move when the mix
+    moves — that is the point).
+    """
+    rates = temperature_rates(df, group_col, alpha, target_total).select(
+        F.col("group"), F.col("rate")
+    )
+    joined = df.join(
+        F.broadcast(rates),
+        F.col(group_col).cast("string") == F.col("group").cast("string"),
+        "left",
+    )
+    return (
+        joined.filter(
+            hash_unit(F.col(key_col), seed) < F.coalesce("rate", F.lit(0.0))
+        )
+        .drop("group", "rate")
+    )

@@ -260,3 +260,38 @@ def test_incremental_rerun_idempotent_on_duplicate_key(spark):
         for r in incremental_components(resolved, new, k=2).collect()
     }
     assert out == {("spark", "spark"), ("spork", "spark")}
+
+
+def test_fs_match_weights_hand_computed(spark):
+    import math
+
+    from orchid_fst_spark.er.scoring import fs_match_weights, score_pairs
+
+    # identical tokens -> all three features agree; far pair -> none
+    pairs = spark.createDataFrame(
+        [("spark", "spark", 0), ("spark", "zzzz-qq", 2)],
+        "key_a string, key_b string, dist long",
+    )
+    got = {r.key_b: r for r in fs_match_weights(score_pairs(pairs)).collect()}
+    all_agree = (
+        math.log2(0.9 / 0.01) + math.log2(0.85 / 0.02) + math.log2(0.8 / 0.05)
+    )
+    none_agree = (
+        math.log2(0.1 / 0.99) + math.log2(0.15 / 0.98) + math.log2(0.2 / 0.95)
+    )
+    assert got["spark"].fs_weight == round(all_agree, 6)
+    assert got["spark"].agree_dist and got["spark"].agree_jw
+    far = got["zzzz-qq"]
+    assert far.fs_weight == round(none_agree, 6)
+    assert not (far.agree_dist or far.agree_jw or far.agree_jaccard)
+
+
+def test_fs_match_weights_rejects_bad_priors(spark):
+    from orchid_fst_spark.er.scoring import fs_match_weights, score_pairs
+
+    pairs = spark.createDataFrame(
+        [("a", "a", 0)], "key_a string, key_b string, dist long"
+    )
+    scored = score_pairs(pairs)
+    with pytest.raises(ValueError):
+        fs_match_weights(scored, [("x", F.col("dist") <= 1, 0.5, 0.9)])

@@ -291,3 +291,84 @@ def test_cap_per_group_quota(spark):
     ).collect()
     sub_dom0 = {r.doc_id for r in sub if r.domain == "dom0"}
     assert sub_dom0 == by_dom["dom0"]
+
+
+# --- temperature mixing (operators/sampling.py) ---
+
+
+def test_temperature_rates_math(spark):
+    import math
+
+    from orchid_fst_spark.operators.sampling import temperature_rates
+
+    df = spark.createDataFrame(
+        [("en",)] * 90 + [("fr",)] * 9 + [("de",)] * 1, "lang string"
+    )
+    got = {r.group: r for r in temperature_rates(df, "lang", alpha=0.5).collect()}
+    w = {"en": math.sqrt(90), "fr": math.sqrt(9), "de": math.sqrt(1)}
+    wsum = sum(w.values())
+    for g, n in (("en", 90), ("fr", 9), ("de", 1)):
+        share = round(w[g] / wsum, 6)
+        assert got[g].n == n
+        assert got[g].target_share == share
+        assert got[g].rate == round(min(1.0, 100.0 * share / n), 6)
+    # alpha=0.5 upweights small groups: de keep-rate saturates at 1
+    assert got["de"].rate == 1.0 and got["en"].rate < 1.0
+
+
+def test_temperature_rates_alpha_one_is_natural(spark):
+    from orchid_fst_spark.operators.sampling import temperature_rates
+
+    df = spark.createDataFrame(
+        [("en",)] * 80 + [("fr",)] * 20, "lang string"
+    )
+    got = {r.group: r for r in temperature_rates(df, "lang", alpha=1.0).collect()}
+    assert got["en"].target_share == 0.8 and got["fr"].target_share == 0.2
+    assert got["en"].rate == 1.0 and got["fr"].rate == 1.0
+
+
+def test_temperature_sample_partitioning_independent(spark):
+    from orchid_fst_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 10 else "de") for i in range(500)],
+        "doc_id long, lang string",
+    )
+    a = {r.doc_id for r in temperature_sample(df, "lang", "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in temperature_sample(
+            df.repartition(13, "doc_id"), "lang", "doc_id"
+        ).collect()
+    }
+    assert a == b and 0 < len(a) < 500
+    # every kept row's group was sampled at its own rate: kept counts
+    # per group respect the target shares direction (de upweighted)
+    from collections import Counter
+
+    kept = Counter("de" if i % 10 == 0 else "en" for i in a)
+    assert kept["de"] / 50 > kept["en"] / 450
+
+
+def test_mixture_oracle_margin_guard(spark, sf_dir):
+    """The mixture_sample_counts oracle compares md5 units against a
+    6dp-rounded rate: assert no unit of the driver testdata sits within
+    1e-7 of its group's rate, so a last-ulp pow/sum divergence between
+    engines can never flip a row."""
+    from orchid_fst_spark.operators.sampling import hash_unit, temperature_rates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = temperature_rates(docs, "lang", alpha=0.5).select(
+        F.col("group").alias("lang"), "rate"
+    )
+    margins = (
+        docs.join(rates, "lang")
+        .select(
+            F.abs(hash_unit(F.col("doc_id"), "t1") - F.col("rate")).alias("m"),
+            "rate",
+        )
+        .filter(F.col("rate") < 1.0)
+        .agg(F.min("m").alias("mn"))
+        .collect()[0]
+    )
+    assert margins.mn is None or margins.mn > 1e-7, margins
