@@ -93,6 +93,8 @@ from orchid_fst_spark.operators.stats import (
     numeric_profile,
     repetition_stats,
     rollup_stats,
+    skew_profile,
+    skew_summary,
     value_histogram,
 )
 from orchid_fst_spark.functions.normalize import canonical_url, url_host
@@ -1586,6 +1588,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # expression both engines; under/overflow buckets 0 and n+1
     q["events_value_hist"] = lambda spark, sf: value_histogram(
         _events(spark, sf), "value", 0.0, 200.0, 20, ["event_type"]
+    )
+    # join/groupBy-key skew observability (the north rule's "skew
+    # handled explicitly" — profile BEFORE shuffling on a key): hot-key
+    # cut under a total order + one-row group-size distribution summary
+    q["skew_profile_users"] = lambda spark, sf: skew_profile(
+        _events(spark, sf), "user_id", top_n=20
+    )
+    q["skew_summary_users"] = lambda spark, sf: skew_summary(
+        _events(spark, sf), "user_id"
     )
 
     # trailing event-time rolling aggregates (operators/stats.py): one
@@ -3647,6 +3658,29 @@ WITH b AS (
 SELECT event_type, bucket, round(0.0 + (bucket - 1) * 10.0, 6) AS bucket_lo,
        count(*)::BIGINT AS n
 FROM b GROUP BY event_type, bucket"""
+
+    # skew observability: hot-key cut under the (n DESC, key ASC) total
+    # order; summary percentiles via quantile_cont == Spark percentile
+    o["skew_profile_users"] = """
+WITH c AS (
+  SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+SELECT key, n, round(n::DOUBLE / t.tot, 6) AS share
+FROM c, t ORDER BY n DESC, key LIMIT 20"""
+    o["skew_summary_users"] = """
+WITH c AS (
+  SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+       max(n)::BIGINT AS max_n,
+       round(quantile_cont(n, 0.5), 6) AS p50_n,
+       round(quantile_cont(n, 0.9), 6) AS p90_n,
+       round(quantile_cont(n, 0.99), 6) AS p99_n,
+       round(max(n)::DOUBLE / sum(n), 6) AS top_share
+FROM c"""
 
     # trailing rolling window: identical integer-seconds RANGE frame
     o["events_rolling"] = """

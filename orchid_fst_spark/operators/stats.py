@@ -359,3 +359,56 @@ def cube_stats(
     the Expand fan-out is 2^len(dims) rows per input row, so keep the
     dim list short at scale (the standard CUBE cost model)."""
     return _grouping_stats(df.cube(*dims), dims, measures, total_label)
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Hot-key profile of a join/groupBy key: the ``top_n`` heaviest
+    keys as ``(key, n, share)`` under the total order (n DESC, key ASC).
+
+    The north rule requires skew handled EXPLICITLY — this is the
+    observability half: run it on a key before shuffling on that key,
+    and feed what it reports into salting / cap decisions (the same
+    discipline as ``bucket_profile`` for the LSH caps and
+    ``blocking_metrics`` for the ER blocks).
+
+    Plan: one hash aggregate over the corpus (map-side combined), a
+    one-row total, and a TakeOrderedAndProject cut — the key-count
+    frame is never globally sorted and never single-partitioned.
+    ``share`` is rounded 6dp (cross-engine float recipe).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("_tot"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(int(top_n))
+    return top.crossJoin(F.broadcast(total)).select(
+        "key", "n", F.round(F.col("n") / F.col("_tot"), 6).alias("share")
+    )
+
+
+def skew_summary(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew summary of a key's group-size distribution:
+    ``(n_rows, n_keys, max_n, p50_n, p90_n, p99_n, top_share)`` —
+    enough to decide between a plain shuffle, salting, and a cap
+    before paying for the job.
+
+    ``p*_n`` are exact percentiles of the per-key counts (linear
+    interpolation == DuckDB ``quantile_cont``); the count frame is
+    key-distinct-sized, so the exact path is affordable wherever the
+    profile itself is.  ``top_share`` = heaviest key's row share,
+    rounded 6dp.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_n"),
+        F.round(F.percentile("n", F.lit(0.9)), 6).alias("p90_n"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_n"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+    )

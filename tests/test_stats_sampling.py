@@ -372,3 +372,25 @@ def test_mixture_oracle_margin_guard(spark, sf_dir):
         .collect()[0]
     )
     assert margins.mn is None or margins.mn > 1e-7, margins
+
+
+# --- skew observability (operators/stats.py) ---
+
+
+def test_skew_profile_and_summary_planted_hot_key(spark):
+    from orchid_fst_spark.operators.stats import skew_profile, skew_summary
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    prof = skew_profile(df, "k", top_n=3).collect()
+    assert prof[0].key == "hot" and prof[0].n == 90
+    assert prof[0].share == 0.9
+    # deterministic tie-break on key ASC among the singleton keys
+    assert [r.key for r in prof[1:]] == ["k0", "k1"]
+    s = skew_summary(df, "k").collect()[0]
+    assert (s.n_rows, s.n_keys, s.max_n) == (100, 11, 90)
+    assert s.top_share == 0.9
+    assert s.p50_n == 1.0
+    # plan: the hot-key cut is a TakeOrdered, never a global sort
+    plan = skew_profile(df, "k", top_n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
