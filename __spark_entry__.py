@@ -913,6 +913,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_blocking_quality"] = _er_blocking_quality
 
+    # sorted-neighborhood blocking (Hernandez-Stolfo SNM): pairs within
+    # a sliding window of 4 over the global key order — two-pass
+    # distributed rank + banded bucket equi-join, never a theta-join
+    def _snm(spark, sf):
+        from orchid_fst_spark.er.neighborhood import sorted_neighborhood_pairs
+
+        return sorted_neighborhood_pairs(
+            _dict(spark, sf).select("key"), key_col="key", window=4
+        )
+
+    q["snm_pairs"] = _snm
+
+    # meta-blocking (Papadakis WEP/WNP): CBS-weighted block graph from
+    # three redundant cheap schemes over the variant-planted eval
+    # dictionary — 2-char prefix, 3-char prefix (hierarchical: pairs
+    # sharing p3 also share p2, giving weight variety), 2-char suffix
+    # (catches the swapped-head variants) — then integer-exact
+    # mean-threshold pruning.  On _vdict this yields a mixed-weight
+    # graph where both rules prune non-trivially at every sf.
+    def _meta_edges(spark, sf):
+        from orchid_fst_spark.er.neighborhood import block_graph
+
+        d = _vdict(spark, sf).select(F.col("key").alias("id"))
+        i = F.col("id")
+        blocks = (
+            d.select(
+                "id", F.concat(F.lit("p2:"), F.substring(i, 1, 2)).alias("block")
+            )
+            .unionByName(
+                d.select(
+                    "id",
+                    F.concat(F.lit("p3:"), F.substring(i, 1, 3)).alias("block"),
+                )
+            )
+            .unionByName(
+                d.select(
+                    "id",
+                    F.concat(
+                        F.lit("s2:"), F.substring(F.reverse(i), 1, 2)
+                    ).alias("block"),
+                )
+            )
+        )
+        return block_graph(blocks, block_cap=1000)
+
+    def _meta_wep(spark, sf):
+        from orchid_fst_spark.er.neighborhood import wep_prune
+
+        return wep_prune(_meta_edges(spark, sf))
+
+    def _meta_wnp(spark, sf):
+        from orchid_fst_spark.er.neighborhood import wnp_prune
+
+        return wnp_prune(_meta_edges(spark, sf))
+
+    q["meta_block_wep"] = _meta_wep
+    q["meta_block_wnp"] = _meta_wnp
+
     # --- dedup family over documents ---
     q["dedup_exact"] = lambda spark, sf: exact_dedup(
         _docs(spark, sf), "doc_id", "text"
@@ -2386,6 +2444,50 @@ SELECT n_records, n_candidates, n_truth, tp,
              THEN 1 - n_candidates::DOUBLE / (n_records * (n_records - 1) // 2)
              ELSE 0.0 END, 6) AS reduction_ratio
 FROM m"""
+
+    # sorted-neighborhood: keys are distinct, so ORDER BY key is a
+    # deterministic total order in both engines; gap is an integer
+    o["snm_pairs"] = f"""WITH {_SQL_DICT},
+r AS (SELECT key, row_number() OVER (ORDER BY key)::BIGINT AS rn FROM dict)
+SELECT a.key AS id_a, a.key AS key_a, b.key AS id_b, b.key AS key_b,
+       (b.rn - a.rn)::BIGINT AS gap
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3"""
+
+    # meta-blocking: CBS weights are integers; the mean-threshold
+    # compares are integer cross-multiplications (w*n > sum), bit-exact
+    _meta_edges_sql = f"""{_SQL_VDICT},
+blocks AS (
+  SELECT key AS id, 'p2:' || substr(key, 1, 2) AS block FROM vdict
+  UNION
+  SELECT key AS id, 'p3:' || substr(key, 1, 3) AS block FROM vdict
+  UNION
+  SELECT key AS id, 's2:' || substr(reverse(key), 1, 2) AS block FROM vdict
+),
+capped AS (
+  SELECT id, block FROM (
+    SELECT id, block, count(*) OVER (PARTITION BY block) AS bn FROM blocks)
+  WHERE bn <= 1000
+),
+edges AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS weight
+  FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
+  GROUP BY 1, 2
+)"""
+    o["meta_block_wep"] = f"""WITH {_meta_edges_sql},
+tot AS (SELECT sum(weight)::BIGINT AS sw, count(*)::BIGINT AS ne FROM edges)
+SELECT id_a, id_b, weight FROM edges, tot WHERE weight * ne > sw"""
+    o["meta_block_wnp"] = f"""WITH {_meta_edges_sql},
+sym AS (
+  SELECT id_a AS node, weight FROM edges
+  UNION ALL SELECT id_b AS node, weight FROM edges
+),
+stats AS (
+  SELECT node, sum(weight)::BIGINT AS s, count(*)::BIGINT AS d
+  FROM sym GROUP BY node
+)
+SELECT e.id_a, e.id_b, e.weight
+FROM edges e JOIN stats a ON e.id_a = a.node JOIN stats b ON e.id_b = b.node
+WHERE e.weight * a.d >= a.s OR e.weight * b.d >= b.s"""
 
     o["events_hourly_counts"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

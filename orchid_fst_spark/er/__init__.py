@@ -4,10 +4,22 @@ from .clustering import connected_components
 from .pipeline import resolve, pairwise_f1
 from .evaluate import pair_metrics, clustering_pair_metrics, blocking_quality
 from .incremental import incremental_components, incremental_resolve
+from .neighborhood import (
+    block_graph,
+    ranked_records,
+    sorted_neighborhood_pairs,
+    wep_prune,
+    wnp_prune,
+)
 
 __all__ = [
+    "block_graph",
     "incremental_components",
     "incremental_resolve",
+    "ranked_records",
+    "sorted_neighborhood_pairs",
+    "wep_prune",
+    "wnp_prune",
     "normalize_pages",
     "candidate_pairs",
     "score_pairs",

@@ -1,0 +1,232 @@
+"""Sorted-neighborhood blocking and meta-blocking — the two classic
+record-linkage candidate generators the segment/delete families don't
+cover (published methods; no reference-file counterpart — the reference
+exposes only prefix-pinned fuzzy blocks, fst.cpp:530-553):
+
+* sorted neighborhood (Hernandez & Stolfo, SIGMOD'95): sort all records
+  by a blocking key and compare every pair within a sliding window of w
+  consecutive ranks.  Catches near-duplicates whose *sort position* is
+  close even when no substring block would join them (e.g. numeric id
+  suffixes), and emits a strictly linear O(n*w) candidate set.
+* meta-blocking (Papadakis et al., TKDE 2013): given redundant block
+  assignments (each record in several cheap blocks), build the
+  block-graph whose edge weight counts the blocks a pair co-occurs in
+  (CBS), then prune low-evidence edges — weighted edge pruning (WEP,
+  global mean threshold) or weighted node pruning (WNP, per-node mean).
+
+Scale design (100 TB):
+
+* the global rank is the same two-pass distributed scan as
+  ``sort.ranked_lines`` / ``chunking.pack_sequences``: range-repartition
+  on the key, per-partition counting job (n_partitions scalar rows to
+  the driver), partition-local ``row_number`` shifted by broadcast
+  offsets — never a single-partition window;
+* the window self-join is a *banded bucket equi-join*: with band
+  b = w-1, ranks r_a < r_b within the window satisfy
+  bucket(r_b) - bucket(r_a) in {0, 1} for bucket = rank div b, so one
+  side emits two bucket keys and the join is a plain balanced equi-join
+  (~b rows per bucket -> O(n*w) join work, no theta-join, no cartesian);
+  bucket ids use true integral division (the recorded >2^53 double-div
+  trap);
+* block-graph blocks are capped BEFORE the pair explode with the
+  constant-memory ``count() over (partition by block)`` idiom (same
+  Exchange-reusing plan as dedup.grouped_bucket_pairs), so a degenerate
+  block can never materialize O(cap^2) aggregation state;
+* both pruning rules compare with *integer cross-multiplication*
+  (w * n_edges > sum_w instead of w > avg) — bit-exact in any engine,
+  immune to the float-avg ulp trap the cross-engine recipes document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ranked_records(
+    records: DataFrame,
+    key_col: str = "key",
+    id_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``(id, key, rank)`` with a global 1-based rank in ``(key, id)``
+    order, computed by the two-pass distributed scan (module docstring).
+    ``id_col`` defaults to the key itself (keys must then be distinct);
+    with an explicit id the (key, id) order is a deterministic total
+    order even under duplicate keys."""
+    if id_col is None:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(key_col).alias("id")
+        )
+    else:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(id_col).alias("id")
+        )
+    spark = records.sparkSession
+    if num_partitions:
+        n = num_partitions
+    else:
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:
+            n = spark.sparkContext.defaultParallelism
+    srt = (
+        df.repartitionByRange(n, "key", "id")
+        .sortWithinPartitions("key", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in srt.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((int(pid), int(acc)))
+        acc += int(c)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    local_pos = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("key", "id")
+    )
+    return (
+        srt.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", (F.col("_off") + local_pos).cast("long"))
+        .select("id", "key", "rank")
+    )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    key_col: str = "key",
+    id_col: str | None = None,
+    window: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: ``(id_a, key_a, id_b, key_b,
+    gap)`` for every pair of records at most ``window - 1`` apart in the
+    global ``(key, id)`` sort order (``gap`` = rank distance, 1-based;
+    the classic SNM sliding window of size ``window``).
+
+    Plan: two-pass global rank, then ONE banded bucket equi-join — side
+    A emits bucket ids {g, g+1}, side B carries g, the gap filter runs
+    on the joined band.  Work is O(n * window) rows end to end; no
+    theta-join appears in the plan at any scale.
+    """
+    if window < 2:
+        raise ValueError("need window >= 2 (a window of 1 pairs nothing)")
+    b = window - 1
+    ranked = ranked_records(
+        records, key_col=key_col, id_col=id_col, num_partitions=num_partitions
+    )
+    # bucket = (rank-1) div b; exact integral division (rank >= 1)
+    bucket = F.call_function("div", F.col("rank") - 1, F.lit(b).cast("long"))
+    left = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("_g"),
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        F.col("rank").alias("rank_b"),
+        bucket.alias("_g"),
+    )
+    gap = F.col("rank_b") - F.col("rank_a")
+    return (
+        left.join(right, "_g")
+        .filter((gap >= 1) & (gap <= b))
+        .select(
+            "id_a", "key_a", "id_b", "key_b", gap.cast("long").alias("gap")
+        )
+    )
+
+
+def block_graph(
+    blocks: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block",
+    block_cap: int = 1000,
+) -> DataFrame:
+    """CBS-weighted comparison graph from redundant block assignments:
+    ``(id_a, id_b, weight)`` where ``weight`` counts the distinct blocks
+    the pair co-occurs in (Papadakis' common-blocks scheme).
+
+    Blocks larger than ``block_cap`` are dropped BEFORE the pair explode
+    via the constant-memory window-count idiom (the cap is the standard
+    meta-blocking block-purging step: an over-cap block carries almost
+    no discriminative weight and quadratic cost).  One Exchange for the
+    window+join on ``block`` (reused), one for the pair aggregation.
+    """
+    asg = blocks.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block")
+    ).distinct()
+    n_in_block = F.count("*").over(Window.partitionBy("block"))
+    capped = asg.withColumn("_n", n_in_block).filter(
+        F.col("_n") <= block_cap
+    ).drop("_n")
+    a = capped.select(F.col("block"), F.col("id").alias("id_a"))
+    bside = capped.select(F.col("block"), F.col("id").alias("id_b"))
+    return (
+        a.join(bside, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def wep_prune(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
+    """Weighted edge pruning: keep edges strictly heavier than the mean
+    edge weight.  The compare is the integer cross-multiplication
+    ``w * n_edges > sum_w`` — no float average anywhere, so the result
+    is bit-identical in any engine.  One extra job for the 1-row global
+    aggregate (broadcast)."""
+    w = F.col(weight_col).cast("long")
+    totals = edges.agg(
+        F.sum(w).alias("_sw"), F.count("*").alias("_ne")
+    )
+    return (
+        edges.crossJoin(F.broadcast(totals))
+        .filter(w * F.col("_ne") > F.col("_sw"))
+        .drop("_sw", "_ne")
+    )
+
+
+def wnp_prune(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted node pruning: keep an edge iff its weight reaches the
+    mean weight of *either* endpoint's neighborhood (Papadakis' WNP with
+    union/OR retention — each node keeps its locally-strong edges, and
+    an edge survives if either side wants it).  Per-node sums/degrees
+    come from one symmetric explode + aggregate; the compare is integer
+    cross-multiplication (``w * deg >= sum``), float-free.
+    """
+    w = F.col(weight_col).cast("long")
+    sym = edges.select(
+        F.col(id_a).alias("node"), w.alias("w")
+    ).unionByName(edges.select(F.col(id_b).alias("node"), w.alias("w")))
+    stats = sym.groupBy("node").agg(
+        F.sum("w").alias("_sum"), F.count("*").alias("_deg")
+    )
+    sa = stats.select(
+        F.col("node").alias(id_a),
+        F.col("_sum").alias("_sum_a"),
+        F.col("_deg").alias("_deg_a"),
+    )
+    sb = stats.select(
+        F.col("node").alias(id_b),
+        F.col("_sum").alias("_sum_b"),
+        F.col("_deg").alias("_deg_b"),
+    )
+    return (
+        edges.join(sa, id_a)
+        .join(sb, id_b)
+        .filter(
+            (w * F.col("_deg_a") >= F.col("_sum_a"))
+            | (w * F.col("_deg_b") >= F.col("_sum_b"))
+        )
+        .select(id_a, id_b, weight_col)
+    )

@@ -1,0 +1,178 @@
+"""Sorted-neighborhood blocking + meta-blocking (er/neighborhood.py):
+brute-force differentials, cap semantics, and the no-theta-join plan
+pin for the banded bucket self-join."""
+
+import collections
+import itertools
+
+from pyspark.sql import functions as F
+
+from orchid_fst_spark.er.neighborhood import (
+    block_graph,
+    ranked_records,
+    sorted_neighborhood_pairs,
+    wep_prune,
+    wnp_prune,
+)
+
+WORDS = [
+    "apple", "apply", "banana", "band", "bandit", "cat", "catalog",
+    "dog", "dodge", "door", "zebra", "zeal", "yarn", "xylophone",
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+]
+
+
+def _brute_snm(keys, window):
+    s = sorted(keys)
+    return sorted(
+        (s[i], s[j], j - i)
+        for i in range(len(s))
+        for j in range(i + 1, min(i + window, len(s)))
+    )
+
+
+def test_snm_matches_brute_force(spark):
+    df = spark.createDataFrame([(w,) for w in WORDS], "key string")
+    for window in (2, 3, 5, 8):
+        got = sorted(
+            (r.key_a, r.key_b, r.gap)
+            for r in sorted_neighborhood_pairs(df, window=window).collect()
+        )
+        assert got == _brute_snm(WORDS, window), f"window={window}"
+
+
+def test_snm_duplicate_keys_need_ids(spark):
+    # duplicate keys with explicit ids: (key, id) is the total order
+    rows = [("aa", 1), ("aa", 2), ("ab", 3), ("aa", 4), ("b", 5)]
+    df = spark.createDataFrame(rows, "key string, id long")
+    got = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in sorted_neighborhood_pairs(
+            df, key_col="key", id_col="id", window=3
+        ).collect()
+    )
+    order = [i for _, i in sorted((k, i) for k, i in rows)]  # 1,2,4,3,5
+    exp = sorted(
+        (order[i], order[j], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + 3, len(order)))
+    )
+    assert got == exp
+
+
+def test_snm_rejects_degenerate_window(spark):
+    df = spark.createDataFrame([("a",)], "key string")
+    try:
+        sorted_neighborhood_pairs(df, window=1)
+        assert False, "window=1 must raise"
+    except ValueError:
+        pass
+
+
+def test_snm_empty_input(spark):
+    df = spark.createDataFrame([], "key string")
+    assert sorted_neighborhood_pairs(df, window=3).count() == 0
+
+
+def test_ranked_records_is_dense_and_ordered(spark):
+    df = spark.createDataFrame([(w,) for w in WORDS], "key string")
+    got = sorted((r.rank, r.key) for r in ranked_records(df).collect())
+    assert [k for _, k in got] == sorted(WORDS)
+    assert [r for r, _ in got] == list(range(1, len(WORDS) + 1))
+
+
+def test_snm_plan_has_no_theta_join(spark):
+    # the banded bucket join must plan as a plain equi-join: a theta-
+    # join (Cartesian / BroadcastNestedLoop) would be O(n^2) at scale
+    df = spark.createDataFrame([(w,) for w in WORDS], "key string")
+    plan = sorted_neighborhood_pairs(df, window=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _blocks_df(spark, assignments):
+    return spark.createDataFrame(assignments, "id string, block string")
+
+
+def _brute_edges(assignments, cap=1000):
+    bl = collections.defaultdict(set)
+    for i, b in set(assignments):
+        bl[b].add(i)
+    w = collections.Counter()
+    for b, mem in bl.items():
+        if len(mem) > cap:
+            continue
+        for a, c in itertools.combinations(sorted(mem), 2):
+            w[(a, c)] += 1
+    return dict(w)
+
+
+def test_block_graph_cbs_weights(spark):
+    asg = [(w, w[:2]) for w in WORDS] + [(w, w[::-1][:2]) for w in WORDS]
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in block_graph(_blocks_df(spark, asg)).collect()
+    }
+    assert got == _brute_edges(asg)
+
+
+def test_block_graph_cap_drops_hot_block(spark):
+    # a planted block holding every record is purged before the pair
+    # explode; the remaining edges are exactly the uncapped graph of
+    # the small blocks
+    asg = [(w, w[:2]) for w in WORDS] + [(w, "ALL") for w in WORDS]
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in block_graph(_blocks_df(spark, asg), block_cap=10).collect()
+    }
+    assert got == _brute_edges([(w, w[:2]) for w in WORDS])
+
+
+def test_block_graph_dedups_assignments(spark):
+    # duplicate (id, block) rows must not inflate weights
+    asg = [("a", "x"), ("a", "x"), ("b", "x"), ("a", "y"), ("b", "y")]
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in block_graph(_blocks_df(spark, asg)).collect()
+    }
+    assert got == {("a", "b"): 2}
+
+
+def test_wep_wnp_match_integer_model(spark):
+    asg = [(w, w[:2]) for w in WORDS] + [(w, w[::-1][:2]) for w in WORDS] + [
+        (w, f"l{len(w)}") for w in WORDS
+    ]
+    edges_df = block_graph(_blocks_df(spark, asg))
+    exp = _brute_edges(asg)
+
+    sw, ne = sum(exp.values()), len(exp)
+    exp_wep = {p: w for p, w in exp.items() if w * ne > sw}
+    got_wep = {
+        (r.id_a, r.id_b): r.weight for r in wep_prune(edges_df).collect()
+    }
+    assert got_wep == exp_wep
+    assert exp_wep, "fixture must exercise a non-trivial WEP cut"
+    assert len(exp_wep) < len(exp), "WEP must actually prune"
+
+    nsum, ndeg = collections.Counter(), collections.Counter()
+    for (a, c), w in exp.items():
+        nsum[a] += w
+        nsum[c] += w
+        ndeg[a] += 1
+        ndeg[c] += 1
+    exp_wnp = {
+        (a, c): w
+        for (a, c), w in exp.items()
+        if w * ndeg[a] >= nsum[a] or w * ndeg[c] >= nsum[c]
+    }
+    got_wnp = {
+        (r.id_a, r.id_b): r.weight for r in wnp_prune(edges_df).collect()
+    }
+    assert got_wnp == exp_wnp
+    assert len(exp_wnp) < len(exp), "WNP must actually prune"
+
+
+def test_wep_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a string, id_b string, weight long")
+    assert wep_prune(edges).count() == 0
+    assert wnp_prune(edges).count() == 0
