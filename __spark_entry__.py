@@ -1034,6 +1034,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold_num=1,
         threshold_den=100,
     )
+    # cross-corpus near-dedup: the incoming crawl batch (deterministic
+    # doc_id-arithmetic variants, same construction as crawl_diff)
+    # LSH-joined against the existing corpus — "is this new page a
+    # near-dup of anything we already have"
+    def _lsh_join(spark, sf):
+        from orchid_fst_spark.operators.dedup import minhash_lsh_join
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        new = d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return minhash_lsh_join(
+            new,
+            d,
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=8,
+            bands=4,
+            threshold_num=1,
+            threshold_den=100,
+        )
+
+    q["minhash_lsh_join_pairs"] = _lsh_join
+
     # end-to-end keep-one-per-cluster near-dedup: exact collapse ->
     # MinHash-LSH verified pairs over representatives -> connected
     # components -> (doc_id, rep_id, keep) for every input doc
@@ -2655,6 +2685,53 @@ SELECT id_a, id_b, inter::BIGINT AS inter,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 100 >= 1 * (sa.n + sb.n - inter)"""
+
+    # cross-corpus LSH join: the same md5-minhash/band CTEs instantiated
+    # for both corpora; the new corpus is the crawl_diff-style
+    # doc_id-arithmetic variant set
+    _mh_cols_n = ", ".join(
+        f"min(md5('{s}|' || nsh.s)) AS mh{s}" for s in range(8)
+    )
+    _band_rows_n = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}|' || mh{2*b} || '#' || mh{2*b+1} AS bucket FROM nmh"
+        for b in range(4)
+    )
+    o["minhash_lsh_join_pairs"] = f"""WITH {_SQL_SHINGLES},
+newdocs AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 3 = 0
+),
+ntoks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
+  FROM newdocs
+),
+nsh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM ntoks, unnest(generate_series(1, len(l)-2)) AS t(i)
+),
+nsizes AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY doc_id),
+mh AS (SELECT sh.doc_id, {_mh_cols} FROM sh GROUP BY sh.doc_id),
+bands AS ({_band_rows}),
+nmh AS (SELECT nsh.doc_id, {_mh_cols_n} FROM nsh GROUP BY nsh.doc_id),
+nbands AS ({_band_rows_n}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+  FROM nbands a JOIN bands b ON a.bucket = b.bucket
+),
+inter AS (
+  SELECT c.new_id, c.base_id, count(*) AS inter
+  FROM cand c
+  JOIN nsh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.base_id AND b.s = a.s
+  GROUP BY c.new_id, c.base_id
+)
+SELECT new_id, base_id, inter::BIGINT AS inter,
+       (sa.n + sb.n - inter)::BIGINT AS "union"
+FROM inter
+JOIN nsizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = base_id
 WHERE inter * 100 >= 1 * (sa.n + sb.n - inter)"""
 
     # near_dedup: the minhash CTEs re-rooted on exact-dup representatives

@@ -555,6 +555,85 @@ def minhash_band_metrics(
     return bucket_profile(_minhash_stacked(sh, num_hashes, bands), bucket_cap)
 
 
+def minhash_lsh_join(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    bucket_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH near-dup join: for every document in
+    ``new_df``, the ``base_df`` documents with shingle Jaccard >=
+    threshold — the "dedup the incoming crawl batch against the
+    existing corpus" operator (the cross-frame twin of
+    ``minhash_lsh_pairs``; same md5 minhashes, same band layout, so a
+    doc pairs with the corpus exactly when it would pair in the pooled
+    self-join).
+
+    Returns ``(new_id, base_id, inter, union)``.  Ids are NOT assumed
+    globally unique across the two frames (different crawls may reuse
+    ids), which is why this is a genuine two-frame join and not
+    union-then-self-pairs.
+
+    Scale design: each side's band frame is capped independently at
+    ``bucket_cap`` with the constant-memory window-count idiom BEFORE
+    the bucket equi-join, so a boilerplate bucket hot on either side
+    contributes at most cap x cap join rows and the aggregation buffers
+    never hold an uncapped group.  At web scale the new batch is tiny
+    next to the corpus; no broadcast hint on purpose — AQE broadcasts
+    the small side when it truly is small (the recorded serial-build
+    trade in er/blocking.py).  Exact integer Jaccard verify runs on
+    candidates only, over xxhash64'd shingles (smaller shuffle, the
+    recorded string-array trap)."""
+    sh_new = _maybe_persist(shingle_df(new_df, id_col, text_col, n), storage)
+    sh_base = _maybe_persist(shingle_df(base_df, id_col, text_col, n), storage)
+
+    def _capped_bands(sh: DataFrame) -> DataFrame:
+        stacked = _minhash_stacked(sh, num_hashes, bands)
+        w = Window.partitionBy("bucket")
+        return (
+            stacked.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+
+    cand = (
+        _capped_bands(sh_new)
+        .select(F.col("id").alias("new_id"), "bucket")
+        .join(
+            _capped_bands(sh_base).select(F.col("id").alias("base_id"), "bucket"),
+            "bucket",
+        )
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    hn = sh_new.select(F.col("id").alias("new_id"), F.xxhash64("sh").alias("shh"))
+    hb = sh_base.select(F.col("id").alias("base_id"), F.xxhash64("sh").alias("shh"))
+    inter = (
+        cand.join(hn, "new_id")
+        .join(hb, ["base_id", "shh"])
+        .groupBy("new_id", "base_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    szn = sh_new.groupBy("id").agg(F.count("*").alias("na"))
+    szb = sh_base.groupBy("id").agg(F.count("*").alias("nb"))
+    return (
+        inter.join(szn.withColumnRenamed("id", "new_id"), "new_id")
+        .join(szb.withColumnRenamed("id", "base_id"), "base_id")
+        .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(
+            F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("union")
+        )
+        .select("new_id", "base_id", "inter", "union")
+    )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str,

@@ -1329,3 +1329,73 @@ def test_semantic_dedup_cell_cap_drops_hot_cells(spark):
         ).collect()
     }
     assert all(out[i] == (i, 1) for i in range(30))
+
+
+def test_minhash_lsh_join_matches_pooled_self_pairs(spark, docs_df):
+    # cross-frame join == pooled self-join restricted to cross pairs,
+    # when ids are disjoint (the two constructions share every hash)
+    from orchid_fst_spark.operators.dedup import minhash_lsh_join
+
+    new = docs_df.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    got = {
+        (r.new_id, r.base_id): (r.inter, r["union"])
+        for r in minhash_lsh_join(
+            new, docs_df, "doc_id", "text",
+            threshold_num=1, threshold_den=100, storage=None,
+        ).collect()
+    }
+    pooled = minhash_lsh_pairs(
+        docs_df.unionByName(new), "doc_id", "text",
+        threshold_num=1, threshold_den=100, storage=None,
+    )
+    exp = {
+        (r.id_b, r.id_a): (r.inter, r["union"])
+        for r in pooled.collect()
+        if r.id_b >= 100 and r.id_a < 100  # cross pairs only (id_a < id_b)
+    }
+    assert got == exp
+    # every doc's own +100 variant must be found (near-identical text)
+    assert all((i + 100, i) in got or (i + 100, j) in got
+               for i, j in [(0, 0)])
+
+
+def test_minhash_lsh_join_handles_colliding_ids(spark, docs_df):
+    # same ids on both sides: the join must still pair new id 0 with
+    # base id 0 (ids are per-frame, never pooled)
+    from orchid_fst_spark.operators.dedup import minhash_lsh_join
+
+    got = {
+        (r.new_id, r.base_id)
+        for r in minhash_lsh_join(
+            docs_df, docs_df, "doc_id", "text",
+            threshold_num=1, threshold_den=100, storage=None,
+        ).collect()
+    }
+    assert (0, 0) in got and (3, 3) in got  # self-matches survive
+    assert (0, 2) in got and (2, 0) in got  # exact dups pair both ways
+
+
+def test_minhash_lsh_join_cap_drops_hot_buckets_per_side(spark):
+    # a 6-copy boilerplate cluster on the base side exceeds cap=5: all
+    # its band buckets are dropped, so the new-side probe finds nothing
+    from orchid_fst_spark.operators.dedup import minhash_lsh_join
+
+    boiler = "the same boilerplate words repeated on every page here"
+    base = spark.createDataFrame(
+        [(i, boiler) for i in range(6)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(99, boiler)], "doc_id long, text string")
+    got = minhash_lsh_join(
+        new, base, "doc_id", "text",
+        threshold_num=1, threshold_den=100, bucket_cap=5, storage=None,
+    ).count()
+    assert got == 0
+    # under the cap the same probe pairs with every copy
+    got2 = minhash_lsh_join(
+        new, base, "doc_id", "text",
+        threshold_num=1, threshold_den=100, bucket_cap=6, storage=None,
+    ).count()
+    assert got2 == 6
