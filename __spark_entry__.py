@@ -925,6 +925,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snm_pairs"] = _snm
 
+    # multi-pass SNM: forward + reversed-key passes over the planted
+    # eval dictionary — a head typo ("atble") escapes the forward
+    # window but sorts adjacent in the reversed pass
+    def _snm_multipass(spark, sf):
+        from orchid_fst_spark.er.neighborhood import multipass_snm_pairs
+
+        recs = _vdict(spark, sf).select(
+            F.col("key").alias("id"),
+            F.col("key").alias("k_fwd"),
+            F.reverse(F.col("key")).alias("k_rev"),
+        )
+        return multipass_snm_pairs(
+            recs, key_cols=["k_fwd", "k_rev"], id_col="id", window=4
+        )
+
+    q["snm_multipass_pairs"] = _snm_multipass
+
     # meta-blocking (Papadakis WEP/WNP): CBS-weighted block graph from
     # three redundant cheap schemes over the variant-planted eval
     # dictionary — 2-char prefix, 3-char prefix (hierarchical: pairs
@@ -2482,6 +2499,17 @@ r AS (SELECT key, row_number() OVER (ORDER BY key)::BIGINT AS rn FROM dict)
 SELECT a.key AS id_a, a.key AS key_a, b.key AS id_b, b.key AS key_b,
        (b.rn - a.rn)::BIGINT AS gap
 FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3"""
+
+    o["snm_multipass_pairs"] = f"""WITH {_SQL_VDICT},
+recs AS (SELECT key AS id, key AS k1, reverse(key) AS k2 FROM vdict),
+r1 AS (SELECT id, row_number() OVER (ORDER BY k1, id)::BIGINT AS rn FROM recs),
+p1 AS (SELECT a.id AS ida, b.id AS idb FROM r1 a
+       JOIN r1 b ON b.rn > a.rn AND b.rn - a.rn <= 3),
+r2 AS (SELECT id, row_number() OVER (ORDER BY k2, id)::BIGINT AS rn FROM recs),
+p2 AS (SELECT a.id AS ida, b.id AS idb FROM r2 a
+       JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn <= 3)
+SELECT DISTINCT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)"""
 
     # meta-blocking: CBS weights are integers; the mean-threshold
     # compares are integer cross-multiplications (w*n > sum), bit-exact

@@ -6,6 +6,7 @@ from .evaluate import pair_metrics, clustering_pair_metrics, blocking_quality
 from .incremental import incremental_components, incremental_resolve
 from .neighborhood import (
     block_graph,
+    multipass_snm_pairs,
     ranked_records,
     sorted_neighborhood_pairs,
     wep_prune,
@@ -14,6 +15,7 @@ from .neighborhood import (
 
 __all__ = [
     "block_graph",
+    "multipass_snm_pairs",
     "incremental_components",
     "incremental_resolve",
     "ranked_records",

@@ -141,6 +141,40 @@ def sorted_neighborhood_pairs(
     )
 
 
+def multipass_snm_pairs(
+    records: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    window: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-pass sorted neighborhood (the standard SNM hardening:
+    Hernandez & Stolfo run several passes with DIFFERENT sort keys —
+    a typo early in one key escapes that key's window but lands inside
+    another's): the distinct union of ``sorted_neighborhood_pairs`` over
+    each key column, as ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Each pass is the same O(n·w) rank + banded equi-join; passes are
+    independent jobs (no cross-pass shuffle), and the final distinct is
+    one hash aggregate over O(passes·n·w) rows."""
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    out = None
+    for key_col in key_cols:
+        p = sorted_neighborhood_pairs(
+            records,
+            key_col=key_col,
+            id_col=id_col,
+            window=window,
+            num_partitions=num_partitions,
+        ).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
 def block_graph(
     blocks: DataFrame,
     id_col: str = "id",

@@ -176,3 +176,45 @@ def test_wep_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a string, id_b string, weight long")
     assert wep_prune(edges).count() == 0
     assert wnp_prune(edges).count() == 0
+
+
+def test_multipass_snm_union_of_passes(spark):
+    from orchid_fst_spark.er.neighborhood import multipass_snm_pairs
+
+    df = spark.createDataFrame(
+        [(w, w, w[::-1]) for w in WORDS], "id string, kf string, kr string"
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in multipass_snm_pairs(
+            df, key_cols=["kf", "kr"], id_col="id", window=3
+        ).collect()
+    )
+
+    def pass_pairs(keyed):
+        order = [i for _, i in sorted(keyed)]
+        return {
+            tuple(sorted((order[i], order[j])))
+            for i in range(len(order))
+            for j in range(i + 1, min(i + 3, len(order)))
+        }
+
+    exp = sorted(
+        pass_pairs([(w, w) for w in WORDS])
+        | pass_pairs([(w[::-1], w) for w in WORDS])
+    )
+    assert got == exp
+    # the reversed pass must contribute pairs the forward pass misses
+    fwd = pass_pairs([(w, w) for w in WORDS])
+    assert any(p not in fwd for p in got)
+
+
+def test_multipass_snm_rejects_empty_keys(spark):
+    from orchid_fst_spark.er.neighborhood import multipass_snm_pairs
+
+    df = spark.createDataFrame([("a", "a")], "id string, k string")
+    try:
+        multipass_snm_pairs(df, key_cols=[], id_col="id")
+        assert False, "empty key_cols must raise"
+    except ValueError:
+        pass
