@@ -1095,6 +1095,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold_den=100,
         storage=None,
     ).select(F.col("id").alias("doc_id"), "rep_id", "keep")
+    # incremental near-dedup: fold a deterministic crawl batch (exact
+    # re-crawls, ' v2' edits, brand-new pages) into the prior
+    # clustering; oracle = the full near_dedup recursive-CTE over the
+    # UNION corpus (incremental == full rerun, the same contract as
+    # er_incremental)
+    def _near_dedup_inc(spark, sf):
+        from orchid_fst_spark.operators.dedup import incremental_near_dedup
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        new = d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ).unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.lit("new page").alias("text"),
+            )
+        )
+        prev = near_dedup(
+            d, "doc_id", "text", n=3, num_hashes=8, bands=4,
+            threshold_num=1, threshold_den=100, storage=None,
+        )
+        return incremental_near_dedup(
+            d,
+            prev.withColumnRenamed("id", "doc_id"),
+            new,
+            n=3, num_hashes=8, bands=4,
+            threshold_num=1, threshold_den=100, storage=None,
+        ).select(F.col("id").alias("doc_id"), "rep_id", "keep")
+
+    q["near_dedup_incremental"] = _near_dedup_inc
+
     # winnowing fingerprints (rolling char k-gram hashes, per-window
     # minima) — md5-derived hashes, so both engines produce the exact
     # fingerprint sets; summarized per doc as (count, xor) to keep the
@@ -2817,6 +2853,25 @@ comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
 SELECT e.doc_id, c.component::BIGINT AS rep_id,
        (CASE WHEN e.doc_id = c.component THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM ex e JOIN comp c ON c.node = e.ex_rep"""
+
+    # incremental near-dedup == full rerun: the oracle is the near_dedup
+    # CTE chain re-rooted at the UNION corpus (old docs + the
+    # deterministic batch) — same contract as er_incremental
+    _udocs = """udocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'new page' AS text
+  FROM documents WHERE doc_id % 11 = 0
+)"""
+    o["near_dedup_incremental"] = (
+        o["near_dedup"]
+        .replace("FROM documents", "FROM udocs")
+        .replace("WITH RECURSIVE\n", f"WITH RECURSIVE\n{_udocs},\n", 1)
+    )
 
     # winnowing twins: g = per-position 60-bit md5 hashes of char
     # 8-grams; wmin = min over each window of 4 consecutive grams;

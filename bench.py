@@ -253,6 +253,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "ann_recall_ivf",
         "er_pair_metrics",
         "bpe_merges",
+        "snm_pairs",
+        "snm_multipass_pairs",
+        "meta_block_wnp",
+        "minhash_lsh_join_pairs",
     ]
     out = {}
     for name in headline:

@@ -713,6 +713,167 @@ def near_dedup(
     )
 
 
+def incremental_near_dedup(
+    old_docs: DataFrame,
+    old_assign: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    bucket_cap: int = 5000,
+    storage: str | None = "MEMORY_AND_DISK",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fold a new crawl batch into an existing ``near_dedup`` clustering
+    without re-deduping the old corpus — the document-side twin of
+    ``er.incremental_resolve`` (the reference's incremental-build
+    contract, fst.h:16-22, applied to the dedup family).
+
+    ``old_docs``: the previously deduped corpus (id, text).
+    ``old_assign``: ``near_dedup(old_docs)``'s output (id, rep_id[,
+    keep]) — the transitive closure already paid for.  ``new_docs``:
+    the batch.  Ids must be globally unique across both frames.
+
+    Returns the updated full assignment ``(id, rep_id, keep)`` for
+    old ∪ new docs, row-identical to ``near_dedup(old ∪ new)`` under
+    the same parameters (pinned by test), including new docs BRIDGING
+    two old clusters (both relabel to the merged min).  Equivalence
+    assumes the caps don't bind differently across the two runs (same
+    caveat as the pooled-vs-split property of ``minhash_lsh_join``):
+    a band bucket pushed over ``bucket_cap`` only by the union would
+    drop pairs in the full rerun that the old run already folded in.
+
+    Why it's equivalent: the full rerun's verified-pair set over union
+    exact-reps splits into old-old pairs (already inside ``old_assign``
+    — old clusters collapse to their min-member id), new-new pairs
+    (``minhash_lsh_pairs`` over the batch's unseen-md5 reps), new-old
+    pairs (``minhash_lsh_join`` batch reps × old exact-reps, re-rooted
+    at the old rep's CLUSTER id), and byte-identical new→old matches
+    (md5 equi-join, one edge each — kept IN the CC graph so a new id
+    smaller than the old cluster id still wins the min-label).  CC then
+    runs on a (batch + touched clusters)-sized graph, never
+    old-corpus-sized.
+
+    Old-corpus cost: one map-side md5 + min-id aggregate (the exact-rep
+    map), the LSH-join right side over exact-reps only, and the final
+    relabel join (touched-cluster-sized — AQE broadcasts it).  No
+    old-old pair generation, no old-only CC iterations.
+    """
+    from ..er.clustering import connected_components
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        return ids.withColumn(
+            "h",
+            F.coalesce(
+                F.md5("text"),
+                F.concat(F.lit("null:"), F.col("id").cast("string")),
+            ),
+        )
+
+    assign = old_assign.select(
+        F.col(id_col).alias("id"), F.col("rep_id")
+    ).distinct()
+
+    # old exact-rep map (h, ex_rep, cluster): ONE md5 aggregate over the
+    # old corpus + a join to the prior assignment at the rep
+    okeyed = _maybe_persist(_keyed(old_docs), storage)
+    old_ex = (
+        okeyed.groupBy("h")
+        .agg(F.min("id").alias("ex_rep"))
+        .join(
+            assign.select(F.col("id").alias("ex_rep"), F.col("rep_id").alias("cluster")),
+            "ex_rep",
+        )
+    )
+    old_ex = _maybe_persist(old_ex, storage)
+
+    nkeyed = _maybe_persist(_keyed(new_docs), storage)
+
+    # byte-identical new->old matches: one edge (new id <-> old cluster)
+    # each, so a new id smaller than the cluster id still wins the min
+    matched = nkeyed.join(old_ex.select("h", "cluster"), "h")
+    exact_edges = matched.select(
+        F.col("id").alias("id_a"), F.col("cluster").alias("id_b")
+    )
+
+    # unseen-md5 batch docs: exact-collapse among themselves
+    unk = nkeyed.join(old_ex.select("h"), "h", "left_anti")
+    new_ex = unk.withColumn(
+        "nrep", F.min("id").over(Window.partitionBy("h"))
+    )
+    new_ex = _maybe_persist(new_ex, storage)
+    new_reps = new_ex.filter(F.col("id") == F.col("nrep")).select("id", "text")
+
+    nn_pairs = minhash_lsh_pairs(
+        new_reps, "id", "text", n=n, num_hashes=num_hashes, bands=bands,
+        threshold_num=threshold_num, threshold_den=threshold_den,
+        bucket_cap=bucket_cap, storage=storage,
+    ).select("id_a", "id_b")
+    no_pairs = (
+        minhash_lsh_join(
+            new_reps,
+            old_ex.select(F.col("ex_rep").alias("id")).join(
+                okeyed.select("id", "text"), "id"
+            ),
+            "id", "text", n=n, num_hashes=num_hashes, bands=bands,
+            threshold_num=threshold_num, threshold_den=threshold_den,
+            bucket_cap=bucket_cap, storage=storage,
+        )
+        .join(
+            old_ex.select(F.col("ex_rep").alias("base_id"), "cluster"),
+            "base_id",
+        )
+        .select(F.col("new_id").alias("id_a"), F.col("cluster").alias("id_b"))
+    )
+
+    # the edge union is cut (localCheckpoint) before CC: Catalyst's
+    # Union constraint rewrite otherwise chokes on the three branches'
+    # join-derived constraints ("key not found: src#N" inside CC's own
+    # per-iteration checkpoint), and the graph is batch-sized by design
+    # so the materialization is cheap
+    edges = (
+        nn_pairs.unionByName(no_pairs)
+        .unionByName(exact_edges)
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(
+        edges,
+        src="id_a",
+        dst="id_b",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    # relabel touched old clusters; everything else is untouched
+    relabel = comp.select(
+        F.col("node").alias("rep_id"), F.col("component").alias("_new")
+    )
+    old_rows = assign.join(relabel, "rep_id", "left").select(
+        "id", F.coalesce("_new", "rep_id").alias("rep_id")
+    )
+    matched_rows = (
+        matched.join(relabel.withColumnRenamed("rep_id", "cluster"), "cluster", "left")
+        .select("id", F.coalesce("_new", "cluster").alias("rep_id"))
+    )
+    unk_rows = (
+        new_ex.join(
+            comp.withColumnRenamed("node", "nrep"), "nrep", "left"
+        )
+        .select("id", F.coalesce("component", "nrep").alias("rep_id"))
+    )
+    return (
+        old_rows.unionByName(matched_rows)
+        .unionByName(unk_rows)
+        .withColumn("keep", (F.col("id") == F.col("rep_id")).cast("long"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc, pure Catalyst: per-token md5 -> 64-bit int
     (first 15 hex chars, i.e. 60 usable bits, to stay in signed-long

@@ -1399,3 +1399,86 @@ def test_minhash_lsh_join_cap_drops_hot_buckets_per_side(spark):
         threshold_num=1, threshold_den=100, bucket_cap=6, storage=None,
     ).count()
     assert got2 == 6
+
+
+def test_incremental_near_dedup_equals_full_rerun(spark):
+    # the general equivalence: exact re-crawls (incl. of a NON-rep old
+    # doc and one with a SMALLER id than the old cluster label),
+    # near-dup edits, brand-new pages, null texts
+    from orchid_fst_spark.operators.dedup import (
+        incremental_near_dedup,
+        near_dedup,
+    )
+
+    old = [
+        (10, "the cat sat on the mat by the door"),
+        (11, "the cat sat on the mat by the floor"),
+        (12, "the cat sat on the mat by the door"),
+        (20, "completely different words entirely here now"),
+        (21, "completely different words entirely here today"),
+        (30, "a third separate island of text lives over here"),
+        (31, None),
+    ]
+    new = [
+        (40, "the cat sat on the mat by the floor"),   # exact dup of non-rep 11
+        (41, "the cat sat on the mat by the window"),  # near cluster 10
+        (42, "a third separate island of text lives over there"),  # near 30
+        (5, "completely different words entirely here now"),  # exact dup of 20, SMALLER id
+        (43, "brand new unrelated page content goes right here ok"),
+        (44, "brand new unrelated page content goes right here ok"),  # exact new-new dup
+        (45, None),
+    ]
+    kw = dict(threshold_num=1, threshold_den=100, storage=None)
+    od = spark.createDataFrame(old, "doc_id long, text string")
+    nd = spark.createDataFrame(new, "doc_id long, text string")
+    full = {
+        r[0]: (r.rep_id, r.keep)
+        for r in near_dedup(od.unionByName(nd), "doc_id", "text", **kw).collect()
+    }
+    prev = near_dedup(od, "doc_id", "text", **kw)
+    inc = {
+        r.id: (r.rep_id, r.keep)
+        for r in incremental_near_dedup(
+            od, prev.withColumnRenamed("id", "doc_id"), nd, **kw
+        ).collect()
+    }
+    assert inc == full
+    # the smaller new id takes over the old cluster's label
+    assert inc[20] == (5, 0) and inc[5] == (5, 1)
+
+
+def test_incremental_near_dedup_bridges_two_old_clusters(spark):
+    # a single batch doc LSH-pairs with BOTH old clusters (verified
+    # band collisions under 8 bands of 1 md5 minhash — found by direct
+    # computation, deterministic) and merges them; incremental == full
+    from orchid_fst_spark.operators.dedup import (
+        incremental_near_dedup,
+        near_dedup,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    B = "one two three four five six seven eight nine ten"
+    bridge = " ".join(A.split()[:6] + B.split()[:6])
+    old = [(100, A), (101, B)]
+    new = [(200, bridge)]
+    kw = dict(
+        num_hashes=8, bands=8, threshold_num=1, threshold_den=100,
+        storage=None,
+    )
+    od = spark.createDataFrame(old, "doc_id long, text string")
+    nd = spark.createDataFrame(new, "doc_id long, text string")
+    prev = near_dedup(od, "doc_id", "text", **kw)
+    # precondition: the two old docs are separate clusters
+    assert {r.rep_id for r in prev.collect()} == {100, 101}
+    inc = {
+        r.id: r.rep_id
+        for r in incremental_near_dedup(
+            od, prev.withColumnRenamed("id", "doc_id"), nd, **kw
+        ).collect()
+    }
+    assert inc == {100: 100, 101: 100, 200: 100}, inc
+    full = {
+        r[0]: r.rep_id
+        for r in near_dedup(od.unionByName(nd), "doc_id", "text", **kw).collect()
+    }
+    assert inc == full
