@@ -705,6 +705,66 @@ def main() -> None:
                   "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.er.neighborhood import (
+        block_graph,
+        sorted_neighborhood_pairs,
+        wnp_prune,
+    )
+
+    add(
+        "Sorted-neighborhood blocking (`er.neighborhood.sorted_neighborhood_pairs`)",
+        "The sliding-window self-join plans as ONE SortMergeJoin on the "
+        "band-bucket key (bucket = rank div (w-1); side A Generates two "
+        "bucket ids) — never a theta-join, so the work is O(n·w) rows at "
+        "any scale.  The global rank is the two-pass distributed scan: "
+        "row_number windows are PARTITIONED by _pid (one balanced window "
+        "group per range partition, no single-partition exchange).",
+        sorted_neighborhood_pairs(
+            docs.select(F.col("text").alias("key"),
+                        F.col("doc_id").alias("id")),
+            key_col="key", id_col="id", window=4,
+        ),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
+    _blk = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, 12).alias("block"),
+    )
+    add(
+        "Meta-blocking graph + WNP pruning (`er.neighborhood.block_graph`)",
+        "Blocks are purged over block_cap with the constant-memory "
+        "window-count idiom BEFORE the pair self-join (WindowExec spills "
+        "where a collect_list buffer can't, and its hash partitioning on "
+        "block is reused by the join — no extra Exchange); WNP per-node "
+        "means are integer cross-multiplications on one symmetric "
+        "explode + aggregate, float-free.",
+        wnp_prune(block_graph(_blk, block_cap=500)),
+        must_contain=("Window",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
+    from orchid_fst_spark.operators.dedup import minhash_lsh_join
+
+    add(
+        "Cross-corpus LSH join (`operators.dedup.minhash_lsh_join`)",
+        "Both corpora band into the SAME md5-minhash buckets; each "
+        "side's band frame is capped independently by a window count "
+        "before the bucket equi-join (a hot boilerplate bucket "
+        "contributes at most cap×cap rows), and the exact Jaccard "
+        "verify joins xxhash64'd shingles for candidates only.  All "
+        "joins are equi-joins; Python never appears.",
+        minhash_lsh_join(
+            docs.filter(F.col("doc_id") % 3 == 0), docs,
+            "doc_id", "text", storage=None,
+        ),
+        must_contain=("xxhash64",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
     import shutil as _sh
     import tempfile as _tf
 
