@@ -249,6 +249,144 @@ def clusters_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def stream_near_dedup(
+    docs_stream: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    bucket_cap: int = 5000,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a near-dedup cluster assignment from a document STREAM —
+    the streaming twin of ``dedup.incremental_near_dedup`` (and the same
+    incremental-build-frontier grounding as the rest of this module,
+    fst.h:16-22).
+
+    Per micro-batch (foreachBatch): the first batch runs the full
+    ``near_dedup``; every later batch folds into the prior assignment
+    with ``incremental_near_dedup`` (md5 exact routing + new-new LSH
+    pairs + new-old ``minhash_lsh_join`` against the accumulated
+    corpus's exact-reps) — so per-batch work is (batch + touched
+    clusters)-sized, and the maintained assignment equals the batch
+    ``near_dedup`` over everything ingested so far (pinned by test).
+
+    State layout (idempotent per-batch overwrite, same discipline as
+    ``incremental_er``): ``state_dir/docs/batch_id=N`` accumulates the
+    corpus; ``state_dir/assign/batch_id=N`` holds the FULL assignment
+    snapshot as of batch N (corpus-sized — readers take the max
+    batch_id via ``dedup_from_state``; prune old snapshots out-of-band
+    if the history isn't wanted).  A retried batch reads only state
+    with batch_id < its own, so it can never observe its own partial
+    output.  Re-delivered doc ids (a doc re-crawled in a later batch)
+    are dropped against the accumulated store — ids are the identity
+    here; use a (url, crawl_ts) composite upstream if re-crawls must
+    version instead.
+
+    Returns the started StreamingQuery."""
+    from ..operators.dedup import incremental_near_dedup, near_dedup
+
+    docs_path = os.path.join(state_dir, "docs")
+    assign_path = os.path.join(state_dir, "assign")
+    ckpt = checkpoint_dir or os.path.join(state_dir, "_stream_ckpt")
+    kw = dict(
+        n=n, num_hashes=num_hashes, bands=bands,
+        threshold_num=threshold_num, threshold_den=threshold_den,
+        bucket_cap=bucket_cap,
+    )
+
+    def _prior_batches(batch_id: int) -> list[int]:
+        if not os.path.isdir(docs_path):
+            return []
+        out = []
+        for e in os.listdir(docs_path):
+            if e.startswith("batch_id="):
+                try:
+                    b = int(e.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b < batch_id:
+                    out.append(b)
+        return sorted(out)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .dropDuplicates(["doc_id"])
+            .persist()
+        )
+        batch_new = batch
+        try:
+            if not batch.take(1):
+                return
+            prior = _prior_batches(batch_id)
+            if prior:
+                old_docs = spark.read.parquet(
+                    *[os.path.join(docs_path, f"batch_id={b}") for b in prior]
+                )
+                # drop re-delivered ids: the id's first batch wins
+                batch_new = batch.join(
+                    old_docs.select("doc_id"), "doc_id", "left_anti"
+                ).persist()
+                prev_assign = spark.read.parquet(
+                    os.path.join(assign_path, f"batch_id={max(prior)}")
+                )
+                if not batch_new.take(1):
+                    assign = prev_assign
+                else:
+                    assign = incremental_near_dedup(
+                        old_docs, prev_assign, batch_new,
+                        id_col="doc_id", text_col="text", storage=None, **kw,
+                    ).withColumnRenamed("id", "doc_id")
+            else:
+                batch_new = batch
+                assign = near_dedup(
+                    batch_new, "doc_id", "text", storage=None, **kw
+                ).withColumnRenamed("id", "doc_id")
+            assign.write.mode("overwrite").parquet(
+                os.path.join(assign_path, f"batch_id={batch_id}")
+            )
+            batch_new.write.mode("overwrite").parquet(
+                os.path.join(docs_path, f"batch_id={batch_id}")
+            )
+        finally:
+            if batch_new is not batch:
+                batch_new.unpersist()
+            batch.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(doc_id, rep_id, keep) — the latest assignment snapshot from the
+    accumulated ``stream_near_dedup`` state; equals the batch
+    ``near_dedup`` over every document ingested so far (pinned by
+    test)."""
+    assign_path = os.path.join(state_dir, "assign")
+    snaps = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(assign_path)
+        if e.startswith("batch_id=")
+    ]
+    if not snaps:
+        raise FileNotFoundError(f"no assignment snapshots under {assign_path}")
+    return spark.read.parquet(
+        os.path.join(assign_path, f"batch_id={max(snaps)}")
+    )
+
+
 def stream_text_index(
     docs_stream: DataFrame,
     id_col: str,

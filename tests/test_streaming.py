@@ -732,3 +732,58 @@ def test_stream_text_index_guards(spark, tmp_path):
     with pytest.raises(StreamingQueryException) as ei:
         q3.awaitTermination(120)
     assert "DIFFERENT documents" in str(ei.value)
+
+
+def test_stream_near_dedup_equals_batch(spark, tmp_path):
+    # two drops; the second contains a near-dup of a drop-1 doc (cross-
+    # batch LSH edge), an exact re-crawl of a drop-1 id (dropped — first
+    # batch wins), an exact dup of a drop-1 text under a NEW id, and a
+    # brand-new page: the maintained assignment must equal the batch
+    # near_dedup over every unique doc ingested
+    from orchid_fst_spark.operators.dedup import near_dedup
+    from orchid_fst_spark.streaming import dedup_from_state, stream_near_dedup
+
+    d1 = [
+        (1, "the cat sat on the mat by the door"),
+        (2, "the cat sat on the mat by the floor"),
+        (3, "completely different words entirely here now"),
+    ]
+    d2 = [
+        (4, "the cat sat on the mat by the window"),  # near cluster 1
+        (1, "the cat sat on the mat by the door"),    # re-delivered id 1
+        (5, "completely different words entirely here now"),  # exact of 3
+        (6, "a brand new unrelated page appears in drop two"),
+    ]
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    kw = dict(threshold_num=1, threshold_den=100)
+
+    spark.createDataFrame(d1, schema).write.mode("overwrite").parquet(
+        os.path.join(src, "drop1")
+    )
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = stream_near_dedup(stream, state, **kw)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(d2, schema).write.mode("overwrite").parquet(
+        os.path.join(src, "drop2")
+    )
+    q2 = stream_near_dedup(
+        spark.readStream.schema(schema).parquet(src + "/*"), state, **kw
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.rep_id, r.keep)
+        for r in dedup_from_state(spark, state).collect()
+    }
+    all_docs = spark.createDataFrame(d1 + d2, schema).dropDuplicates(["doc_id"])
+    exp = {
+        (r[0], r.rep_id, r.keep)
+        for r in near_dedup(all_docs, "doc_id", "text", **kw).collect()
+    }
+    assert got == exp
+    # the cross-batch near-dup landed in cluster 1, the exact dup in 3's
+    assert (4, 1, 0) in got and (5, 3, 0) in got and (6, 6, 1) in got
