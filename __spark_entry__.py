@@ -1621,6 +1621,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").cast("long").alias("kept"))
     )
 
+    # DSIR importance weights (Xie et al. NeurIPS'23): how target-like
+    # is each raw doc under hashed unigram+bigram bag models — target =
+    # the doc_id % 17 slice (same reference slice as quality_gate)
+    def _dsir(spark, sf):
+        from orchid_fst_spark.operators.sampling import dsir_weights
+
+        d = _docs(spark, sf)
+        return dsir_weights(
+            d, d.filter(F.col("doc_id") % 17 == 0),
+            id_col="doc_id", text_col="text",
+            n_buckets=4096, alpha=1.0, storage=None,
+        ).withColumnRenamed("id", "doc_id")
+
+    q["dsir_doc_weights"] = _dsir
+
     # --- event-time windowed ops over the events table ---
     def _events(spark, sf):
         return spark.read.parquet(f"{sf}/events.parquet")
@@ -3808,6 +3823,45 @@ WHERE ('0x' || substr(md5('t1|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
         / 4294967296.0
       < r.rate
 GROUP BY d.lang"""
+
+    # DSIR: integer bucket counts (md5 32-bit draws % 4096 in both
+    # engines), one ln per smoothed count, avg rounded 6dp
+    o["dsir_doc_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, l[i] AS g
+  FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+  UNION ALL
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('dsir|' || g), 1, 8))::BIGINT % 4096 AS bucket
+  FROM grams
+),
+tc AS (SELECT bucket, count(*)::BIGINT AS ct FROM b WHERE doc_id % 17 = 0 GROUP BY bucket),
+sc AS (SELECT bucket, count(*)::BIGINT AS cs FROM b GROUP BY bucket),
+tot AS (
+  SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS nt,
+         (SELECT coalesce(sum(cs), 0) FROM sc) AS ns
+),
+w AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_grams,
+         round(avg(
+           ln(coalesce(t.ct, 0) + 1.0) - ln(coalesce(s.cs, 0) + 1.0)
+           + ln(tot.ns + 1.0 * 4096) - ln(tot.nt + 1.0 * 4096)
+         ), 6) AS avg_logratio
+  FROM b d LEFT JOIN tc t USING (bucket) LEFT JOIN sc s USING (bucket)
+  CROSS JOIN tot
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id, coalesce(w.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(w.avg_logratio, 0.0) AS avg_logratio
+FROM documents doc LEFT JOIN w USING (doc_id)"""
 
     # weighted sampling without replacement: the same md5-derived
     # Efraimidis-Spirakis priority ln(u)/w, rounded to 6 dp in BOTH

@@ -256,3 +256,124 @@ def temperature_sample(
         )
         .drop("group", "rate")
     )
+
+
+def _gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    seed: str,
+) -> DataFrame:
+    """(id, bucket) — one row per unigram/bigram OCCURRENCE, hashed into
+    ``n_buckets`` with the engine-wide md5 32-bit draw (DuckDB oracles
+    reproduce buckets bit-for-bit).  Bigrams via the zip_with-over-
+    slices idiom (the token array never appears inside a lambda body —
+    the recorded CollapseProject trap)."""
+    from ..functions.normalize import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("_u"), bigrams.alias("_b")
+    )
+    grams = base.select(
+        "id", F.explode(F.concat("_u", "_b")).alias("g")
+    )
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("g")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    return grams.select("id", bucket.alias("bucket"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+    storage: str | None = "MEMORY_AND_DISK",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    per-document log importance weights of a TARGET distribution over
+    the RAW corpus, under hashed bag-of-ngram (unigram+bigram) feature
+    models.
+
+    Returns ``(id, n_grams, avg_logratio)`` for every raw doc, where
+    ``avg_logratio`` is the mean over the doc's gram occurrences of
+    ``ln(ct[b]+alpha) - ln(cs[b]+alpha) + ln(Ns+alpha*B) - ln(Nt+alpha*B)``
+    (add-alpha smoothed target/raw likelihood ratio per hashed bucket;
+    higher = more target-like).  Docs with no tokens report (0, 0.0).
+    Rounded to 6 dp (integer counts until the final ln — the engine-wide
+    float discipline, same as ``lm_doc_logprob``).
+
+    Scale notes: each corpus is scanned once into a <= n_buckets-row
+    count table (hash aggregate with map-side combine); the per-gram
+    scoring join is against those broadcast-sized tables; one per-doc
+    aggregate finishes.  Nothing is quadratic and the corpus never
+    shuffles on grams — buckets only.
+    """
+    from ..util.storage import maybe_persist as _maybe_persist
+
+    if n_buckets < 2:
+        raise ValueError("need n_buckets >= 2")
+    a = float(alpha)
+    raw_b = _maybe_persist(
+        _gram_buckets(raw, id_col, text_col, n_buckets, seed), storage
+    )
+    tgt_cnt = (
+        _gram_buckets(target, id_col, text_col, n_buckets, seed)
+        .groupBy("bucket").agg(F.count("*").cast("long").alias("ct"))
+    )
+    src_cnt = raw_b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cs")
+    )
+    tgt_tot = tgt_cnt.agg(F.sum("ct").cast("long").alias("nt"))
+    src_tot = src_cnt.agg(F.sum("cs").cast("long").alias("ns"))
+    lr = (
+        F.log(F.coalesce("ct", F.lit(0)) + F.lit(a))
+        - F.log(F.coalesce("cs", F.lit(0)) + F.lit(a))
+        + F.log(F.coalesce("ns", F.lit(0)) + F.lit(a) * n_buckets)
+        - F.log(F.coalesce("nt", F.lit(0)) + F.lit(a) * n_buckets)
+    )
+    scored = (
+        raw_b.join(F.broadcast(tgt_cnt), "bucket", "left")
+        .join(F.broadcast(src_cnt), "bucket", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(src_tot))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.avg(lr), 6).alias("avg_logratio"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("avg_logratio", F.lit(0.0)).alias("avg_logratio"),
+        )
+    )
+
+
+def dsir_top_k(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """The ``k`` most target-like raw docs by DSIR weight — deterministic
+    total order (rounded weight desc, id asc), planned as
+    TakeOrderedAndProject (a per-partition top-k then one k-row merge,
+    never a global sort materialization)."""
+    w = dsir_weights(raw, target, id_col=id_col, text_col=text_col, **kw)
+    return w.orderBy(F.desc("avg_logratio"), F.asc("id")).limit(int(k))

@@ -394,3 +394,76 @@ def test_skew_profile_and_summary_planted_hot_key(spark):
     # plan: the hot-key cut is a TakeOrdered, never a global sort
     plan = skew_profile(df, "k", top_n=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_weights_match_python_model(spark):
+    # differential vs a direct Python implementation of the hashed
+    # bag-of-ngram importance weights (unigrams+bigrams, md5 buckets,
+    # add-alpha smoothing, avg log-ratio rounded 6dp)
+    import hashlib
+    import math
+
+    from orchid_fst_spark.operators.sampling import dsir_top_k, dsir_weights
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps under the warm sun"),
+        (3, "stock market prices fell sharply in early trading"),
+        (4, "quarterly earnings beat analyst expectations again today"),
+        (5, "the lazy dog naps beside the quick brown fox"),
+        (6, ""),
+        (7, None),
+    ]
+    target_ids = {1, 2, 5}  # the fox-prose distribution
+    B, A = 256, 1.0
+
+    def grams(text):
+        toks = [t for t in (text or "").lower().split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"dsir|{g}".encode()).hexdigest()[:8], 16) % B
+
+    tc, sc = {}, {}
+    for i, t in docs:
+        for g in grams(t):
+            b = bucket(g)
+            sc[b] = sc.get(b, 0) + 1
+            if i in target_ids:
+                tc[b] = tc.get(b, 0) + 1
+    nt, ns = sum(tc.values()), sum(sc.values())
+    exp = {}
+    for i, t in docs:
+        gs = grams(t)
+        if not gs:
+            exp[i] = (0, 0.0)
+            continue
+        s = sum(
+            math.log(tc.get(bucket(g), 0) + A)
+            - math.log(sc.get(bucket(g), 0) + A)
+            + math.log(ns + A * B)
+            - math.log(nt + A * B)
+            for g in gs
+        )
+        exp[i] = (len(gs), round(s / len(gs), 6))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id").isin(*target_ids))
+    got = {
+        r.id: (r.n_grams, r.avg_logratio)
+        for r in dsir_weights(
+            df, tgt, n_buckets=B, alpha=A, storage=None
+        ).collect()
+    }
+    assert got == exp
+    # fox-prose docs must outscore the finance docs
+    assert min(got[i][1] for i in target_ids) > max(got[3][1], got[4][1])
+    # top-k is the deterministic (weight desc, id asc) head
+    order = sorted(got, key=lambda i: (-got[i][1], i))[:3]
+    top = [
+        r.id
+        for r in dsir_top_k(
+            df, tgt, 3, n_buckets=B, alpha=A, storage=None
+        ).collect()
+    ]
+    assert top == order
