@@ -942,6 +942,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snm_multipass_pairs"] = _snm_multipass
 
+    # suffix blocking (Aizawa-Oyama): shared >=4-char tails — the head-
+    # typo complement of prefix blocks; weight = shared suffix count
+    def _suffix_blocks(spark, sf):
+        from orchid_fst_spark.er.neighborhood import suffix_blocking_pairs
+
+        return suffix_blocking_pairs(
+            _vdict(spark, sf), key_col="key", min_suffix_len=4
+        )
+
+    q["suffix_block_pairs"] = _suffix_blocks
+
     # meta-blocking (Papadakis WEP/WNP): CBS-weighted block graph from
     # three redundant cheap schemes over the variant-planted eval
     # dictionary — 2-char prefix, 3-char prefix (hierarchical: pairs
@@ -2550,6 +2561,21 @@ r AS (SELECT key, row_number() OVER (ORDER BY key)::BIGINT AS rn FROM dict)
 SELECT a.key AS id_a, a.key AS key_a, b.key AS id_b, b.key AS key_b,
        (b.rn - a.rn)::BIGINT AS gap
 FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3"""
+
+    o["suffix_block_pairs"] = f"""WITH {_SQL_VDICT},
+sfx AS (
+  SELECT key AS id, substr(key, i) AS block
+  FROM vdict, unnest(generate_series(1, len(key) - 3)) AS t(i)
+  WHERE len(key) >= 4
+),
+capped AS (
+  SELECT id, block FROM (
+    SELECT id, block, count(*) OVER (PARTITION BY block) AS bn FROM sfx)
+  WHERE bn <= 1000
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS weight
+FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
+GROUP BY 1, 2"""
 
     o["snm_multipass_pairs"] = f"""WITH {_SQL_VDICT},
 recs AS (SELECT key AS id, key AS k1, reverse(key) AS k2 FROM vdict),

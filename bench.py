@@ -257,6 +257,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "snm_multipass_pairs",
         "meta_block_wnp",
         "minhash_lsh_join_pairs",
+        "dsir_doc_weights",
     ]
     out = {}
     for name in headline:

@@ -9,6 +9,7 @@ from .neighborhood import (
     multipass_snm_pairs,
     ranked_records,
     sorted_neighborhood_pairs,
+    suffix_blocking_pairs,
     wep_prune,
     wnp_prune,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "incremental_resolve",
     "ranked_records",
     "sorted_neighborhood_pairs",
+    "suffix_blocking_pairs",
     "wep_prune",
     "wnp_prune",
     "normalize_pages",

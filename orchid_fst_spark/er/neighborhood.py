@@ -208,6 +208,51 @@ def block_graph(
     )
 
 
+def suffix_blocking_pairs(
+    records: DataFrame,
+    key_col: str = "key",
+    id_col: str | None = None,
+    min_suffix_len: int = 4,
+    max_suffixes: int | None = None,
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005): every suffix of the
+    key with length >= ``min_suffix_len`` is a block, so records whose
+    keys share any sufficiently-long TAIL become candidates — the
+    complement of prefix-style blocks (a typo in the first characters
+    escapes every prefix block but leaves the tail suffixes intact).
+
+    Returns ``(id_a, id_b, weight)`` where ``weight`` counts shared
+    suffix blocks (composable with ``wep_prune``/``wnp_prune``).
+    ``max_suffixes`` bounds the per-key block emissions (the LONGEST
+    ``max_suffixes`` suffixes are kept) — without it a length-L web key
+    emits L - min_suffix_len + 1 rows.  Blocks hotter than
+    ``block_cap`` are purged before the pair explode (``block_graph``'s
+    constant-memory window cap)."""
+    if min_suffix_len < 1:
+        raise ValueError("need min_suffix_len >= 1")
+    if id_col is None:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(key_col).alias("id")
+        )
+    else:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(id_col).alias("id")
+        )
+    n_sfx = F.length("key") - F.lit(min_suffix_len - 1)
+    if max_suffixes is not None:
+        n_sfx = F.least(n_sfx, F.lit(int(max_suffixes)))
+    ex = df.filter(F.length("key") >= min_suffix_len).select(
+        "id",
+        "key",
+        F.explode(F.sequence(F.lit(1), n_sfx)).alias("i"),
+    )
+    blocks = ex.select(
+        "id", F.col("key").substr(F.col("i"), F.length("key")).alias("block")
+    )
+    return block_graph(blocks, block_cap=block_cap)
+
+
 def wep_prune(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
     """Weighted edge pruning: keep edges strictly heavier than the mean
     edge weight.  The compare is the integer cross-multiplication

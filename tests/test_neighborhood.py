@@ -218,3 +218,41 @@ def test_multipass_snm_rejects_empty_keys(spark):
         assert False, "empty key_cols must raise"
     except ValueError:
         pass
+
+
+def test_suffix_blocking_matches_brute_force(spark):
+    from orchid_fst_spark.er.neighborhood import suffix_blocking_pairs
+
+    words = ["table", "atble", "cable", "fable", "tab", "xyz", "stable"]
+    df = spark.createDataFrame([(w,) for w in words], "key string")
+
+    def sfx(w, minlen=4, maxn=None):
+        n = len(w) - minlen + 1
+        if maxn is not None:
+            n = min(n, maxn)
+        return {w[i:] for i in range(max(n, 0))}
+
+    def brute(maxn=None):
+        w = collections.Counter()
+        for a, b in itertools.combinations(sorted(words), 2):
+            shared = len(sfx(a, 4, maxn) & sfx(b, 4, maxn))
+            if shared:
+                w[(a, b)] = shared
+        return dict(w)
+
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in suffix_blocking_pairs(df, min_suffix_len=4).collect()
+    }
+    assert got == brute()
+    # the head-insertion pair ("stable"/"table") is caught via the
+    # shared "table"/"able" tails (weight 2) — no prefix block joins it
+    assert got[("stable", "table")] == 2
+
+    got2 = {
+        (r.id_a, r.id_b): r.weight
+        for r in suffix_blocking_pairs(
+            df, min_suffix_len=4, max_suffixes=1
+        ).collect()
+    }
+    assert got2 == brute(maxn=1)
