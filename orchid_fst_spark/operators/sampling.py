@@ -316,7 +316,10 @@ def dsir_weights(
     count table (hash aggregate with map-side combine); the per-gram
     scoring join is against those broadcast-sized tables; one per-doc
     aggregate finishes.  Nothing is quadratic and the corpus never
-    shuffles on grams — buckets only.
+    shuffles on grams — buckets only.  The two grand totals are
+    collected as driver scalars at call time (two bucket-table-sized
+    jobs) and folded into the log-ratio as literals — never a
+    crossJoin(broadcast(agg)) nested-loop row.
     """
     from ..util.storage import maybe_persist as _maybe_persist
 
@@ -333,19 +336,21 @@ def dsir_weights(
     src_cnt = raw_b.groupBy("bucket").agg(
         F.count("*").cast("long").alias("cs")
     )
-    tgt_tot = tgt_cnt.agg(F.sum("ct").cast("long").alias("nt"))
-    src_tot = src_cnt.agg(F.sum("cs").cast("long").alias("ns"))
+    # one-row totals as driver scalars, not crossJoin(broadcast(agg)):
+    # the engine-wide normalizer discipline — a 1-row BroadcastNestedLoop
+    # join of an aggregate of a non-leaf frame doubles the analyzed tree
+    # for zero benefit; the log of the literal folds at plan time
+    nt = tgt_cnt.agg(F.sum("ct")).first()[0] or 0
+    ns = src_cnt.agg(F.sum("cs")).first()[0] or 0
     lr = (
         F.log(F.coalesce("ct", F.lit(0)) + F.lit(a))
         - F.log(F.coalesce("cs", F.lit(0)) + F.lit(a))
-        + F.log(F.coalesce("ns", F.lit(0)) + F.lit(a) * n_buckets)
-        - F.log(F.coalesce("nt", F.lit(0)) + F.lit(a) * n_buckets)
+        + F.log(F.lit(float(ns) + a * n_buckets))
+        - F.log(F.lit(float(nt) + a * n_buckets))
     )
     scored = (
         raw_b.join(F.broadcast(tgt_cnt), "bucket", "left")
         .join(F.broadcast(src_cnt), "bucket", "left")
-        .crossJoin(F.broadcast(tgt_tot))
-        .crossJoin(F.broadcast(src_tot))
         .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),

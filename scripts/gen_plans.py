@@ -746,6 +746,65 @@ def main() -> None:
                   "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.er.neighborhood import suffix_blocking_pairs
+
+    add(
+        "Suffix blocking (`er.neighborhood.suffix_blocking_pairs`)",
+        "Every >= min_suffix_len tail of the key is a block — the "
+        "head-typo complement of prefix blocks.  Per-key emissions are "
+        "bounded by max_suffixes (a Generate over a bounded sequence, "
+        "never length-of-key rows on long web keys), then the pairs go "
+        "through block_graph: hot blocks are purged with the "
+        "window-count cap BEFORE the self-join explode, and the CBS "
+        "weight aggregate reuses the same hash partitioning.  All "
+        "equi-joins; Python never appears.",
+        suffix_blocking_pairs(
+            docs.select(F.col("text").alias("key"),
+                        F.col("doc_id").alias("id")),
+            key_col="key", id_col="id",
+            min_suffix_len=6, max_suffixes=8, block_cap=500,
+        ),
+        must_contain=("Window",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
+    from orchid_fst_spark.operators.sampling import dsir_weights
+
+    add(
+        "DSIR importance weights (`operators.sampling.dsir_weights`)",
+        "Each corpus is scanned ONCE into a <= n_buckets-row hashed "
+        "gram-count table (hash aggregate, map-side combine); per-gram "
+        "scoring joins those bucket-sized tables back on the 32-bit "
+        "md5 bucket id, and one per-doc aggregate finishes.  The "
+        "corpus never shuffles on grams — bucket ids only — and "
+        "nothing is quadratic in either corpus.",
+        dsir_weights(
+            docs.filter(F.col("doc_id") % 3 == 0), docs,
+            id_col="doc_id", text_col="text",
+            n_buckets=512, storage=None,
+        ),
+        must_contain=("md5",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
+    from orchid_fst_spark.operators.bpe import bpe_pair_counts
+
+    add(
+        "BPE pair statistics (`operators.bpe.bpe_pair_counts`)",
+        "The iteration-0 training frame: the corpus collapses to a "
+        "word-frequency aggregate first (a billion repeated words pay "
+        "one symbol split), adjacent pairs come from a zip_with over "
+        "two slices of the symbol array (no posexplode self-join), and "
+        "top_n plans as TakeOrderedAndProject — never a full sort of "
+        "the pair domain.",
+        bpe_pair_counts(docs, text_col="text", top_n=100),
+        must_contain=("TakeOrderedAndProject",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
     from orchid_fst_spark.operators.dedup import minhash_lsh_join
 
     add(
