@@ -243,6 +243,129 @@ vdict AS (
 )
 """
 
+# eval candidate pairs over vdict with the three FS agreement booleans —
+# shared by the er_fs_weights / er_fs_em oracles (twin of
+# er.scoring.score_pairs + default_fs_features)
+_SQL_FS_FEAT = r"""
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         levenshtein(a.key, b.key)::BIGINT AS dist
+  FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+feat AS (
+  SELECT key_a, key_b, dist,
+    dist <= 1 AS agree_dist,
+    round(jaro_winkler_similarity(key_a, key_b), 6) >= 0.9 AS agree_jw,
+    round(CASE WHEN len(list_distinct(
+            list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')
+            || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> ''))) > 0
+       THEN len(list_intersect(
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')),
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> ''))))::DOUBLE
+            / len(list_distinct(
+              list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')
+              || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')))
+       ELSE 0.0 END, 6) >= 0.5 AS agree_jaccard
+  FROM pairs
+)
+"""
+
+# iteration count shared by the er_fs_em entry and its unrolled oracle
+_FS_EM_ITERS = 10
+
+
+def _fs_em_sql(iters: int = _FS_EM_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of ``er.scoring.fs_em_train``: the same
+    agreement-pattern contingency table, then ``iters`` E/M CTE pairs
+    replaying the trainer's fixed-point arithmetic statement-for-
+    statement (left-assoc products, floor(p*1e9+0.5) posteriors clamped
+    to [1, 1e9-1], exact BIGINT M-step sums, 6dp half-up parameter
+    rounding clamped to [1e-6, 0.999999]) — so the trained parameters
+    and per-pattern posteriors hash-match bit-for-bit."""
+    from orchid_fst_spark.er.scoring import _em_round_clamp
+
+    names = ["dist", "jw", "jaccard"]
+    lam0 = _em_round_clamp(0.1)
+    m0 = _em_round_clamp(0.9)
+    u0 = _em_round_clamp(0.1)
+
+    def w_v(src: str):
+        w = f"{src}.lam"
+        v = f"(1 - {src}.lam)"
+        for n in names:
+            w += f" * (CASE WHEN agree_{n} THEN {src}.m_{n} ELSE 1 - {src}.m_{n} END)"
+            v += f" * (CASE WHEN agree_{n} THEN {src}.u_{n} ELSE 1 - {src}.u_{n} END)"
+        return w, v
+
+    def clamp6(x: str) -> str:
+        return (
+            f"least(greatest(floor(({x}) * 1000000 + 0.5) / 1000000, "
+            f"1e-06), 0.999999)"
+        )
+
+    p0_cols = [f"{lam0!r}::DOUBLE AS lam"]
+    for n in names:
+        p0_cols.append(f"{m0!r}::DOUBLE AS m_{n}")
+        p0_cols.append(f"{u0!r}::DOUBLE AS u_{n}")
+    ctes = [
+        "pat AS (\n  SELECT agree_dist, agree_jw, agree_jaccard,"
+        " count(*)::BIGINT AS n_pairs\n  FROM feat GROUP BY 1, 2, 3\n)",
+        "tot AS (SELECT sum(n_pairs)::BIGINT AS n_total FROM pat)",
+        f"p0 AS (SELECT {', '.join(p0_cols)})",
+    ]
+    for i in range(1, iters + 1):
+        w, v = w_v(f"p{i - 1}")
+        ctes.append(
+            f"e{i} AS (\n  SELECT pat.*,\n"
+            f"    least(greatest(floor(({w}) / (({w}) + ({v}))"
+            f" * 1000000000 + 0.5)::BIGINT, 1), 999999999) AS p_int\n"
+            f"  FROM pat, p{i - 1}\n)"
+        )
+        m_cols = [
+            clamp6(
+                "sum(p_int * n_pairs)::DOUBLE"
+                " / (max(n_total) * 1000000000)::DOUBLE"
+            )
+            + " AS lam"
+        ]
+        for n in names:
+            m_cols.append(
+                clamp6(
+                    f"sum(CASE WHEN agree_{n} THEN p_int * n_pairs ELSE 0 END)"
+                    "::DOUBLE / sum(p_int * n_pairs)::DOUBLE"
+                )
+                + f" AS m_{n}"
+            )
+            m_cols.append(
+                clamp6(
+                    f"sum(CASE WHEN agree_{n} THEN (1000000000 - p_int)"
+                    " * n_pairs ELSE 0 END)::DOUBLE"
+                    " / (max(n_total) * 1000000000"
+                    " - sum(p_int * n_pairs))::DOUBLE"
+                )
+                + f" AS u_{n}"
+            )
+        ctes.append(
+            f"p{i} AS (\n  SELECT {(',' + chr(10) + '    ').join(m_cols)}\n"
+            f"  FROM e{i}, tot\n)"
+        )
+    wf, vf = w_v("p")
+    param_cols = ["p.lam"]
+    for n in names:
+        param_cols.append(f"p.m_{n}")
+        param_cols.append(f"p.u_{n}")
+    final = (
+        "SELECT pat.agree_dist, pat.agree_jw, pat.agree_jaccard,"
+        " pat.n_pairs,\n"
+        f"  floor(({wf}) / (({wf}) + ({vf})) * 1000000 + 0.5) / 1000000"
+        " AS posterior,\n  "
+        + ", ".join(param_cols)
+        + f"\nFROM pat, p{iters} p"
+    )
+    return ",\n".join(ctes) + "\n" + final
+
+
 _SQL_TOKS = r"""
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l
@@ -892,6 +1015,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["er_fs_weights"] = _er_fs_weights
+
+    # unsupervised EM training of the FS parameters (Winkler 1988 /
+    # the Splink architecture): one hash aggregate collapses the pair
+    # frame to <= 2^K agreement-pattern counts, EM runs on the driver
+    # over that sufficient statistic with fixed-point posteriors, and
+    # the output is the per-pattern training report with the trained
+    # (lam, m, u) as literal columns — bit-deterministic cross-engine
+    def _er_fs_em(spark, sf):
+        from orchid_fst_spark.er.scoring import fs_em_train
+
+        scored = score_pairs(
+            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        )
+        _, patterns = fs_em_train(scored, iters=_FS_EM_ITERS)
+        return patterns
+
+    q["er_fs_em"] = _er_fs_em
 
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
@@ -2496,29 +2636,7 @@ FROM r"""
         "jw": (_math.log2(0.85 / 0.02), _math.log2(0.15 / 0.98)),
         "jaccard": (_math.log2(0.8 / 0.05), _math.log2(0.2 / 0.95)),
     }
-    o["er_fs_weights"] = f"""WITH {_SQL_VDICT},
-pairs AS (
-  SELECT a.key AS key_a, b.key AS key_b,
-         levenshtein(a.key, b.key)::BIGINT AS dist
-  FROM vdict a, vdict b
-  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
-),
-feat AS (
-  SELECT key_a, key_b, dist,
-    dist <= 1 AS agree_dist,
-    round(jaro_winkler_similarity(key_a, key_b), 6) >= 0.9 AS agree_jw,
-    round(CASE WHEN len(list_distinct(
-            list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')
-            || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\\s+'), x -> x <> ''))) > 0
-       THEN len(list_intersect(
-              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')),
-              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\\s+'), x -> x <> ''))))::DOUBLE
-            / len(list_distinct(
-              list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')
-              || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\\s+'), x -> x <> '')))
-       ELSE 0.0 END, 6) >= 0.5 AS agree_jaccard
-  FROM pairs
-)
+    o["er_fs_weights"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT}
 SELECT key_a, key_b, dist, agree_dist, agree_jw, agree_jaccard,
   round(0.0::DOUBLE
     + CASE WHEN agree_dist THEN {_fsw['dist'][0]!r}::DOUBLE ELSE {_fsw['dist'][1]!r}::DOUBLE END
@@ -2526,6 +2644,10 @@ SELECT key_a, key_b, dist, agree_dist, agree_jw, agree_jaccard,
     + CASE WHEN agree_jaccard THEN {_fsw['jaccard'][0]!r}::DOUBLE ELSE {_fsw['jaccard'][1]!r}::DOUBLE END,
   6) AS fs_weight
 FROM feat"""
+
+    # EM-trained FS parameters: the unrolled-CTE replay of the trainer's
+    # fixed-point arithmetic (see _fs_em_sql)
+    o["er_fs_em"] = f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},\n{_fs_em_sql()}"
 
     # blocking quality of the weak first-2-chars prefix blocker vs the
     # complete lev<=2 truth pair set

@@ -100,3 +100,186 @@ def fs_match_weights(
             F.col(f"agree_{name}"), F.lit(agree_w)
         ).otherwise(F.lit(disagree_w))
     return out.withColumn("fs_weight", F.round(total, 6))
+
+
+def default_fs_features() -> list[tuple[str, F.Column]]:
+    """The three agreement conditions ``fs_match_weights`` defaults to,
+    without priors — the condition set ``fs_em_train`` trains m/u for."""
+    return [
+        ("dist", F.col("dist") <= 1),
+        ("jw", F.round(F.col("jw"), 6) >= 0.9),
+        ("jaccard", F.round(F.col("token_jaccard"), 6) >= 0.5),
+    ]
+
+
+# fixed-point scales shared by the Spark/driver EM and the SQL oracle
+_EM_PSCALE = 10**9  # posterior fixed-point (floor(p*1e9 + 0.5))
+_EM_RSCALE = 10**6  # parameter rounding (6dp)
+_EM_EPS = 1e-06     # parameter clamp: params live in [1e-6, 0.999999]
+_EM_HI = 0.999999   # literal, NOT 1.0-1e-06: the decimal literal is what
+                    # the SQL oracle parses, and 1.0-1e-06 computed in
+                    # doubles need not be the same bit pattern
+
+
+def _em_round_clamp(x: float) -> float:
+    """round-half-up to 6dp then clamp into (0, 1) — EXACTLY
+    ``least(greatest(floor(x*1e6 + 0.5)/1e6, 1e-6), 0.999999)`` so the
+    SQL oracle reproduces every trained parameter bit-for-bit."""
+    import math
+
+    r = math.floor(x * _EM_RSCALE + 0.5) / _EM_RSCALE
+    return min(max(r, _EM_EPS), _EM_HI)
+
+
+def fs_em_train(
+    scored: DataFrame,
+    features: list[tuple[str, F.Column]] | None = None,
+    iters: int = 10,
+    init: tuple[float, float, float] = (0.1, 0.9, 0.1),
+):
+    """Unsupervised Fellegi–Sunter parameter training by EM (Winkler
+    1988; the Splink architecture): estimate the match prevalence
+    ``lam`` and per-feature agreement probabilities ``m``/``u`` from
+    UNLABELED candidate pairs under the conditional-independence model,
+    so ``fs_match_weights`` no longer needs hand-set priors.
+
+    The distributed work is ONE hash aggregate: the K boolean agreement
+    features collapse the pair frame into at most 2**K agreement-
+    pattern counts (map-side partial combine over <= 2**K groups — the
+    shuffle carries 2**K rows per task no matter the corpus size).  EM
+    then iterates on the driver over that tiny contingency table, which
+    is the exact sufficient statistic for the CI model — at 100 TB the
+    cluster computes one aggregate and the driver does arithmetic on
+    <= 2**K integers.
+
+    Determinism contract (cross-engine, oracle-checkable): posteriors
+    are fixed-point integers ``clamp(floor(p * 1e9 + 0.5), 1, 1e9-1)``;
+    the M-step is exact BIGINT sums of ``p_int * n`` (needs
+    ``total_pairs < ~9e9`` to stay in int64 — raise ``_EM_PSCALE``
+    headroom by lowering it if you are genuinely beyond that);
+    parameters are rounded half-up to 6dp and clamped to
+    ``[1e-6, 1-1e-6]`` after every update.  Every float op (product
+    order, division, floor) is mirrored statement-for-statement by the
+    unrolled-CTE SQL the entry oracle generates, so the trained
+    parameters hash-match across engines.
+
+    Returns ``(params, patterns)``:
+
+    - ``params``: ``{"lam": float, "<name>": (m, u), ...}`` — feed the
+      pairs ``[(name, cond, m, u)]`` straight into ``fs_match_weights``
+      to score the full pair frame with the trained weights.
+    - ``patterns``: DataFrame ``(agree_<name>..., n_pairs, posterior,
+      lam, m_<name>, u_<name>...)`` — one row per observed agreement
+      pattern with its trained match posterior (6dp) and the parameters
+      as literal columns, the auditable training report.
+    """
+    import math
+
+    if features is None:
+        features = default_fs_features()
+    if not features:
+        raise ValueError("need at least one feature")
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+    names = [n for n, _ in features]
+    flagged = scored
+    for name, cond in features:
+        flagged = flagged.withColumn(f"agree_{name}", cond)
+    agree_cols = [f"agree_{n}" for n in names]
+    pat_df = flagged.groupBy(*agree_cols).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    rows = pat_df.collect()  # <= 2**K rows by construction
+    if not rows:
+        raise ValueError("no candidate pairs to train on")
+    pats = [
+        (tuple(bool(r[c]) for c in agree_cols), int(r["n_pairs"]))
+        for r in rows
+    ]
+    # deterministic driver-side order (the sums below are exact-integer,
+    # so order only matters for reproducibility of debugging output)
+    pats.sort(key=lambda t: t[0])
+    n_total = sum(n for _, n in pats)
+
+    lam0, m0, u0 = init
+    lam = _em_round_clamp(lam0)
+    m = [_em_round_clamp(m0)] * len(names)
+    u = [_em_round_clamp(u0)] * len(names)
+
+    def _posteriors(lam, m, u):
+        out = []
+        for g, n in pats:
+            w = lam
+            v = 1.0 - lam
+            for k in range(len(names)):
+                w = w * (m[k] if g[k] else 1.0 - m[k])
+                v = v * (u[k] if g[k] else 1.0 - u[k])
+            p = w / (w + v)
+            p_int = math.floor(p * _EM_PSCALE + 0.5)
+            p_int = min(max(p_int, 1), _EM_PSCALE - 1)
+            out.append((g, n, p_int))
+        return out
+
+    for _ in range(iters):
+        e = _posteriors(lam, m, u)
+        sum_p = sum(p_int * n for _, n, p_int in e)
+        lam = _em_round_clamp(sum_p / float(n_total * _EM_PSCALE))
+        new_m, new_u = [], []
+        for k in range(len(names)):
+            num_m = sum(p_int * n for g, n, p_int in e if g[k])
+            num_u = sum((_EM_PSCALE - p_int) * n for g, n, p_int in e if g[k])
+            den_u = n_total * _EM_PSCALE - sum_p
+            new_m.append(_em_round_clamp(num_m / float(sum_p)))
+            new_u.append(_em_round_clamp(num_u / float(den_u)))
+        m, u = new_m, new_u
+
+    params: dict = {"lam": lam}
+    for k, name in enumerate(names):
+        params[name] = (m[k], u[k])
+
+    # final per-pattern posterior as literal-folded Spark expressions
+    # over the (lazy, distributed) pattern frame — the same left-assoc
+    # product/divide/round sequence the oracle SQL writes out
+    w: F.Column = F.lit(lam)
+    v: F.Column = F.lit(1.0 - lam)
+    for k, name in enumerate(names):
+        gk = F.col(f"agree_{name}")
+        w = w * F.when(gk, F.lit(m[k])).otherwise(F.lit(1.0 - m[k]))
+        v = v * F.when(gk, F.lit(u[k])).otherwise(F.lit(1.0 - u[k]))
+    post = F.floor(w / (w + v) * F.lit(float(_EM_RSCALE)) + F.lit(0.5)) / F.lit(
+        float(_EM_RSCALE)
+    )
+    out = pat_df.withColumn("posterior", post).withColumn("lam", F.lit(lam))
+    for k, name in enumerate(names):
+        out = out.withColumn(f"m_{name}", F.lit(m[k])).withColumn(
+            f"u_{name}", F.lit(u[k])
+        )
+    return params, out
+
+
+def trained_fs_features(
+    params: dict,
+    features: list[tuple[str, F.Column]] | None = None,
+) -> list[tuple[str, F.Column, float, float]]:
+    """Bridge ``fs_em_train`` output into ``fs_match_weights`` input:
+    ``[(name, cond, m, u)]`` keeping only the INFORMATIVE features —
+    EM on data where a feature never (or always) agrees legitimately
+    converges to ``m <= u`` (often both clamped to the 1e-6 floor),
+    and such a feature carries no log-likelihood-ratio evidence under
+    the model, so it is dropped rather than passed to the strict
+    ``0 < u < m < 1`` prior check.  Raises if NO feature survives
+    (the trained model found nothing discriminative — scoring with it
+    would be noise)."""
+    if features is None:
+        features = default_fs_features()
+    out = [
+        (name, cond, params[name][0], params[name][1])
+        for name, cond in features
+        if params[name][0] > params[name][1]
+    ]
+    if not out:
+        raise ValueError(
+            "no informative feature survived EM (m <= u for all); "
+            "the trained model cannot score matches"
+        )
+    return out

@@ -295,3 +295,93 @@ def test_fs_match_weights_rejects_bad_priors(spark):
     scored = score_pairs(pairs)
     with pytest.raises(ValueError):
         fs_match_weights(scored, [("x", F.col("dist") <= 1, 0.5, 0.9)])
+
+
+def test_fs_em_train_recovers_planted_populations(spark):
+    from orchid_fst_spark.er.scoring import fs_em_train, score_pairs
+
+    # 40 identical pairs (true matches: every feature agrees) + 160 far
+    # pairs (non-matches: nothing agrees) — EM must find a high-m/low-u
+    # split per feature, lam near 0.2, and a posterior that separates
+    # the two patterns by construction
+    rows = [("spark", "spark", 0)] * 40 + [("spark", "zzzz-qq", 2)] * 160
+    pairs = spark.createDataFrame(
+        rows, "key_a string, key_b string, dist long"
+    )
+    params, patterns = fs_em_train(score_pairs(pairs), iters=10)
+    assert 0.15 <= params["lam"] <= 0.25
+    for name in ("dist", "jw", "jaccard"):
+        m, u = params[name]
+        assert m > 0.9 and u < 0.1, f"{name}: m={m} u={u}"
+    by_pat = {
+        (r.agree_dist, r.agree_jw, r.agree_jaccard): r
+        for r in patterns.collect()
+    }
+    assert by_pat[(True, True, True)].posterior > 0.99
+    assert by_pat[(False, False, False)].posterior < 0.01
+    assert by_pat[(True, True, True)].n_pairs == 40
+
+
+def test_fs_em_train_partitioning_invariant(spark):
+    from orchid_fst_spark.er.scoring import fs_em_train, score_pairs
+
+    rows = (
+        [("spark", "spark", 0)] * 7
+        + [("spark", "spork", 1)] * 5
+        + [("spark", "zzzz-qq", 2)] * 30
+    )
+    pairs = spark.createDataFrame(
+        rows, "key_a string, key_b string, dist long"
+    )
+    p1, _ = fs_em_train(score_pairs(pairs), iters=10)
+    p8, _ = fs_em_train(score_pairs(pairs).repartition(8), iters=10)
+    assert p1 == p8  # exact: the sufficient statistic is integer counts
+
+
+def test_fs_em_train_feeds_fs_match_weights(spark):
+    from orchid_fst_spark.er.scoring import (
+        default_fs_features,
+        fs_em_train,
+        fs_match_weights,
+        score_pairs,
+    )
+
+    rows = [("spark", "spark", 0)] * 10 + [("spark", "zzzz-qq", 2)] * 40
+    scored = score_pairs(
+        spark.createDataFrame(rows, "key_a string, key_b string, dist long")
+    )
+    params, _ = fs_em_train(scored, iters=10)
+    from orchid_fst_spark.er.scoring import trained_fs_features
+
+    feats = trained_fs_features(params)
+    assert [f[0] for f in feats] == [n for n, _ in default_fs_features()]
+    w = {r.key_b: r.fs_weight for r in fs_match_weights(scored, feats).collect()}
+    assert w["spark"] > 0 > w["zzzz-qq"]
+
+
+def test_trained_fs_features_drops_uninformative(spark):
+    from orchid_fst_spark.er.scoring import trained_fs_features
+
+    # jaccard degenerated to the clamp floor on both sides (a corpus
+    # where the feature never agrees) -> dropped, informative ones kept
+    params = {
+        "lam": 0.1,
+        "dist": (0.9, 0.05),
+        "jw": (0.8, 0.1),
+        "jaccard": (1e-06, 1e-06),
+    }
+    feats = trained_fs_features(params)
+    assert [f[0] for f in feats] == ["dist", "jw"]
+    with pytest.raises(ValueError):
+        trained_fs_features({"lam": 0.1, "dist": (1e-06, 1e-06)},
+                            [("dist", F.col("dist") <= 1)])
+
+
+def test_fs_em_train_rejects_empty(spark):
+    from orchid_fst_spark.er.scoring import fs_em_train, score_pairs
+
+    empty = spark.createDataFrame(
+        [], "key_a string, key_b string, dist long"
+    )
+    with pytest.raises(ValueError):
+        fs_em_train(score_pairs(empty))
