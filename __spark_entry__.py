@@ -1033,6 +1033,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_em"] = _er_fs_em
 
+    # mutual-best-match 1:1 linkage: one min_by aggregate per key over
+    # the symmetrized pairs, then the node-sized best-frame self-join —
+    # the scalable stand-in for one-to-one assignment
+    def _er_mutual_best(spark, sf):
+        from orchid_fst_spark.er.scoring import mutual_best_pairs
+
+        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        return mutual_best_pairs(score_pairs(cands), score_col="jw")
+
+    q["er_mutual_best"] = _er_mutual_best
+
+    # decision-threshold sweep: P/R/F1 of "fs_weight >= w" for every
+    # distinct trained weight (<= 2^K rows), cumulative counts from one
+    # pair-sized aggregate — how the FS acceptance threshold is picked
+    def _er_threshold_sweep(spark, sf):
+        from orchid_fst_spark.er.evaluate import weight_threshold_sweep
+        from orchid_fst_spark.er.scoring import fs_match_weights
+
+        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        weighted = fs_match_weights(score_pairs(cands))
+        truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
+        return weight_threshold_sweep(weighted, truth)
+
+    q["er_threshold_sweep"] = _er_threshold_sweep
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2648,6 +2673,72 @@ FROM feat"""
     # EM-trained FS parameters: the unrolled-CTE replay of the trainer's
     # fixed-point arithmetic (see _fs_em_sql)
     o["er_fs_em"] = f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},\n{_fs_em_sql()}"
+
+    # mutual best match: per-key argmax (score desc 6dp, partner asc)
+    # over the symmetrized pair set, kept only when reciprocal
+    o["er_mutual_best"] = f"""WITH {_SQL_VDICT},
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b
+  FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+sym AS (
+  SELECT key_a AS k, key_b AS p,
+         round(jaro_winkler_similarity(key_a, key_b), 6) AS s FROM pairs
+  UNION ALL
+  SELECT key_b, key_a,
+         round(jaro_winkler_similarity(key_a, key_b), 6) FROM pairs
+),
+best AS (
+  SELECT k, p, s FROM (
+    SELECT k, p, s,
+           row_number() OVER (PARTITION BY k ORDER BY s DESC, p ASC) AS rn
+    FROM sym
+  ) WHERE rn = 1
+)
+SELECT a.k AS key_a, a.p AS key_b, a.s AS score
+FROM best a JOIN best b ON a.p = b.k AND b.p = a.k
+WHERE a.k < a.p"""
+
+    # threshold sweep: per-distinct-fs_weight cumulative P/R/F1 vs the
+    # dist<=1 truth pairs (raw p/r feed f1 before rounding, like _prf)
+    o["er_threshold_sweep"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
+weights AS (
+  SELECT key_a, key_b,
+    round(0.0::DOUBLE
+      + CASE WHEN agree_dist THEN {_fsw['dist'][0]!r}::DOUBLE ELSE {_fsw['dist'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jw THEN {_fsw['jw'][0]!r}::DOUBLE ELSE {_fsw['jw'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jaccard THEN {_fsw['jaccard'][0]!r}::DOUBLE ELSE {_fsw['jaccard'][1]!r}::DOUBLE END,
+    6) AS w
+  FROM feat
+),
+truth AS (SELECT key_a AS pa, key_b AS pb FROM pairs WHERE dist <= 1),
+flagged AS (
+  SELECT w.w, CASE WHEN t.pa IS NOT NULL THEN 1 ELSE 0 END AS in_t
+  FROM weights w LEFT JOIN truth t ON w.key_a = t.pa AND w.key_b = t.pb
+),
+per_w AS (
+  SELECT w AS _w, count(*)::BIGINT AS n_at, sum(in_t)::BIGINT AS t_at
+  FROM flagged GROUP BY w
+),
+nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+cum AS (
+  SELECT _w,
+    sum(n_at) OVER (ORDER BY _w DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS n_pred,
+    sum(t_at) OVER (ORDER BY _w DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS tp
+  FROM per_w
+),
+r AS (
+  SELECT _w, n_pred, tp,
+    CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred ELSE 1.0 END AS p_raw,
+    CASE WHEN n_truth > 0 THEN tp::DOUBLE / n_truth ELSE 1.0 END AS r_raw
+  FROM cum, nt
+)
+SELECT _w AS threshold, n_pred, tp,
+  round(p_raw, 6) AS "precision", round(r_raw, 6) AS recall,
+  round(CASE WHEN p_raw + r_raw > 0
+             THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
+FROM r"""
 
     # blocking quality of the weak first-2-chars prefix blocker vs the
     # complete lev<=2 truth pair set

@@ -24,7 +24,7 @@ sized) frames followed by single-row aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -201,4 +201,72 @@ def blocking_quality(
         "tp",
         F.round(pc, 6).alias("pair_completeness"),
         F.round(rr, 6).alias("reduction_ratio"),
+    )
+
+
+def weight_threshold_sweep(
+    weighted: DataFrame,
+    truth: DataFrame,
+    weight_col: str = "fs_weight",
+    a: str = "key_a",
+    b: str = "key_b",
+) -> DataFrame:
+    """Precision/recall/F1 at EVERY candidate decision threshold: for
+    each distinct value ``w`` of ``weight_col``, the metrics of the rule
+    "predict match iff weight >= w" against the labeled ``truth`` pair
+    set — the curve you read to pick the Fellegi-Sunter acceptance
+    threshold (or any scorer's operating point) instead of guessing.
+
+    One row per distinct weight, descending: ``(threshold, n_pred,
+    tp, precision, recall, f1)``.  ``n_pred``/``tp`` are CUMULATIVE
+    (all pairs at or above the threshold).
+
+    Plan shape: canonicalize + left-join truth onto the weighted pairs
+    (both pair-sized), ONE groupBy(weight) aggregate to per-weight
+    (n, n_true) — map-side combined, so the shuffle carries one row per
+    distinct weight per task — then the cumulative sums run in a window
+    over the distinct-weight frame only.  With K boolean FS features
+    that frame has at most 2**K rows, so the single-partition window is
+    constant-sized by construction (for a continuous scorer, bucket the
+    weights first — e.g. ``F.round(w, 2)`` — to keep it bounded).
+    Truth size is one scalar aggregate; truth pairs absent from the
+    candidate set count as FN at every threshold (recall is honest even
+    when blocking missed them).
+    """
+    # canonicalize keeping the weight: a pair emitted twice keeps its
+    # best weight (max — deterministic, and the rule "weight >= w"
+    # predicts the pair at its strongest evidence)
+    wp = (
+        weighted.select(
+            F.least(F.col(a), F.col(b)).alias("pa"),
+            F.greatest(F.col(a), F.col(b)).alias("pb"),
+            F.col(weight_col).alias("_w"),
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.max("_w").alias("_w"))
+    )
+    t = _canon_pairs(truth, a, b).withColumn("in_t", F.lit(1))
+    flagged = wp.join(t, ["pa", "pb"], "left")
+    per_w = flagged.groupBy("_w").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.coalesce(F.sum("in_t"), F.lit(0)).cast("long").alias("t_at"),
+    )
+    n_truth = t.agg(F.count("*").cast("long").alias("n_truth"))
+    win = Window.orderBy(F.col("_w").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_w.withColumn("n_pred", F.sum("n_at").over(win))
+        .withColumn("tp", F.sum("t_at").over(win))
+        .crossJoin(n_truth)
+    )
+    tp = F.col("tp")
+    fp = F.col("n_pred") - tp
+    fn = F.col("n_truth") - tp
+    return cum.select(
+        F.col("_w").alias("threshold"),
+        "n_pred",
+        "tp",
+        *_prf(tp, fp, fn),
     )

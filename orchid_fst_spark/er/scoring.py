@@ -283,3 +283,58 @@ def trained_fs_features(
             "the trained model cannot score matches"
         )
     return out
+
+
+def mutual_best_pairs(
+    scored: DataFrame,
+    a: str = "key_a",
+    b: str = "key_b",
+    score_col: str = "jw",
+) -> DataFrame:
+    """Mutual-best-match linkage (the distributed 1:1 constraint):
+    keep a candidate pair only when each side is the other's single
+    best-scoring partner — the standard scalable approximation of
+    one-to-one assignment in record linkage (a global optimal matching
+    is sequential; mutual nearest neighbors is embarrassingly
+    aggregate-shaped and what production linkers ship).
+
+    Input: canonical candidate pairs (``a < b``, one row per pair) with
+    a similarity column.  The pair set is symmetrized internally so
+    "best partner" sees neighbors on both sides of the canonical order.
+
+    Determinism: the best partner per key is ONE ``min_by`` aggregate
+    ordered by ``(-round(score, 6), partner)`` — 6dp rounding first
+    (absorbs cross-engine ulp noise per the recipe), lexicographically
+    smallest partner on ties.  ``min_by``/``arg_min`` on a struct gets
+    a map-side partial combine in both engines, so the per-key argmax
+    never materializes the neighbor lists.
+
+    Plan: symmetrize (no shuffle) -> one groupBy(key) aggregate (one
+    Exchange on the key) -> self-join of the node-sized best frame on
+    the (key = partner) equi-join -> canonical filter.  Output:
+    ``(key_a, key_b, score)`` with ``key_a < key_b``, score 6dp.
+    """
+    sym = scored.select(
+        F.col(a).alias("k"), F.col(b).alias("p"),
+        F.round(F.col(score_col), 6).alias("s"),
+    ).unionAll(
+        scored.select(
+            F.col(b).alias("k"), F.col(a).alias("p"),
+            F.round(F.col(score_col), 6).alias("s"),
+        )
+    )
+    best = sym.groupBy("k").agg(
+        F.min_by(F.struct(F.col("p"), F.col("s")), F.struct(-F.col("s"), F.col("p"))).alias("bp")
+    ).select("k", F.col("bp.p").alias("p"), F.col("bp.s").alias("s"))
+    other = best.select(
+        F.col("k").alias("p2"), F.col("p").alias("k2")
+    )
+    return (
+        best.join(other, (best.k == other.k2) & (best.p == other.p2))
+        .filter(F.col("k") < F.col("p"))
+        .select(
+            F.col("k").alias("key_a"),
+            F.col("p").alias("key_b"),
+            F.col("s").alias("score"),
+        )
+    )

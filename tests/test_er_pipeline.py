@@ -385,3 +385,69 @@ def test_fs_em_train_rejects_empty(spark):
     )
     with pytest.raises(ValueError):
         fs_em_train(score_pairs(empty))
+
+
+def test_mutual_best_pairs_hand_built(spark):
+    from orchid_fst_spark.er.scoring import mutual_best_pairs
+
+    # a-b strongest reciprocal pair; c's best is b, but b's best is a,
+    # so (b, c) is NOT mutual; d-e isolated reciprocal pair
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.95),
+            ("b", "c", 0.90),
+            ("a", "c", 0.10),
+            ("d", "e", 0.80),
+        ],
+        "key_a string, key_b string, jw double",
+    )
+    got = {
+        (r.key_a, r.key_b): r.score
+        for r in mutual_best_pairs(pairs).collect()
+    }
+    assert got == {("a", "b"): 0.95, ("d", "e"): 0.8}
+
+
+def test_mutual_best_pairs_tie_breaks_lexicographic(spark):
+    from orchid_fst_spark.er.scoring import mutual_best_pairs
+
+    # x ties between m and z: the lexicographically smaller partner (m)
+    # wins deterministically, and m reciprocates
+    pairs = spark.createDataFrame(
+        [("x", "z", 0.9), ("m", "x", 0.9)],
+        "key_a string, key_b string, jw double",
+    )
+    got = [(r.key_a, r.key_b) for r in mutual_best_pairs(pairs).collect()]
+    assert got == [("m", "x")]
+
+
+def test_weight_threshold_sweep_hand_counts(spark):
+    from orchid_fst_spark.er.evaluate import weight_threshold_sweep
+
+    weighted = spark.createDataFrame(
+        [
+            ("a", "b", 10.0),  # true
+            ("c", "d", 10.0),  # false
+            ("e", "f", 5.0),   # true
+            ("g", "h", -3.0),  # false
+        ],
+        "key_a string, key_b string, fs_weight double",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b"), ("e", "f"), ("p", "q")],  # p-q never predicted -> FN
+        "key_a string, key_b string",
+    )
+    rows = {
+        r.threshold: r
+        for r in weight_threshold_sweep(weighted, truth).collect()
+    }
+    assert set(rows) == {10.0, 5.0, -3.0}
+    top = rows[10.0]
+    assert (top.n_pred, top.tp) == (2, 1)
+    assert top.precision == 0.5 and top.recall == round(1 / 3, 6)
+    mid = rows[5.0]
+    assert (mid.n_pred, mid.tp) == (3, 2)
+    assert mid.recall == round(2 / 3, 6)
+    bot = rows[-3.0]
+    assert (bot.n_pred, bot.tp) == (4, 2)
+    assert bot.precision == 0.5 and bot.recall == round(2 / 3, 6)
