@@ -1044,6 +1044,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_mutual_best"] = _er_mutual_best
 
+    # phonetic (simplified-Soundex) blocking over the eval dictionary:
+    # sound-alike keys pair up through the capped block graph — all-JVM
+    # string expressions, no Python in the plan
+    def _phonetic_block_pairs(spark, sf):
+        from orchid_fst_spark.er.neighborhood import phonetic_blocking_pairs
+
+        return phonetic_blocking_pairs(_vdict(spark, sf), "key")
+
+    q["phonetic_block_pairs"] = _phonetic_block_pairs
+
     # decision-threshold sweep: P/R/F1 of "fs_weight >= w" for every
     # distinct trained weight (<= 2^K rows), cumulative counts from one
     # pair-sized aggregate — how the FS acceptance threshold is picked
@@ -2699,6 +2709,38 @@ best AS (
 SELECT a.k AS key_a, a.p AS key_b, a.s AS score
 FROM best a JOIN best b ON a.p = b.k AND b.p = a.k
 WHERE a.k < a.p"""
+
+    # phonetic blocking: the simplified-Soundex chain spelled in DuckDB
+    # (translate + per-digit run collapse; RE2 has no backrefs), then
+    # the capped block self-join — twin of er.neighborhood
+    # .phonetic_blocking_pairs / functions.normalize.phonetic_key
+    _ph = (
+        "regexp_replace(" * 7
+        + "translate(l, 'abcdefghijklmnopqrstuvwxyz',"
+        " '01230120022455012623010202')"
+        + "".join(f", '{d}+', '{d}', 'g')" for d in "0123456")
+    )
+    o["phonetic_block_pairs"] = f"""WITH {_SQL_VDICT},
+lets AS (
+  SELECT key, regexp_replace(lower(key), '[^a-z]', '', 'g') AS l FROM vdict
+),
+codes AS (
+  SELECT key,
+    CASE WHEN l = '' THEN '' ELSE
+      upper(substr(l, 1, 1)) ||
+      rpad(substr(translate(substr({_ph}, 2), '0', ''), 1, 3), 3, '0')
+    END AS block
+  FROM lets
+),
+capped AS (
+  SELECT key, block FROM (
+    SELECT key, block, count(*) OVER (PARTITION BY block) AS n
+    FROM codes WHERE block <> ''
+  ) WHERE n <= 1000
+)
+SELECT a.key AS id_a, b.key AS id_b, count(*)::BIGINT AS weight
+FROM capped a JOIN capped b ON a.block = b.block AND a.key < b.key
+GROUP BY 1, 2"""
 
     # threshold sweep: per-distinct-fs_weight cumulative P/R/F1 vs the
     # dist<=1 truth pairs (raw p/r feed f1 before rounding, like _prf)

@@ -309,3 +309,39 @@ def wnp_prune(
         )
         .select(id_a, id_b, weight_col)
     )
+
+
+def phonetic_blocking_pairs(
+    records: DataFrame,
+    key_col: str = "key",
+    id_col: str | None = None,
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Phonetic blocking (Odell & Russell's Soundex, the oldest blocking
+    scheme in record linkage): records whose keys share the simplified-
+    Soundex code become candidates — catches sound-alike misspellings
+    (vowel swaps, doubled consonants, voiced/unvoiced confusions) that
+    edit-distance segment blocks treat as far apart.
+
+    Returns ``(id_a, id_b, weight)`` through ``block_graph`` (weight is
+    1 — one code per key; composable with other blockers' graphs by
+    union before ``wep_prune``/``wnp_prune``).  Keys with no letters
+    code to '' and are excluded.  Blocks hotter than ``block_cap`` are
+    purged by the constant-memory window cap (phonetic codes have only
+    26*7^3 possible values, so at web scale EVERY block is hot — lower
+    the cap or intersect with another blocker; the purge is observable
+    via the weight mass dropped)."""
+    from ..functions.normalize import phonetic_key
+
+    if id_col is None:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(key_col).alias("id")
+        )
+    else:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(id_col).alias("id")
+        )
+    blocks = df.select(
+        "id", phonetic_key("key").alias("block")
+    ).filter(F.col("block") != "")
+    return block_graph(blocks, block_cap=block_cap)

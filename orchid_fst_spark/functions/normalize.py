@@ -81,3 +81,37 @@ def tokens(col) -> Column:
     """Whitespace tokens of a normalized string (empty strings removed)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+# letter -> Soundex digit map, aligned to 'abcdefghijklmnopqrstuvwxyz'
+# (vowels + h/w/y -> 0, the six consonant classes -> 1..6)
+_SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def phonetic_key(col) -> Column:
+    """Simplified Soundex phonetic code (Knuth TAOCP vol. 3 variant
+    WITHOUT the h/w-separator rule): uppercase first letter + the first
+    three consonant-class digits after collapsing adjacent runs and
+    dropping vowel-class zeros, zero-padded — 'robert'/'rupert' ->
+    'R163', 'tymczak' -> 'T522'.  Keys with no ASCII letters code to
+    the empty string (exclude them from phonetic blocks).
+
+    Pure JVM string expressions (lower/regexp/translate/rpad — inside
+    whole-stage codegen, no Python), and every step has an identical
+    DuckDB spelling, so phonetic blocks are oracle-checkable.  The
+    collapse step is one regexp per digit class because RE2 (DuckDB)
+    has no backreferences; 7 chained constant regexes fold into one
+    codegen stage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.regexp_replace(F.lower(c), "[^a-z]", "")
+    digits = F.translate(letters, "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_DIGITS)
+    for d in "0123456":
+        digits = F.regexp_replace(digits, d + "+", d)
+    tail = F.translate(F.substring(digits, 2, 1 << 30), "0", "")
+    return F.when(letters == "", F.lit("")).otherwise(
+        F.concat(
+            F.upper(F.substring(letters, 1, 1)),
+            F.rpad(F.substring(tail, 1, 3), 3, "0"),
+        )
+    )

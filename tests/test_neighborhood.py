@@ -256,3 +256,46 @@ def test_suffix_blocking_matches_brute_force(spark):
         ).collect()
     }
     assert got2 == brute(maxn=1)
+
+
+def test_phonetic_key_goldens(spark):
+    from orchid_fst_spark.functions.normalize import phonetic_key
+
+    rows = [
+        ("robert", "R163"), ("rupert", "R163"), ("tymczak", "T522"),
+        ("pfister", "P236"), ("ashcraft", "A226"), ("honeyman", "H555"),
+        ("", ""), ("123", ""), ("a-b c", "A120"),
+    ]
+    df = spark.createDataFrame([(k,) for k, _ in rows], "key string")
+    got = {
+        r.key: r.code
+        for r in df.select("key", phonetic_key("key").alias("code")).collect()
+    }
+    assert got == dict(rows)
+
+
+def test_phonetic_blocking_pairs_sound_alikes(spark):
+    from orchid_fst_spark.er.neighborhood import phonetic_blocking_pairs
+
+    recs = spark.createDataFrame(
+        [("robert",), ("rupert",), ("tymczak",), ("zzz",)], "key string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in phonetic_blocking_pairs(recs).collect()
+    }
+    # robert/rupert share R163; edit distance between them is 3 — a pair
+    # every k<=2 segment blocker misses
+    assert got == {("robert", "rupert"): 1}
+
+
+def test_phonetic_blocking_cap_purges_hot_code(spark):
+    from orchid_fst_spark.er.neighborhood import phonetic_blocking_pairs
+
+    recs = spark.createDataFrame(
+        [(f"robert{i}",) for i in range(5)] + [("tymczak",), ("tymzak",)],
+        "key string",
+    )
+    got = phonetic_blocking_pairs(recs, block_cap=4).collect()
+    # the 5-member R163 block is purged; the 2-member T522 block stays
+    assert {(r.id_a, r.id_b) for r in got} == {("tymczak", "tymzak")}
