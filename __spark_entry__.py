@@ -1054,6 +1054,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phonetic_block_pairs"] = _phonetic_block_pairs
 
+    # schema-agnostic token blocking over documents (Papadakis
+    # baseline): shared-distinct-token CBS weights with the hot-token
+    # df-cap purge doing the real work on web text
+    def _token_block_pairs(spark, sf):
+        from orchid_fst_spark.er.neighborhood import token_blocking_pairs
+
+        return token_blocking_pairs(
+            _docs(spark, sf), "text", "doc_id", block_cap=100
+        )
+
+    q["token_block_pairs"] = _token_block_pairs
+
     # decision-threshold sweep: P/R/F1 of "fs_weight >= w" for every
     # distinct trained weight (<= 2^K rows), cumulative counts from one
     # pair-sized aggregate — how the FS acceptance threshold is picked
@@ -2740,6 +2752,22 @@ capped AS (
 )
 SELECT a.key AS id_a, b.key AS id_b, count(*)::BIGINT AS weight
 FROM capped a JOIN capped b ON a.block = b.block AND a.key < b.key
+GROUP BY 1, 2"""
+
+    # token blocking over documents: distinct (doc, token) assignments,
+    # window-capped hot tokens, shared-token pair counts
+    o["token_block_pairs"] = f"""WITH {_SQL_TOKS},
+asg AS (
+  SELECT DISTINCT doc_id AS id, t.tok AS block
+  FROM toks, unnest(l) AS t(tok)
+),
+capped AS (
+  SELECT id, block FROM (
+    SELECT id, block, count(*) OVER (PARTITION BY block) AS n FROM asg
+  ) WHERE n <= 100
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS weight
+FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
 GROUP BY 1, 2"""
 
     # threshold sweep: per-distinct-fs_weight cumulative P/R/F1 vs the

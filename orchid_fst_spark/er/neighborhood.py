@@ -345,3 +345,31 @@ def phonetic_blocking_pairs(
         "id", phonetic_key("key").alias("block")
     ).filter(F.col("block") != "")
     return block_graph(blocks, block_cap=block_cap)
+
+
+def token_blocking_pairs(
+    records: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Schema-agnostic token blocking (Papadakis et al., the baseline
+    every meta-blocking paper prunes): every distinct whitespace token
+    of the record's text is a block, so records sharing ANY token
+    become candidates and the CBS weight counts shared distinct tokens
+    — the signal ``wep_prune``/``wnp_prune`` threshold on.
+
+    Returns ``(id_a, id_b, weight)`` through ``block_graph``.  Web-scale
+    note: natural-language stopwords make most token blocks hot — the
+    ``block_cap`` purge (constant-memory window count, one reused
+    Exchange) is NOT optional here but the scheme's documented df-cap,
+    exactly like the shingle df-cap in ``ngram_jaccard_pairs``; purged
+    mass is observable by diffing ``count`` against the uncapped block
+    list."""
+    from ..functions.normalize import tokens
+
+    blocks = records.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("block"),
+    )
+    return block_graph(blocks, block_cap=block_cap)

@@ -299,3 +299,38 @@ def test_phonetic_blocking_cap_purges_hot_code(spark):
     got = phonetic_blocking_pairs(recs, block_cap=4).collect()
     # the 5-member R163 block is purged; the 2-member T522 block stays
     assert {(r.id_a, r.id_b) for r in got} == {("tymczak", "tymzak")}
+
+
+def test_token_blocking_pairs_hand_built(spark):
+    from orchid_fst_spark.er.neighborhood import token_blocking_pairs
+
+    recs = spark.createDataFrame(
+        [
+            ("d1", "quick brown fox"),
+            ("d2", "quick brown dog"),
+            ("d3", "lazy dog"),
+            ("d4", "unrelated text"),
+        ],
+        "id string, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in token_blocking_pairs(recs).collect()
+    }
+    assert got == {("d1", "d2"): 2, ("d2", "d3"): 1}
+
+
+def test_token_blocking_cap_purges_stopword(spark):
+    from orchid_fst_spark.er.neighborhood import token_blocking_pairs
+
+    # 'the' appears in all 5 docs -> purged at cap 4; the rare token
+    # 'zebra' (2 docs) survives
+    recs = spark.createDataFrame(
+        [(f"d{i}", "the zebra" if i < 2 else "the") for i in range(5)],
+        "id string, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in token_blocking_pairs(recs, block_cap=4).collect()
+    }
+    assert got == {("d0", "d1"): 1}
