@@ -275,7 +275,7 @@ feat AS (
 _FS_EM_ITERS = 10
 
 
-def _fs_em_sql(iters: int = _FS_EM_ITERS) -> str:
+def _fs_em_sql(iters: int = _FS_EM_ITERS, with_final: bool = True) -> str:
     """Unrolled-CTE DuckDB twin of ``er.scoring.fs_em_train``: the same
     agreement-pattern contingency table, then ``iters`` E/M CTE pairs
     replaying the trainer's fixed-point arithmetic statement-for-
@@ -351,19 +351,25 @@ def _fs_em_sql(iters: int = _FS_EM_ITERS) -> str:
             f"  FROM e{i}, tot\n)"
         )
     wf, vf = w_v("p")
-    param_cols = ["p.lam"]
-    for n in names:
-        param_cols.append(f"p.m_{n}")
-        param_cols.append(f"p.u_{n}")
-    final = (
-        "SELECT pat.agree_dist, pat.agree_jw, pat.agree_jaccard,"
-        " pat.n_pairs,\n"
-        f"  floor(({wf}) / (({wf}) + ({vf})) * 1000000 + 0.5) / 1000000"
-        " AS posterior,\n  "
-        + ", ".join(param_cols)
-        + f"\nFROM pat, p{iters} p"
+    # epost: one row per pattern with the final trained posterior —
+    # reusable by downstream oracles (er_fs_resolve joins it back)
+    ctes.append(
+        "epost AS (\n  SELECT pat.agree_dist, pat.agree_jw,"
+        " pat.agree_jaccard, pat.n_pairs,\n"
+        f"    floor(({wf}) / (({wf}) + ({vf})) * 1000000 + 0.5) / 1000000"
+        " AS posterior,\n    p.lam,"
+        + ", ".join(
+            c for n in names for c in (f"p.m_{n}", f"p.u_{n}")
+        )
+        + f"\n  FROM pat, p{iters} p\n)"
     )
-    return ",\n".join(ctes) + "\n" + final
+    final = (
+        "SELECT agree_dist, agree_jw, agree_jaccard, n_pairs, posterior,"
+        " lam, "
+        + ", ".join(c for n in names for c in (f"m_{n}", f"u_{n}"))
+        + "\nFROM epost"
+    )
+    return ",\n".join(ctes) + ("\n" + final if with_final else "")
 
 
 _SQL_TOKS = r"""
@@ -1079,6 +1085,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return weight_threshold_sweep(weighted, truth)
 
     q["er_threshold_sweep"] = _er_threshold_sweep
+
+    # the fully unsupervised resolve: EM-trained FS posterior >= 0.5
+    # decides matches (no hand priors, no hand threshold), transitive
+    # clustering labels every key by min member
+    def _er_fs_resolve(spark, sf):
+        from orchid_fst_spark.er.scoring import fs_em_match_edges
+
+        d = _vdict(spark, sf)
+        scored = score_pairs(fuzzy_self_pairs(d, "key", k=2, damerau=False))
+        edges = fs_em_match_edges(scored, iters=_FS_EM_ITERS)
+        comp = connected_components(edges, src="key_a", dst="key_b")
+        return (
+            d.select(F.col("key").alias("node"))
+            .join(comp, "node", "left")
+            .withColumn("component", F.coalesce("component", "node"))
+        )
+
+    q["er_fs_resolve"] = _er_fs_resolve
 
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
@@ -2695,6 +2719,29 @@ FROM feat"""
     # EM-trained FS parameters: the unrolled-CTE replay of the trainer's
     # fixed-point arithmetic (see _fs_em_sql)
     o["er_fs_em"] = f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},\n{_fs_em_sql()}"
+
+    # unsupervised resolve: posterior >= 0.5 edges -> transitive closure
+    # labeled by min member (singletons self-labeled)
+    o["er_fs_resolve"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_FS_FEAT},
+{_fs_em_sql(with_final=False)},
+matched AS (
+  SELECT f.key_a, f.key_b FROM feat f
+  JOIN epost e ON f.agree_dist = e.agree_dist
+              AND f.agree_jw = e.agree_jw
+              AND f.agree_jaccard = e.agree_jaccard
+  WHERE e.posterior >= 0.5
+),
+msym AS (
+  SELECT key_a AS x, key_b AS y FROM matched
+  UNION SELECT key_b, key_a FROM matched
+  UNION SELECT key, key FROM vdict
+),
+mreach(x, y) AS (
+  SELECT x, y FROM msym
+  UNION
+  SELECT r.x, s.y FROM mreach r JOIN msym s ON r.y = s.x
+)
+SELECT x AS node, min(y) AS component FROM mreach GROUP BY x"""
 
     # mutual best match: per-key argmax (score desc 6dp, partner asc)
     # over the symmetrized pair set, kept only when reciprocal

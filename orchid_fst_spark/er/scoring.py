@@ -338,3 +338,38 @@ def mutual_best_pairs(
             F.col("s").alias("score"),
         )
     )
+
+
+def fs_em_match_edges(
+    scored: DataFrame,
+    features: list[tuple[str, F.Column]] | None = None,
+    iters: int = 10,
+    threshold: float = 0.5,
+    a: str = "key_a",
+    b: str = "key_b",
+) -> DataFrame:
+    """Fully unsupervised match decision: EM-train the FS model
+    (``fs_em_train``), then keep the pairs whose agreement PATTERN has
+    trained match posterior >= ``threshold`` (0.5 = the Bayes rule
+    under the fitted mixture) — no hand-set priors, no hand-picked
+    weight cut.  Returns the ``(a, b)`` edge list for transitive
+    clustering.
+
+    Plan: the training aggregate (one shuffle of <= 2**K rows), then
+    the pair frame equi-joins the BROADCAST pattern frame on the K
+    agreement booleans and filters — map-side only, zero additional
+    exchanges over the pair frame.  Posterior is the 6dp-rounded
+    deterministic value, so the decision is oracle-checkable."""
+    if features is None:
+        features = default_fs_features()
+    _, patterns = fs_em_train(scored, features, iters)
+    agree_cols = [f"agree_{n}" for n, _ in features]
+    post = patterns.select(*agree_cols, "posterior")
+    flagged = scored
+    for name, cond in features:
+        flagged = flagged.withColumn(f"agree_{name}", cond)
+    return (
+        flagged.join(F.broadcast(post), agree_cols)
+        .filter(F.col("posterior") >= F.lit(float(threshold)))
+        .select(F.col(a), F.col(b))
+    )

@@ -451,3 +451,21 @@ def test_weight_threshold_sweep_hand_counts(spark):
     bot = rows[-3.0]
     assert (bot.n_pred, bot.tp) == (4, 2)
     assert bot.precision == 0.5 and bot.recall == round(2 / 3, 6)
+
+
+def test_fs_em_match_edges_planted(spark):
+    from orchid_fst_spark.er.scoring import fs_em_match_edges, score_pairs
+
+    # near-identical pairs form the match class; far pairs the other —
+    # the Bayes rule at 0.5 must keep exactly the near pairs
+    near = [(f"key{i:02d}a", f"key{i:02d}b", 1) for i in range(10)]
+    far = [(f"key{i:02d}a", "zzz-qq", 2) for i in range(10, 50)]
+    scored = score_pairs(
+        spark.createDataFrame(
+            near + far, "key_a string, key_b string, dist long"
+        )
+    )
+    got = {
+        (r.key_a, r.key_b) for r in fs_em_match_edges(scored).collect()
+    }
+    assert got == {(a, b) for a, b, _ in near}
