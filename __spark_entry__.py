@@ -1104,6 +1104,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_resolve"] = _er_fs_resolve
 
+    # survivorship: the canonical record per resolved cluster (longest
+    # key wins, lexicographically largest on ties) via one max_by
+    # aggregate — the stage that turns clusters into a deduped corpus
+    def _er_golden_records(spark, sf):
+        from orchid_fst_spark.er.clustering import golden_records
+
+        d = _vdict(spark, sf)
+        edges = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        comp = (
+            d.select(F.col("key").alias("node"))
+            .join(
+                connected_components(edges, src="key_a", dst="key_b"),
+                "node",
+                "left",
+            )
+            .withColumn("component", F.coalesce("component", "node"))
+        )
+        return golden_records(
+            comp.select("component", F.col("node").alias("key")),
+            cluster_col="component",
+            prefer=[F.length("key"), F.col("key")],
+        )
+
+    q["er_golden_records"] = _er_golden_records
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2719,6 +2744,34 @@ FROM feat"""
     # EM-trained FS parameters: the unrolled-CTE replay of the trainer's
     # fixed-point arithmetic (see _fs_em_sql)
     o["er_fs_em"] = f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},\n{_fs_em_sql()}"
+
+    # survivorship over the vdict k=2 components: longest key wins,
+    # lexicographically largest on ties (row_number replays the max_by
+    # struct ordering exactly)
+    o["er_golden_records"] = f"""WITH RECURSIVE {_SQL_VDICT},
+edges AS (
+  SELECT a.key AS src, b.key AS dst FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+gsym AS (
+  SELECT src AS x, dst AS y FROM edges
+  UNION SELECT dst, src FROM edges
+  UNION SELECT key, key FROM vdict
+),
+greach(x, y) AS (
+  SELECT x, y FROM gsym
+  UNION
+  SELECT r.x, s.y FROM greach r JOIN gsym s ON r.y = s.x
+),
+gcomp AS (SELECT x AS node, min(y) AS component FROM greach GROUP BY x)
+SELECT component, n_members, node AS key FROM (
+  SELECT component, node,
+         count(*) OVER (PARTITION BY component)::BIGINT AS n_members,
+         row_number() OVER (
+           PARTITION BY component ORDER BY length(node) DESC, node DESC
+         ) AS rn
+  FROM gcomp
+) WHERE rn = 1"""
 
     # unsupervised resolve: posterior >= 0.5 edges -> transitive closure
     # labeled by min member (singletons self-labeled)

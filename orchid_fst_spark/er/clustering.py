@@ -119,3 +119,40 @@ def connected_components(
     return comp.union(roots).union(singletons).groupBy("node").agg(
         F.min("component").alias("component")
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str = "component",
+    prefer: list | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship (golden-record selection): ONE canonical record per
+    cluster, chosen by the ``prefer`` ordering — the stage after
+    transitive clustering where duplicates collapse into the record the
+    downstream pipeline keeps (longest text, freshest timestamp,
+    highest quality...).
+
+    ``prefer``: list of Columns compared lexicographically where LARGER
+    wins; make the final element unique within a cluster (e.g. the key
+    itself, or ``-id`` for smallest-id-wins on numeric ids) so the
+    choice is deterministic under any partitioning.  String columns
+    cannot be inverted — if you need smallest-string-wins ahead of
+    other keys, precompute an orderable surrogate.
+
+    Plan: a single ``max_by(struct(row), struct(prefer))`` aggregate —
+    guaranteed map-side partial combine (each task keeps one candidate
+    per cluster, the shuffle carries one row per (task, cluster)),
+    unlike a row_number window which must sort full clusters after the
+    exchange.  Output: (cluster, n_members, <record columns>).
+    """
+    if prefer is None:
+        raise ValueError("prefer: need at least one ordering column")
+    cols = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != cluster_col
+    ]
+    rec = F.max_by(F.struct(*[F.col(c) for c in cols]), F.struct(*prefer))
+    out = df.groupBy(cluster_col).agg(
+        rec.alias("_rec"), F.count("*").cast("long").alias("n_members")
+    )
+    return out.select(cluster_col, "n_members", "_rec.*")

@@ -469,3 +469,46 @@ def test_fs_em_match_edges_planted(spark):
         (r.key_a, r.key_b) for r in fs_em_match_edges(scored).collect()
     }
     assert got == {(a, b) for a, b, _ in near}
+
+
+def test_golden_records_hand_built(spark):
+    from orchid_fst_spark.er.clustering import golden_records
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "short", 10),
+            ("c1", "longest-text", 5),
+            ("c1", "mid", 99),
+            ("c2", "only", 1),
+        ],
+        "component string, text string, quality long",
+    )
+    # quality wins, tie broken by text length
+    got = {
+        r.component: (r.text, r.n_members)
+        for r in golden_records(
+            df, prefer=[F.col("quality"), F.length("text")]
+        ).collect()
+    }
+    assert got == {"c1": ("mid", 3), "c2": ("only", 1)}
+
+
+def test_golden_records_partitioning_invariant(spark):
+    from orchid_fst_spark.er.clustering import golden_records
+
+    rows = [("c", f"k{i:03d}", i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "component string, key string, q long")
+    prefer = [F.col("q"), F.col("key")]
+    a = golden_records(df, prefer=prefer).collect()
+    b = golden_records(df.repartition(16), prefer=prefer).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # max q = 6, largest key among q==6 is k097
+    assert a[0].key == "k097"
+
+
+def test_golden_records_requires_prefer(spark):
+    from orchid_fst_spark.er.clustering import golden_records
+
+    df = spark.createDataFrame([("c", "x")], "component string, key string")
+    with pytest.raises(ValueError):
+        golden_records(df)
