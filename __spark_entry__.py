@@ -1072,6 +1072,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_block_pairs"] = _token_block_pairs
 
+    # character q-gram blocking over the eval dictionary: an edit
+    # destroys at most q grams, so typo'd variants keep pairing where
+    # prefix/suffix blocks die — CBS weight = shared distinct grams.
+    # (note: token_block_pairs is meaningful at the sf0.01 gate; the
+    # synthetic corpus's 31-token vocabulary makes EVERY token block
+    # hot at sf0.1 by construction, so the df-cap purges all of it —
+    # q-gram blocking is the character-level member that stays
+    # discriminative on this data.)
+    def _qgram_block_pairs(spark, sf):
+        from orchid_fst_spark.er.neighborhood import qgram_blocking_pairs
+
+        return qgram_blocking_pairs(_vdict(spark, sf), "key", q=3)
+
+    q["qgram_block_pairs"] = _qgram_block_pairs
+
     # decision-threshold sweep: P/R/F1 of "fs_weight >= w" for every
     # distinct trained weight (<= 2^K rows), cumulative counts from one
     # pair-sized aggregate — how the FS acceptance threshold is picked
@@ -2852,6 +2867,22 @@ capped AS (
 )
 SELECT a.key AS id_a, b.key AS id_b, count(*)::BIGINT AS weight
 FROM capped a JOIN capped b ON a.block = b.block AND a.key < b.key
+GROUP BY 1, 2"""
+
+    # q-gram blocking over vdict: distinct character 3-grams as blocks
+    o["qgram_block_pairs"] = f"""WITH {_SQL_VDICT},
+gasg AS (
+  SELECT DISTINCT key AS id, substr(key, i, 3) AS block
+  FROM vdict, unnest(generate_series(1, length(key) - 2)) AS t(i)
+  WHERE length(key) >= 3
+),
+gcapped AS (
+  SELECT id, block FROM (
+    SELECT id, block, count(*) OVER (PARTITION BY block) AS n FROM gasg
+  ) WHERE n <= 1000
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS weight
+FROM gcapped a JOIN gcapped b ON a.block = b.block AND a.id < b.id
 GROUP BY 1, 2"""
 
     # token blocking over documents: distinct (doc, token) assignments,

@@ -258,6 +258,16 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "meta_block_wnp",
         "minhash_lsh_join_pairs",
         "dsir_doc_weights",
+        "er_fs_em",
+        "er_fs_resolve",
+        "er_mutual_best",
+        "er_threshold_sweep",
+        "er_golden_records",
+        "phonetic_block_pairs",
+        # token_block_pairs benches as 0 rows at sf0.1 (the synthetic
+        # 31-token vocabulary makes every token block hot; the sf0.01
+        # correctness gate exercises it) — bench the q-gram member
+        "qgram_block_pairs",
     ]
     out = {}
     for name in headline:

@@ -373,3 +373,43 @@ def token_blocking_pairs(
         F.explode(tokens(F.col(text_col))).alias("block"),
     )
     return block_graph(blocks, block_cap=block_cap)
+
+
+def qgram_blocking_pairs(
+    records: DataFrame,
+    key_col: str = "key",
+    id_col: str | None = None,
+    q: int = 3,
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Character q-gram blocking (Baxter, Christen & Churches 2003):
+    every distinct character q-gram of the key is a block, so records
+    sharing ANY q-gram become candidates and the CBS weight counts
+    shared distinct grams — tolerant of typos anywhere in the key
+    (an edit destroys at most q grams), where prefix/suffix blocks die
+    on head/tail errors and token blocks need multi-token keys.
+
+    Returns ``(id_a, id_b, weight)`` through ``block_graph``.  A
+    length-L key emits L-q+1 grams; hot grams (inevitable on a skewed
+    alphabet) are purged by the ``block_cap`` window cap before the
+    pair explode."""
+    if q < 1:
+        raise ValueError("need q >= 1")
+    if id_col is None:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(key_col).alias("id")
+        )
+    else:
+        df = records.select(
+            F.col(key_col).alias("key"), F.col(id_col).alias("id")
+        )
+    ex = df.filter(F.length("key") >= q).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("key") - F.lit(q - 1)),
+                lambda i: F.col("key").substr(i, F.lit(q)),
+            )
+        ).alias("block"),
+    )
+    return block_graph(ex, block_cap=block_cap)

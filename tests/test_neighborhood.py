@@ -334,3 +334,45 @@ def test_token_blocking_cap_purges_stopword(spark):
         for r in token_blocking_pairs(recs, block_cap=4).collect()
     }
     assert got == {("d0", "d1"): 1}
+
+
+def test_qgram_blocking_pairs_brute_force(spark):
+    import collections
+    import itertools
+
+    from orchid_fst_spark.er.neighborhood import qgram_blocking_pairs
+
+    words = ["table", "atble", "cable", "tab", "xy", "stable", "tables"]
+    df = spark.createDataFrame([(w,) for w in words], "key string")
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in qgram_blocking_pairs(df, q=3).collect()
+    }
+    grams = {
+        w: {w[i:i + 3] for i in range(len(w) - 2)}
+        for w in words
+        if len(w) >= 3
+    }
+    exp = {}
+    for a, b in itertools.combinations(sorted(grams), 2):
+        shared = len(grams[a] & grams[b])
+        if shared:
+            exp[(a, b)] = shared
+    assert got == exp
+    # the head-typo variant still pairs with its source
+    assert ("atble", "table") in got
+
+
+def test_qgram_blocking_cap_and_short_keys(spark):
+    from orchid_fst_spark.er.neighborhood import qgram_blocking_pairs
+
+    # 'abc' gram shared by 5 keys -> purged at cap 4; short keys (<q)
+    # emit nothing
+    recs = spark.createDataFrame(
+        [(f"abc{i}",) for i in range(5)] + [("xy",), ("zq",)],
+        "key string",
+    )
+    got = qgram_blocking_pairs(recs, q=3, block_cap=4).collect()
+    # surviving grams: 'bc0'..'bc4'? no — each 'bc<i>' is unique; only
+    # 'abc' was shared and it is purged
+    assert got == []
