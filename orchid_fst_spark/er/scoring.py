@@ -173,14 +173,10 @@ def fs_em_train(
       pattern with its trained match posterior (6dp) and the parameters
       as literal columns, the auditable training report.
     """
-    import math
-
     if features is None:
         features = default_fs_features()
     if not features:
         raise ValueError("need at least one feature")
-    if iters < 1:
-        raise ValueError("need iters >= 1")
     names = [n for n, _ in features]
     flagged = scored
     for name, cond in features:
@@ -190,28 +186,50 @@ def fs_em_train(
         F.count("*").cast("long").alias("n_pairs")
     )
     rows = pat_df.collect()  # <= 2**K rows by construction
-    if not rows:
-        raise ValueError("no candidate pairs to train on")
     pats = [
         (tuple(bool(r[c]) for c in agree_cols), int(r["n_pairs"]))
         for r in rows
     ]
+    lam, m, u = _em_fit(pats, len(names), iters, init)
+    params: dict = {"lam": lam}
+    for k, name in enumerate(names):
+        params[name] = (m[k], u[k])
+    return params, _em_report(pat_df, names, lam, m, u)
+
+
+def _em_fit(
+    pats: list[tuple[tuple[bool, ...], int]],
+    n_features: int,
+    iters: int = 10,
+    init: tuple[float, float, float] = (0.1, 0.9, 0.1),
+) -> tuple[float, list[float], list[float]]:
+    """The driver-side EM loop over an agreement-pattern contingency
+    table (the CI model's sufficient statistic) — shared by
+    ``fs_em_train`` (batch) and ``fs_em_from_state`` (streaming).
+    Returns ``(lam, m, u)`` under the fixed-point determinism contract
+    documented on ``fs_em_train``."""
+    import math
+
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+    if not pats:
+        raise ValueError("no candidate pairs to train on")
     # deterministic driver-side order (the sums below are exact-integer,
     # so order only matters for reproducibility of debugging output)
-    pats.sort(key=lambda t: t[0])
+    pats = sorted(pats, key=lambda t: t[0])
     n_total = sum(n for _, n in pats)
 
     lam0, m0, u0 = init
     lam = _em_round_clamp(lam0)
-    m = [_em_round_clamp(m0)] * len(names)
-    u = [_em_round_clamp(u0)] * len(names)
+    m = [_em_round_clamp(m0)] * n_features
+    u = [_em_round_clamp(u0)] * n_features
 
     def _posteriors(lam, m, u):
         out = []
         for g, n in pats:
             w = lam
             v = 1.0 - lam
-            for k in range(len(names)):
+            for k in range(n_features):
                 w = w * (m[k] if g[k] else 1.0 - m[k])
                 v = v * (u[k] if g[k] else 1.0 - u[k])
             p = w / (w + v)
@@ -225,21 +243,23 @@ def fs_em_train(
         sum_p = sum(p_int * n for _, n, p_int in e)
         lam = _em_round_clamp(sum_p / float(n_total * _EM_PSCALE))
         new_m, new_u = [], []
-        for k in range(len(names)):
+        for k in range(n_features):
             num_m = sum(p_int * n for g, n, p_int in e if g[k])
             num_u = sum((_EM_PSCALE - p_int) * n for g, n, p_int in e if g[k])
             den_u = n_total * _EM_PSCALE - sum_p
             new_m.append(_em_round_clamp(num_m / float(sum_p)))
             new_u.append(_em_round_clamp(num_u / float(den_u)))
         m, u = new_m, new_u
+    return lam, m, u
 
-    params: dict = {"lam": lam}
-    for k, name in enumerate(names):
-        params[name] = (m[k], u[k])
 
-    # final per-pattern posterior as literal-folded Spark expressions
-    # over the (lazy, distributed) pattern frame — the same left-assoc
-    # product/divide/round sequence the oracle SQL writes out
+def _em_report(
+    pat_df: DataFrame, names: list[str], lam: float, m: list, u: list
+) -> DataFrame:
+    """Per-pattern posterior at the trained parameters as literal-folded
+    Spark expressions over the (lazy, distributed) pattern frame — the
+    same left-assoc product/divide/round sequence the oracle SQL writes
+    out."""
     w: F.Column = F.lit(lam)
     v: F.Column = F.lit(1.0 - lam)
     for k, name in enumerate(names):
@@ -254,7 +274,7 @@ def fs_em_train(
         out = out.withColumn(f"m_{name}", F.lit(m[k])).withColumn(
             f"u_{name}", F.lit(u[k])
         )
-    return params, out
+    return out
 
 
 def trained_fs_features(

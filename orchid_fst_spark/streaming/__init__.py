@@ -3,7 +3,13 @@ from .ingest import (
     read_pages_stream,
     stream_dedup,
 )
-from .ingest import dedup_from_state, stream_near_dedup, stream_text_index
+from .ingest import (
+    dedup_from_state,
+    fs_em_from_state,
+    stream_fs_pattern_counts,
+    stream_near_dedup,
+    stream_text_index,
+)
 from .joins import stream_interval_join
 from .stateful import streaming_fuzzy_match
 from .windows import (
@@ -20,6 +26,8 @@ __all__ = [
     "stream_interval_join",
     "stream_near_dedup",
     "dedup_from_state",
+    "stream_fs_pattern_counts",
+    "fs_em_from_state",
     "stream_text_index",
     "streaming_fuzzy_match",
     "extract_event_props",

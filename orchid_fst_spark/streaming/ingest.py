@@ -511,3 +511,95 @@ def stream_text_index(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_fs_pattern_counts(
+    pairs_stream: DataFrame,
+    state_dir: str,
+    features=None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Maintain the Fellegi–Sunter agreement-pattern contingency table
+    from a STREAM of scored candidate pairs — the streaming twin of
+    ``er.scoring.fs_em_train``'s training aggregate (same incremental-
+    build-frontier grounding as the rest of this module, fst.h:16-22).
+
+    The pattern counts are the CI model's sufficient statistic and
+    ADDITIVE over disjoint pair batches, so EM trained from the summed
+    state (``fs_em_from_state``) equals batch ``fs_em_train`` over every
+    pair ingested — EXACT, not an approximation (pinned by test).
+
+    Per micro-batch (foreachBatch): flag the K agreement booleans,
+    one <= 2**K-row count aggregate, idempotent overwrite of
+    ``state_dir/counts/batch_id=N`` — a retried batch REPLACES its own
+    rows, never double-counts.  Cross-batch identity is the caller's
+    contract: a pair re-emitted in a LATER batch counts twice (pair
+    streams from incremental blocking emit each pair once; feed pairs
+    through a keyed dedup upstream if yours re-delivers).
+
+    Returns the started StreamingQuery."""
+    from ..er.scoring import default_fs_features
+
+    feats = features if features is not None else default_fs_features()
+    counts_path = os.path.join(state_dir, "counts")
+    ckpt = checkpoint_dir or os.path.join(state_dir, "_stream_ckpt")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df
+        for name, cond in feats:
+            flagged = flagged.withColumn(f"agree_{name}", cond)
+        agree_cols = [f"agree_{n}" for n, _ in feats]
+        pat = flagged.groupBy(*agree_cols).agg(
+            F.count("*").cast("long").alias("n_pairs")
+        )
+        pat.write.mode("overwrite").parquet(
+            os.path.join(counts_path, f"batch_id={batch_id}")
+        )
+
+    w = (
+        pairs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def fs_em_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    feature_names: list[str] | None = None,
+    iters: int = 10,
+    init: tuple[float, float, float] = (0.1, 0.9, 0.1),
+):
+    """Train the FS model from the accumulated streaming pattern counts:
+    sum the per-batch contingency tables (one tiny aggregate), then the
+    same driver EM as ``fs_em_train`` — returns the identical
+    ``(params, patterns)`` the batch trainer would produce over every
+    pair ingested so far (pinned by test)."""
+    from ..er.scoring import _em_fit, _em_report, default_fs_features
+
+    names = feature_names if feature_names is not None else [
+        n for n, _ in default_fs_features()
+    ]
+    counts_path = os.path.join(state_dir, "counts")
+    if not os.path.isdir(counts_path):
+        raise FileNotFoundError(f"no pattern counts under {counts_path}")
+    agree_cols = [f"agree_{n}" for n in names]
+    merged = (
+        spark.read.parquet(counts_path)
+        .groupBy(*agree_cols)
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+    )
+    rows = merged.collect()
+    pats = [
+        (tuple(bool(r[c]) for c in agree_cols), int(r["n_pairs"]))
+        for r in rows
+    ]
+    lam, m, u = _em_fit(pats, len(names), iters, init)
+    params: dict = {"lam": lam}
+    for k, name in enumerate(names):
+        params[name] = (m[k], u[k])
+    return params, _em_report(merged, names, lam, m, u)

@@ -787,3 +787,52 @@ def test_stream_near_dedup_equals_batch(spark, tmp_path):
     assert got == exp
     # the cross-batch near-dup landed in cluster 1, the exact dup in 3's
     assert (4, 1, 0) in got and (5, 3, 0) in got and (6, 6, 1) in got
+
+
+def test_stream_fs_em_equals_batch(spark, tmp_path):
+    # pattern counts are the EM's sufficient statistic and additive, so
+    # training from streamed state must EXACTLY equal batch fs_em_train
+    # over all pairs ingested — params and pattern report both
+    from orchid_fst_spark.er.scoring import fs_em_train, score_pairs
+    from orchid_fst_spark.streaming import (
+        fs_em_from_state,
+        stream_fs_pattern_counts,
+    )
+
+    d1 = [("spark", "spark", 0)] * 5 + [("spark", "zzzz-qq", 2)] * 20
+    d2 = [("table", "table", 0)] * 3 + [("table", "qq-zzzz", 2)] * 12
+    schema = "key_a string, key_b string, dist long"
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+
+    spark.createDataFrame(d1, schema).write.mode("overwrite").parquet(
+        os.path.join(src, "drop1")
+    )
+    stream = score_pairs(spark.readStream.schema(schema).parquet(src + "/*"))
+    q = stream_fs_pattern_counts(stream, state)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(d2, schema).write.mode("overwrite").parquet(
+            os.path.join(src, "drop2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_params, got_pat = fs_em_from_state(spark, state)
+    exp_params, exp_pat = fs_em_train(
+        score_pairs(spark.createDataFrame(d1 + d2, schema))
+    )
+    assert got_params == exp_params
+    cols = sorted(exp_pat.columns)
+    assert sorted(map(tuple, got_pat.select(cols).collect())) == sorted(
+        map(tuple, exp_pat.select(cols).collect())
+    )
+
+
+def test_fs_em_from_state_requires_counts(spark, tmp_path):
+    from orchid_fst_spark.streaming import fs_em_from_state
+
+    with pytest.raises(FileNotFoundError):
+        fs_em_from_state(spark, str(tmp_path / "nowhere"))
