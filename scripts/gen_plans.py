@@ -769,6 +769,95 @@ def main() -> None:
                   "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.er.clustering import golden_records
+    from orchid_fst_spark.er.neighborhood import qgram_blocking_pairs
+    from orchid_fst_spark.er.scoring import (
+        fs_em_match_edges,
+        fs_em_train,
+        mutual_best_pairs,
+        score_pairs as _fs_score_pairs,
+    )
+    from orchid_fst_spark.operators.dictionary import fuzzy_self_pairs
+
+    _fs_keys = (
+        docs.selectExpr(r"explode(split(trim(text), '\s+')) AS key")
+        .filter("key <> ''").distinct()
+    )
+    _fs_scored = _fs_score_pairs(
+        fuzzy_self_pairs(_fs_keys, "key", k=2, damerau=False)
+    )
+
+    add(
+        "FS EM pattern report (`er.scoring.fs_em_train`)",
+        "The report frame re-plans the training aggregate (the SAME "
+        "<= 2^K-row pattern count the trainer collected) with the "
+        "trained parameters folded in as literals: one hash aggregate "
+        "with map-side partial combine, then pure projection — the EM "
+        "itself never appears in any distributed plan (it ran on the "
+        "driver over the collected contingency table).",
+        fs_em_train(_fs_scored)[1],
+        must_contain=("HashAggregate",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",),
+    )
+    add(
+        "Unsupervised FS match edges (`er.scoring.fs_em_match_edges`)",
+        "The pair frame equi-joins the <= 2^K trained pattern table on "
+        "the K agreement booleans as an explicit BROADCAST — the "
+        "decision adds zero exchanges over the pair frame; the Arrow "
+        "stage is the Jaro-Winkler feature, not the decision.",
+        fs_em_match_edges(_fs_scored),
+        must_contain=("BroadcastHashJoin",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    add(
+        "Mutual-best 1:1 linkage (`er.scoring.mutual_best_pairs`)",
+        "Best partner per key is ONE min_by(struct) aggregate over the "
+        "symmetrized pairs — map-side partial combine ships one "
+        "candidate per (task, key); the reciprocity check is a "
+        "node-sized equi-self-join of the best frame.  Never a window "
+        "sort over neighbor lists, never a theta-join.",
+        mutual_best_pairs(_fs_scored, score_col="jw"),
+        must_contain=("min_by",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    add(
+        "Golden-record survivorship (`er.clustering.golden_records`)",
+        "One max_by(struct(row), struct(prefer)) aggregate per cluster: "
+        "partial combine keeps one candidate per (task, cluster), so "
+        "the shuffle is cluster-count-sized — a row_number window "
+        "would sort whole clusters AFTER the exchange.  Exactly one "
+        "Exchange in the whole plan.",
+        golden_records(
+            docs.select(
+                (F.col("doc_id") % 50).alias("component"),
+                "doc_id", "text",
+            ),
+            cluster_col="component",
+            prefer=[F.length("text"), F.col("doc_id")],
+        ),
+        must_contain=("max_by", "Exchange"),
+        must_not=("CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+        # formatted mode names each node twice (tree line + detail
+        # header): 2 mentions == exactly ONE Exchange node
+        at_most={"Exchange": 2},
+    )
+    add(
+        "Q-gram blocking (`er.neighborhood.qgram_blocking_pairs`)",
+        "L-q+1 gram emissions per key via one Generate over a bounded "
+        "sequence, then block_graph's window-count cap purges hot "
+        "grams BEFORE the pair self-join; the CBS weight aggregate "
+        "reuses the window's hash partitioning on block.  All "
+        "equi-joins, all JVM.",
+        qgram_blocking_pairs(
+            docs.select(F.substring("text", 1, 24).alias("key")),
+            q=3, block_cap=500,
+        ),
+        must_contain=("Window",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
     from orchid_fst_spark.operators.sampling import dsir_weights
 
     add(
