@@ -1144,6 +1144,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_golden_records"] = _er_golden_records
 
+    # quality of the UNSUPERVISED decision: P/R/F1 of the EM-posterior
+    # edges against the planted dist<=1 truth — the number that says
+    # whether training without labels actually worked
+    def _er_fs_match_metrics(spark, sf):
+        from orchid_fst_spark.er.scoring import fs_em_match_edges
+
+        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        scored = score_pairs(cands)
+        pred = fs_em_match_edges(scored, iters=_FS_EM_ITERS)
+        truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
+        return pair_metrics(pred, truth)
+
+    q["er_fs_match_metrics"] = _er_fs_match_metrics
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2787,6 +2801,41 @@ SELECT component, n_members, node AS key FROM (
          ) AS rn
   FROM gcomp
 ) WHERE rn = 1"""
+
+    # unsupervised-decision quality: EM-posterior edges vs dist<=1 truth
+    o["er_fs_match_metrics"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
+{_fs_em_sql(with_final=False)},
+matched AS (
+  SELECT f.key_a, f.key_b FROM feat f
+  JOIN epost e ON f.agree_dist = e.agree_dist
+              AND f.agree_jw = e.agree_jw
+              AND f.agree_jaccard = e.agree_jaccard
+  WHERE e.posterior >= 0.5
+),
+truth AS (SELECT key_a, key_b FROM pairs WHERE dist <= 1),
+j AS (
+  SELECT p.key_a IS NOT NULL AS in_p, t.key_a IS NOT NULL AS in_t
+  FROM matched p FULL JOIN truth t
+    ON p.key_a = t.key_a AND p.key_b = t.key_b
+),
+m AS (
+  SELECT
+    coalesce(sum(CASE WHEN in_p AND in_t THEN 1 END), 0)::BIGINT AS tp,
+    coalesce(sum(CASE WHEN in_p AND NOT in_t THEN 1 END), 0)::BIGINT AS fp,
+    coalesce(sum(CASE WHEN NOT in_p AND in_t THEN 1 END), 0)::BIGINT AS fn
+  FROM j
+),
+r AS (
+  SELECT tp, fp, fn,
+    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 1.0 END AS p_raw,
+    CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 1.0 END AS r_raw
+  FROM m
+)
+SELECT tp, fp, fn,
+  round(p_raw, 6) AS "precision", round(r_raw, 6) AS recall,
+  round(CASE WHEN p_raw + r_raw > 0
+             THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
+FROM r"""
 
     # unsupervised resolve: posterior >= 0.5 edges -> transitive closure
     # labeled by min member (singletons self-labeled)

@@ -268,6 +268,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         # 31-token vocabulary makes every token block hot; the sf0.01
         # correctness gate exercises it) — bench the q-gram member
         "qgram_block_pairs",
+        "er_fs_match_metrics",
     ]
     out = {}
     for name in headline:
