@@ -1158,6 +1158,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_match_metrics"] = _er_fs_match_metrics
 
+    # the FS three-region decision (link / clerical review / nonlink)
+    # with bounds read off the threshold sweep: one literal CASE, then
+    # a 3-row count — the human-workload report
+    def _er_fs_regions(spark, sf):
+        from orchid_fst_spark.er.scoring import fs_match_weights, fs_three_way
+
+        weighted = fs_match_weights(
+            score_pairs(
+                fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+            )
+        )
+        return (
+            fs_three_way(weighted, upper=1.0, lower=-1.0)
+            .groupBy("decision")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+        )
+
+    q["er_fs_regions"] = _er_fs_regions
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2801,6 +2820,23 @@ SELECT component, n_members, node AS key FROM (
          ) AS rn
   FROM gcomp
 ) WHERE rn = 1"""
+
+    # three-region decision counts over the literal FS weights
+    o["er_fs_regions"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
+weights AS (
+  SELECT
+    round(0.0::DOUBLE
+      + CASE WHEN agree_dist THEN {_fsw['dist'][0]!r}::DOUBLE ELSE {_fsw['dist'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jw THEN {_fsw['jw'][0]!r}::DOUBLE ELSE {_fsw['jw'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jaccard THEN {_fsw['jaccard'][0]!r}::DOUBLE ELSE {_fsw['jaccard'][1]!r}::DOUBLE END,
+    6) AS w
+  FROM feat
+)
+SELECT CASE WHEN w >= 1.0 THEN 'link'
+            WHEN w < -1.0 THEN 'nonlink'
+            ELSE 'review' END AS decision,
+       count(*)::BIGINT AS n_pairs
+FROM weights GROUP BY 1"""
 
     # unsupervised-decision quality: EM-posterior edges vs dist<=1 truth
     o["er_fs_match_metrics"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},

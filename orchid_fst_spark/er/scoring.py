@@ -393,3 +393,32 @@ def fs_em_match_edges(
         .filter(F.col("posterior") >= F.lit(float(threshold)))
         .select(F.col(a), F.col(b))
     )
+
+
+def fs_three_way(
+    df: DataFrame,
+    weight_col: str = "fs_weight",
+    upper: float = 0.0,
+    lower: float | None = None,
+) -> DataFrame:
+    """The Fellegi–Sunter three-region decision (the construct the 1969
+    paper actually defines): weight >= ``upper`` -> 'link',
+    weight < ``lower`` -> 'nonlink', between -> 'review' (the clerical-
+    review band a production linker routes to humans).  ``lower``
+    defaults to ``upper`` (empty review band = the binary rule).
+
+    Adds one string column ``decision`` — a literal CASE, map-side,
+    zero exchanges.  Pick the bounds from ``weight_threshold_sweep``:
+    ``upper`` at the precision you must hold, ``lower`` at the recall
+    you must reach; the band between is the human workload."""
+    if lower is None:
+        lower = upper
+    if lower > upper:
+        raise ValueError(f"need lower <= upper, got {lower} > {upper}")
+    w = F.col(weight_col)
+    return df.withColumn(
+        "decision",
+        F.when(w >= F.lit(float(upper)), F.lit("link"))
+        .when(w < F.lit(float(lower)), F.lit("nonlink"))
+        .otherwise(F.lit("review")),
+    )

@@ -512,3 +512,27 @@ def test_golden_records_requires_prefer(spark):
     df = spark.createDataFrame([("c", "x")], "component string, key string")
     with pytest.raises(ValueError):
         golden_records(df)
+
+
+def test_fs_three_way_regions(spark):
+    from orchid_fst_spark.er.scoring import fs_three_way
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("c", 0.0), ("d", -1.0), ("e", -9.0)],
+        "key string, fs_weight double",
+    )
+    got = {
+        r.key: r.decision
+        for r in fs_three_way(df, upper=1.0, lower=-1.0).collect()
+    }
+    # boundary semantics: >= upper links, < lower non-links, else review
+    assert got == {
+        "a": "link", "b": "link", "c": "review",
+        "d": "review", "e": "nonlink",
+    }
+    binary = {
+        r.key: r.decision for r in fs_three_way(df, upper=0.0).collect()
+    }
+    assert "review" not in set(binary.values())
+    with pytest.raises(ValueError):
+        fs_three_way(df, upper=0.0, lower=1.0)
