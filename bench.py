@@ -526,7 +526,7 @@ real cluster in this sandbox: the identical spark-submit-able ER job at
 executors).
 
 Input: pages synthesized deterministically from
-`{sf_dir}/documents.parquet` (x{os.environ.get("SPARK_GRAFT_BENCH_SCALE", "64")}
+`{sf_dir}/documents.parquet` (x{os.environ.get("SPARK_GRAFT_BENCH_SCALE", "128")}
 replication with >2-edit copy tags; base + deletion + transposition
 variant per doc, ground-truth clusters of size 3).  Job = segment
 (PassJoin) blocking -> single equi-join -> vectorized banded-DP verify
