@@ -275,7 +275,11 @@ feat AS (
 _FS_EM_ITERS = 10
 
 
-def _fs_em_sql(iters: int = _FS_EM_ITERS, with_final: bool = True) -> str:
+def _fs_em_sql(
+    iters: int = _FS_EM_ITERS,
+    with_final: bool = True,
+    pat_sql: str | None = None,
+) -> str:
     """Unrolled-CTE DuckDB twin of ``er.scoring.fs_em_train``: the same
     agreement-pattern contingency table, then ``iters`` E/M CTE pairs
     replaying the trainer's fixed-point arithmetic statement-for-
@@ -309,7 +313,9 @@ def _fs_em_sql(iters: int = _FS_EM_ITERS, with_final: bool = True) -> str:
         p0_cols.append(f"{m0!r}::DOUBLE AS m_{n}")
         p0_cols.append(f"{u0!r}::DOUBLE AS u_{n}")
     ctes = [
-        "pat AS (\n  SELECT agree_dist, agree_jw, agree_jaccard,"
+        pat_sql
+        if pat_sql is not None
+        else "pat AS (\n  SELECT agree_dist, agree_jw, agree_jaccard,"
         " count(*)::BIGINT AS n_pairs\n  FROM feat GROUP BY 1, 2, 3\n)",
         "tot AS (SELECT sum(n_pairs)::BIGINT AS n_total FROM pat)",
         f"p0 AS (SELECT {', '.join(p0_cols)})",

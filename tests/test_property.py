@@ -208,3 +208,50 @@ def test_bloom_sketch_matches_python_model(spark, values):
             b = h % m_bits
             model[b // 32] |= 1 << (b % 32)
     assert words == model
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(), st.booleans(), st.booleans(),
+            st.integers(min_value=1, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[:3],
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=40, deadline=None)
+def test_fs_em_python_matches_duckdb_replay(pats, iters):
+    """The EM determinism contract, fuzzed: _em_fit over a random
+    contingency table must reproduce the unrolled-CTE DuckDB replay
+    bit-for-bit — any float op out of lockstep (product order, clamp
+    literal, floor/round) flips some (pattern, iters) combination."""
+    import duckdb
+
+    from __spark_entry__ import _fs_em_sql
+    from orchid_fst_spark.er.scoring import _em_fit
+
+    lam, m, u = _em_fit(
+        [((a, b, c), n) for a, b, c, n in pats], 3, iters=iters
+    )
+    values = ", ".join(
+        f"({str(a).lower()}, {str(b).lower()}, {str(c).lower()}, {n})"
+        for a, b, c, n in pats
+    )
+    pat_cte = (
+        "pat AS (SELECT * FROM (VALUES " + values + ") "
+        "t(agree_dist, agree_jw, agree_jaccard, n_pairs))"
+    )
+    sql = "WITH " + _fs_em_sql(iters=iters, pat_sql=pat_cte)
+    con = duckdb.connect()
+    row = con.sql(
+        "SELECT DISTINCT lam, m_dist, u_dist, m_jw, u_jw, m_jaccard,"
+        " u_jaccard FROM (" + sql + ")"
+    ).fetchall()
+    con.close()
+    assert len(row) == 1
+    got = row[0]
+    exp = (lam, m[0], u[0], m[1], u[1], m[2], u[2])
+    assert got == exp, f"params diverged: duck={got} py={exp}"
