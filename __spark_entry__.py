@@ -1183,6 +1183,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_regions"] = _er_fs_regions
 
+    # ensemble blocking: phonetic + q-gram + suffix candidate graphs
+    # unioned (each catches a typo class the others miss), judged by
+    # the standard completeness/reduction report vs the lev<=2 truth
+    def _er_ensemble_blocking(spark, sf):
+        from orchid_fst_spark.er.evaluate import blocking_quality
+        from orchid_fst_spark.er.neighborhood import (
+            phonetic_blocking_pairs,
+            qgram_blocking_pairs,
+            suffix_blocking_pairs,
+        )
+
+        d = _vdict(spark, sf)
+        cands = (
+            phonetic_blocking_pairs(d, "key")
+            .unionByName(qgram_blocking_pairs(d, "key", q=3))
+            .unionByName(suffix_blocking_pairs(d, "key", min_suffix_len=4))
+            .select(
+                F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b")
+            )
+            .distinct()
+        )
+        truth = fuzzy_self_pairs(d, "key", k=2, damerau=False).select(
+            "key_a", "key_b"
+        )
+        return blocking_quality(cands, truth, d)
+
+    q["er_ensemble_blocking"] = _er_ensemble_blocking
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2827,6 +2855,94 @@ SELECT component, n_members, node AS key FROM (
   FROM gcomp
 ) WHERE rn = 1"""
 
+    # phonetic blocking: the simplified-Soundex chain spelled in DuckDB
+    # (translate + per-digit run collapse; RE2 has no backrefs), then
+    # the capped block self-join — twin of er.neighborhood
+    # .phonetic_blocking_pairs / functions.normalize.phonetic_key
+    _ph = (
+        "regexp_replace(" * 7
+        + "translate(l, 'abcdefghijklmnopqrstuvwxyz',"
+        " '01230120022455012623010202')"
+        + "".join(f", '{d}+', '{d}', 'g')" for d in "0123456")
+    )
+
+    # ensemble blocking quality: phonetic + q-gram + suffix pair union
+    # vs the lev<=2 truth, standard completeness/reduction report
+    o["er_ensemble_blocking"] = f"""WITH {_SQL_VDICT},
+elets AS (
+  SELECT key, regexp_replace(lower(key), '[^a-z]', '', 'g') AS l FROM vdict
+),
+ecodes AS (
+  SELECT key,
+    CASE WHEN l = '' THEN '' ELSE
+      upper(substr(l, 1, 1)) ||
+      rpad(substr(translate(substr({_ph}, 2), '0', ''), 1, 3), 3, '0')
+    END AS block
+  FROM elets
+),
+epcap AS (
+  SELECT key, block FROM (
+    SELECT key, block, count(*) OVER (PARTITION BY block) AS n
+    FROM ecodes WHERE block <> ''
+  ) WHERE n <= 1000
+),
+epp AS (
+  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+  FROM epcap a JOIN epcap b ON a.block = b.block AND a.key < b.key
+),
+eg AS (
+  SELECT DISTINCT key AS id, substr(key, i, 3) AS block
+  FROM vdict, unnest(generate_series(1, length(key) - 2)) AS t(i)
+  WHERE length(key) >= 3
+),
+egcap AS (
+  SELECT id, block FROM (
+    SELECT id, block, count(*) OVER (PARTITION BY block) AS n FROM eg
+  ) WHERE n <= 1000
+),
+egp AS (
+  SELECT DISTINCT a.id AS key_a, b.id AS key_b
+  FROM egcap a JOIN egcap b ON a.block = b.block AND a.id < b.id
+),
+es AS (
+  SELECT DISTINCT key AS id, substr(key, i) AS block
+  FROM vdict, unnest(generate_series(1, length(key) - 3)) AS t(i)
+  WHERE length(key) >= 4
+),
+escap AS (
+  SELECT id, block FROM (
+    SELECT id, block, count(*) OVER (PARTITION BY block) AS n FROM es
+  ) WHERE n <= 1000
+),
+esp AS (
+  SELECT DISTINCT a.id AS key_a, b.id AS key_b
+  FROM escap a JOIN escap b ON a.block = b.block AND a.id < b.id
+),
+ecands AS (
+  SELECT key_a, key_b FROM epp
+  UNION SELECT key_a, key_b FROM egp
+  UNION SELECT key_a, key_b FROM esp
+),
+etruth AS (
+  SELECT a.key AS key_a, b.key AS key_b FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+em AS (
+  SELECT
+    (SELECT count(*) FROM vdict)::BIGINT AS n_records,
+    (SELECT count(*) FROM ecands)::BIGINT AS n_candidates,
+    (SELECT count(*) FROM etruth)::BIGINT AS n_truth,
+    (SELECT count(*) FROM ecands c JOIN etruth t
+       ON c.key_a = t.key_a AND c.key_b = t.key_b)::BIGINT AS tp
+)
+SELECT n_records, n_candidates, n_truth, tp,
+  round(CASE WHEN n_truth > 0 THEN tp::DOUBLE / n_truth ELSE 1.0 END,
+        6) AS pair_completeness,
+  round(CASE WHEN n_records * (n_records - 1) // 2 > 0
+             THEN 1 - n_candidates::DOUBLE / (n_records * (n_records - 1) // 2)
+             ELSE 0.0 END, 6) AS reduction_ratio
+FROM em"""
+
     # three-region decision counts over the literal FS weights
     o["er_fs_regions"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
 weights AS (
@@ -2928,16 +3044,6 @@ SELECT a.k AS key_a, a.p AS key_b, a.s AS score
 FROM best a JOIN best b ON a.p = b.k AND b.p = a.k
 WHERE a.k < a.p"""
 
-    # phonetic blocking: the simplified-Soundex chain spelled in DuckDB
-    # (translate + per-digit run collapse; RE2 has no backrefs), then
-    # the capped block self-join — twin of er.neighborhood
-    # .phonetic_blocking_pairs / functions.normalize.phonetic_key
-    _ph = (
-        "regexp_replace(" * 7
-        + "translate(l, 'abcdefghijklmnopqrstuvwxyz',"
-        " '01230120022455012623010202')"
-        + "".join(f", '{d}+', '{d}', 'g')" for d in "0123456")
-    )
     o["phonetic_block_pairs"] = f"""WITH {_SQL_VDICT},
 lets AS (
   SELECT key, regexp_replace(lower(key), '[^a-z]', '', 'g') AS l FROM vdict
