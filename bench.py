@@ -269,6 +269,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
         # correctness gate exercises it) — bench the q-gram member
         "qgram_block_pairs",
         "er_fs_match_metrics",
+        "er_fs_regions",
+        "er_ensemble_blocking",
     ]
     out = {}
     for name in headline:
