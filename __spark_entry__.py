@@ -1211,6 +1211,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_ensemble_blocking"] = _er_ensemble_blocking
 
+    # bipartite record linkage end-to-end: two-table fuzzy join (part
+    # tokens -> dictionary, k=1) scored by Jaro-Winkler, then the
+    # mutual-best 1:1 constraint — each query keeps exactly its best
+    # reciprocal dictionary partner
+    def _er_link_mutual(spark, sf):
+        from orchid_fst_spark.er.scoring import mutual_best_pairs
+
+        joined = fuzzy_join(
+            _part_tokens(spark, sf), _dict(spark, sf), "q", "key", k=1,
+            assume_unique=True,
+        )
+        return mutual_best_pairs(score_pairs(joined), score_col="jw")
+
+    q["er_link_mutual"] = _er_link_mutual
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2642,6 +2657,36 @@ qs AS (
 )
 SELECT q, key, levenshtein(q, key)::BIGINT AS dist
 FROM qs, dict WHERE levenshtein(q, key) <= 1"""
+
+    # bipartite mutual-best: the k=1 cross join scored by JW (6dp),
+    # per-key argmax by (s desc, partner asc), reciprocal pairs only
+    o["er_link_mutual"] = f"""WITH {_SQL_DICT},
+qs AS (
+  SELECT DISTINCT tok AS q
+  FROM (SELECT unnest(string_split_regex(trim(p_name), '\\s+')) AS tok FROM part)
+  WHERE tok <> ''
+),
+lpairs AS (
+  SELECT q AS key_a, key AS key_b FROM qs, dict
+  WHERE levenshtein(q, key) <= 1
+),
+lsym AS (
+  SELECT key_a AS k, key_b AS p,
+         round(jaro_winkler_similarity(key_a, key_b), 6) AS s FROM lpairs
+  UNION ALL
+  SELECT key_b, key_a,
+         round(jaro_winkler_similarity(key_a, key_b), 6) FROM lpairs
+),
+lbest AS (
+  SELECT k, p, s FROM (
+    SELECT k, p, s,
+           row_number() OVER (PARTITION BY k ORDER BY s DESC, p ASC) AS rn
+    FROM lsym
+  ) WHERE rn = 1
+)
+SELECT a.k AS key_a, a.p AS key_b, a.s AS score
+FROM lbest a JOIN lbest b ON a.p = b.k AND b.p = a.k
+WHERE a.k < a.p"""
 
     o["candidate_pairs_k2"] = f"""WITH {_SQL_DICT}
 SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist

@@ -271,6 +271,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_fs_match_metrics",
         "er_fs_regions",
         "er_ensemble_blocking",
+        "er_link_mutual",
     ]
     out = {}
     for name in headline:
