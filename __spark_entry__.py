@@ -2668,7 +2668,7 @@ qs AS (
 ),
 lpairs AS (
   SELECT q AS key_a, key AS key_b FROM qs, dict
-  WHERE levenshtein(q, key) <= 1
+  WHERE levenshtein(q, key) <= 1 AND q <> key
 ),
 lsym AS (
   SELECT key_a AS k, key_b AS p,

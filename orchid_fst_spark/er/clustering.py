@@ -151,6 +151,12 @@ def golden_records(
     cols = keep_cols if keep_cols is not None else [
         c for c in df.columns if c != cluster_col
     ]
+    clash = {cluster_col, "n_members"} & set(cols)
+    if clash:
+        raise ValueError(
+            f"record columns {sorted(clash)} collide with the output's "
+            "cluster/n_members columns — rename or exclude via keep_cols"
+        )
     rec = F.max_by(F.struct(*[F.col(c) for c in cols]), F.struct(*prefer))
     out = df.groupBy(cluster_col).agg(
         rec.alias("_rec"), F.count("*").cast("long").alias("n_members")

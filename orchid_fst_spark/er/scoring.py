@@ -178,14 +178,14 @@ def fs_em_train(
     if not features:
         raise ValueError("need at least one feature")
     names = [n for n, _ in features]
-    flagged = scored
-    for name, cond in features:
-        flagged = flagged.withColumn(f"agree_{name}", cond)
+    flagged = _flag_features(scored, features)
     agree_cols = [f"agree_{n}" for n in names]
     pat_df = flagged.groupBy(*agree_cols).agg(
         F.count("*").cast("long").alias("n_pairs")
     )
     rows = pat_df.collect()  # <= 2**K rows by construction
+    if not rows:
+        raise ValueError("no candidate pairs to train on")
     pats = [
         (tuple(bool(r[c]) for c in agree_cols), int(r["n_pairs"]))
         for r in rows
@@ -194,7 +194,29 @@ def fs_em_train(
     params: dict = {"lam": lam}
     for k, name in enumerate(names):
         params[name] = (m[k], u[k])
-    return params, _em_report(pat_df, names, lam, m, u)
+    # report over the ALREADY-COLLECTED rows, not the lazy pat_df: the
+    # training aggregate scanned the pair frame once; re-planning it
+    # per downstream consumer (the broadcast side of fs_em_match_edges,
+    # the entry output) would pay the corpus-sized scan again
+    pat_local = scored.sparkSession.createDataFrame(rows, pat_df.schema)
+    return params, _em_report(pat_local, names, lam, m, u)
+
+
+def _flag_features(
+    df: DataFrame, features: list[tuple[str, F.Column]]
+) -> DataFrame:
+    """Add one NULL-SAFE boolean ``agree_<name>`` per feature: a
+    condition over missing fields evaluates to NULL in Spark, which the
+    driver-side fit coerces to False (``bool(None)``) but a plain
+    equi-join on the flag would silently drop — coalesce(cond, False)
+    keeps training, the decision join, and the streaming counts all
+    agreeing that missing evidence = disagreement."""
+    out = df
+    for name, cond in features:
+        out = out.withColumn(
+            f"agree_{name}", F.coalesce(cond, F.lit(False))
+        )
+    return out
 
 
 def _em_fit(
@@ -334,11 +356,16 @@ def mutual_best_pairs(
     the (key = partner) equi-join -> canonical filter.  Output:
     ``(key_a, key_b, score)`` with ``key_a < key_b``, score 6dp.
     """
-    sym = scored.select(
+    # drop self-pairs BEFORE the argmax: an (x, x) row (bipartite input
+    # where the same string appears on both sides) would win x's best-
+    # partner slot at score 1.0 and shadow every real neighbor's link —
+    # a self-pair is not a link between two records
+    nontrivial = scored.filter(F.col(a) != F.col(b))
+    sym = nontrivial.select(
         F.col(a).alias("k"), F.col(b).alias("p"),
         F.round(F.col(score_col), 6).alias("s"),
     ).unionAll(
-        scored.select(
+        nontrivial.select(
             F.col(b).alias("k"), F.col(a).alias("p"),
             F.round(F.col(score_col), 6).alias("s"),
         )
@@ -385,9 +412,10 @@ def fs_em_match_edges(
     _, patterns = fs_em_train(scored, features, iters)
     agree_cols = [f"agree_{n}" for n, _ in features]
     post = patterns.select(*agree_cols, "posterior")
-    flagged = scored
-    for name, cond in features:
-        flagged = flagged.withColumn(f"agree_{name}", cond)
+    # null-safe flags (same coercion as training): a pair with a NULL
+    # condition must land on the all-False side of the join, not be
+    # silently dropped by NULL-never-equals-NULL equi-join semantics
+    flagged = _flag_features(scored, features)
     return (
         flagged.join(F.broadcast(post), agree_cols)
         .filter(F.col("posterior") >= F.lit(float(threshold)))

@@ -546,9 +546,11 @@ def stream_fs_pattern_counts(
     ckpt = checkpoint_dir or os.path.join(state_dir, "_stream_ckpt")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        flagged = batch_df
-        for name, cond in feats:
-            flagged = flagged.withColumn(f"agree_{name}", cond)
+        from ..er.scoring import _flag_features
+
+        # null-safe flags — the same coercion fs_em_train applies, so
+        # the streamed counts stay bit-identical to batch training
+        flagged = _flag_features(batch_df, feats)
         agree_cols = [f"agree_{n}" for n, _ in feats]
         pat = flagged.groupBy(*agree_cols).agg(
             F.count("*").cast("long").alias("n_pairs")

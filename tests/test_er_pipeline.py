@@ -536,3 +536,69 @@ def test_fs_three_way_regions(spark):
     assert "review" not in set(binary.values())
     with pytest.raises(ValueError):
         fs_three_way(df, upper=0.0, lower=1.0)
+
+
+def test_fs_em_null_features_train_and_decide_consistently(spark):
+    # a nullable custom feature: NULL evidence must coerce to False in
+    # BOTH training and the decision join (a plain equi-join would
+    # silently drop every pair with a missing field)
+    from orchid_fst_spark.er.scoring import fs_em_match_edges, fs_em_train
+
+    rows = (
+        [("a%d" % i, "b%d" % i, True) for i in range(20)]     # matches
+        + [("c%d" % i, "d%d" % i, False) for i in range(60)]  # non
+        + [("n%d" % i, "m%d" % i, None) for i in range(10)]   # missing
+    )
+    df = spark.createDataFrame(
+        rows, "key_a string, key_b string, same_phone boolean"
+    )
+    feats = [("phone", F.col("same_phone"))]
+    params, patterns = fs_em_train(df, feats)
+    # NULL pairs fold into the all-False pattern: 60 + 10 = 70
+    by_pat = {r.agree_phone: r.n_pairs for r in patterns.collect()}
+    assert by_pat == {True: 20, False: 70}
+    edges = fs_em_match_edges(df, feats)
+    got = {r.key_a for r in edges.collect()}
+    # the agreeing population links; NULL pairs decide as disagreement
+    # (present in the frame, not dropped before the join)
+    assert got == {f"a{i}" for i in range(20)}
+
+
+def test_mutual_best_self_pair_does_not_shadow(spark):
+    from orchid_fst_spark.er.scoring import mutual_best_pairs
+
+    # bipartite input where 'x' matches itself exactly on the other
+    # side: the (x, x) row must not steal x's best-partner slot — the
+    # real reciprocal link (x, y) survives
+    pairs = spark.createDataFrame(
+        [("x", "x", 1.0), ("x", "y", 0.9)],
+        "key_a string, key_b string, jw double",
+    )
+    got = [(r.key_a, r.key_b) for r in mutual_best_pairs(pairs).collect()]
+    assert got == [("x", "y")]
+
+
+def test_fs_em_report_is_local(spark):
+    # the pattern report must not re-plan the training aggregate: its
+    # plan is a local scan of the collected rows (no Exchange, no agg)
+    from orchid_fst_spark.er.scoring import fs_em_train, score_pairs
+
+    scored = score_pairs(
+        spark.createDataFrame(
+            [("spark", "spark", 0)] * 3 + [("spark", "zzzz-qq", 2)] * 9,
+            "key_a string, key_b string, dist long",
+        )
+    )
+    _, patterns = fs_em_train(scored)
+    plan = patterns._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+
+
+def test_golden_records_rejects_colliding_names(spark):
+    from orchid_fst_spark.er.clustering import golden_records
+
+    df = spark.createDataFrame(
+        [("c", "x", 1)], "component string, n_members string, q long"
+    )
+    with pytest.raises(ValueError):
+        golden_records(df, prefer=[F.col("q")])
