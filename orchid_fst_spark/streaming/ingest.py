@@ -604,4 +604,7 @@ def fs_em_from_state(
     params: dict = {"lam": lam}
     for k, name in enumerate(names):
         params[name] = (m[k], u[k])
-    return params, _em_report(merged, names, lam, m, u)
+    # report over the collected rows (the fs_em_train contract): no
+    # re-read of the state parquet per downstream consumer
+    merged_local = spark.createDataFrame(rows, merged.schema)
+    return params, _em_report(merged_local, names, lam, m, u)
