@@ -148,7 +148,7 @@ from orchid_fst_spark.operators.similarity import (
     pq_topk,
     recall_at_k,
 )
-from orchid_fst_spark.er.clustering import connected_components
+from orchid_fst_spark.er.clustering import connected_components, star_clusters
 from orchid_fst_spark.er.evaluate import (
     blocking_quality,
     clustering_pair_metrics,
@@ -883,6 +883,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["er_components"] = _er_components
+
+    # star clustering over the SAME match-edge list: the chaining-free
+    # cluster-formation alternative (local-max centers, one pass) —
+    # deterministic under any partitioning (integer degree + node-id
+    # total order, no float scores)
+    def _er_star_clusters(spark, sf):
+        d = _dict(spark, sf)
+        edges = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        stars = star_clusters(edges, src="key_a", dst="key_b")
+        return (
+            d.select(F.col("key").alias("node"))
+            .join(stars, "node", "left")
+            .withColumn("center", F.coalesce("center", "node"))
+        )
+
+    q["er_star_clusters"] = _er_star_clusters
     q["er_cluster_sizes"] = lambda spark, sf: (
         _er_components(spark, sf)
         .groupBy("component")
@@ -2750,6 +2766,36 @@ reach(a, b) AS (
 ),
 comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)"""
     o["er_components"] = f"WITH RECURSIVE {_er_core} SELECT node, component FROM comp"
+    # star clustering twin: same edge set, local-max centers under the
+    # total order (deg DESC, node ASC) encoded as min(ROW(-deg, node));
+    # satellites attach to the best adjacent center, else stay singleton
+    o["er_star_clusters"] = f"""WITH {_SQL_DICT},
+edges AS (
+  SELECT a.key AS src, b.key AS dst FROM dict a, dict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+sym AS (SELECT src AS v, dst AS u FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT v AS node, count(*)::BIGINT AS deg FROM sym GROUP BY v),
+nb AS (
+  SELECT s.v, s.u, dv.deg AS deg_v, du.deg AS deg_u
+  FROM sym s JOIN deg dv ON dv.node = s.v JOIN deg du ON du.node = s.u
+),
+best AS (SELECT v, deg_v, min(ROW(-deg_u, u)) AS bn FROM nb GROUP BY v, deg_v),
+centers AS (SELECT v AS c FROM best WHERE ROW(-deg_v, v) < bn),
+att AS (
+  SELECT nb.v, min(ROW(-nb.deg_u, nb.u)) AS bc
+  FROM nb JOIN centers ON nb.u = centers.c GROUP BY nb.v
+),
+assigned AS (
+  SELECT d.node,
+    CASE WHEN c.c IS NOT NULL THEN d.node
+         ELSE coalesce(a.bc[2], d.node) END AS center
+  FROM deg d
+  LEFT JOIN centers c ON d.node = c.c
+  LEFT JOIN att a ON d.node = a.v
+)
+SELECT k.key AS node, coalesce(s.center, k.key) AS center
+FROM dict k LEFT JOIN assigned s ON k.key = s.node"""
     # incremental == full re-run (complete blocking => identical edge
     # set; old clusters collapse to their min-member representative):
     # the oracle is the full-corpus CC, same as er_components

@@ -10,7 +10,7 @@ from .scoring import (
     score_pairs,
     trained_fs_features,
 )
-from .clustering import connected_components, golden_records
+from .clustering import connected_components, golden_records, star_clusters
 from .pipeline import resolve, pairwise_f1
 from .evaluate import (
     blocking_quality,
@@ -58,6 +58,7 @@ __all__ = [
     "mutual_best_pairs",
     "connected_components",
     "golden_records",
+    "star_clusters",
     "resolve",
     "pairwise_f1",
     "pair_metrics",

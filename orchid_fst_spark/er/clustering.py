@@ -121,6 +121,98 @@ def connected_components(
     )
 
 
+def star_clusters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-pass deterministic star clustering — the standard
+    chaining-free alternative to transitive closure for ER cluster
+    formation (Aslam, Pelekhov & Rus, "The Star Clustering Algorithm",
+    JGAA 2004; evaluated for record linkage by Hassanzadeh et al.,
+    "Framework for Evaluating Clustering Algorithms in Duplicate
+    Detection", VLDB 2009 — public literature, see PAPERS.md).
+
+    Where ``connected_components`` merges everything reachable (one bad
+    edge chains two big entities together), star clustering only groups
+    records around locally dominant hub records:
+
+    - ``deg(v)`` = number of match-edge neighbors.
+    - ``v`` is a CENTER iff it beats every neighbor under the total
+      order (deg DESC, node ASC) — the parallel local-maximum variant
+      of the paper's sequential highest-degree-first greedy sweep, so
+      two adjacent nodes are never both centers (star property).
+    - Every non-center attaches to its best adjacent center under the
+      same order; a non-center with NO adjacent center stays a
+      singleton (the documented trade vs the greedy sweep, which would
+      promote it in a later pass — at web scale one pass, no chaining).
+
+    Deterministic under any partitioning: the order (deg DESC, node
+    ASC) is total, so centers and assignments are unique — no float
+    scores involved.  Returns ``(node, center)`` for every node that
+    appears in the edge list; callers left-join the full record set and
+    coalesce to self for isolated records, exactly like
+    ``connected_components`` consumers.
+
+    Plan shape: one degree aggregate, two node-keyed equi-joins to
+    decorate edge endpoints, and two ``min(struct)`` aggregates with
+    map-side partial combine (the struct ``(-deg, node)`` makes MIN
+    implement "highest degree, then smallest node") — no windows, no
+    iteration, no driver collection; every shuffle is on node id.
+    Reference grounding: consumes the same match-edge list the
+    reference's fuzzy semantics define (fst_core/fst.h:16-22 fuzzy
+    match contract); clustering policy itself is from the public ER
+    literature, the reference stops at lookup hits.
+    """
+    e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    deg = sym.groupBy(F.col("v").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    # decorate both endpoints with degree; rank = (-deg, node) so MIN
+    # picks highest degree with smallest-node tie-break
+    nb = (
+        sym.join(deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .join(deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")), "u")
+    )
+    best_nbr = nb.groupBy("v", "deg_v").agg(
+        F.min(F.struct((-F.col("deg_u")).alias("nd"), F.col("u").alias("n"))).alias(
+            "bn"
+        )
+    )
+    centers = best_nbr.filter(
+        F.struct((-F.col("deg_v")).alias("nd"), F.col("v").alias("n")) < F.col("bn")
+    ).select(F.col("v").alias("c"))
+    # attach every node to its best adjacent center (centers attach to
+    # themselves below; non-centers with no adjacent center fall out of
+    # the join and resolve to self)
+    att = (
+        nb.join(centers, nb["u"] == centers["c"])
+        .groupBy("v")
+        .agg(
+            F.min(
+                F.struct((-F.col("deg_u")).alias("nd"), F.col("u").alias("n"))
+            ).alias("bc")
+        )
+        .select("v", F.col("bc.n").alias("center"))
+    )
+    nodes = deg.select(F.col("node").alias("v"))
+    return (
+        nodes.join(centers.withColumnRenamed("c", "v"), "v", "left_semi")
+        .select(F.col("v").alias("node"), F.col("v").alias("center"))
+        .unionByName(
+            nodes.join(centers, nodes["v"] == centers["c"], "left_anti")
+            .join(att, "v", "left")
+            .select(
+                F.col("v").alias("node"),
+                F.coalesce("center", F.col("v")).alias("center"),
+            )
+        )
+    )
+
+
 def golden_records(
     df: DataFrame,
     cluster_col: str = "component",

@@ -48,6 +48,85 @@ def test_connected_components_long_chain(spark):
     assert len(comps) == n + 1
 
 
+def test_star_clusters_hand_graph(spark):
+    # hub h with satellites s1..s3, a path a-b-c-d, and a lone edge x-y.
+    # local-max centers: h (deg 3), b (deg 2, beats a and ties c broken
+    # by id), x (deg 1, beats y by id).  d has no adjacent center ->
+    # stays a singleton (the documented no-chaining trade).
+    from orchid_fst_spark.er import star_clusters
+
+    edges = spark.createDataFrame(
+        [("h", "s1"), ("h", "s2"), ("h", "s3"),
+         ("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {(r.node, r.center) for r in star_clusters(edges).collect()}
+    assert got == {
+        ("h", "h"), ("s1", "h"), ("s2", "h"), ("s3", "h"),
+        ("a", "b"), ("b", "b"), ("c", "b"), ("d", "d"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
+def test_star_clusters_no_chaining_vs_cc(spark):
+    # one spurious bridge edge chains two hubs under CC; star clustering
+    # keeps the two entities separate (the bridge endpoints each attach
+    # to their own hub) — the reason the ER literature evaluates star
+    # against transitive closure.
+    edges = [("h1", f"a{i}") for i in range(4)] + [
+        ("h2", f"b{i}") for i in range(4)
+    ] + [("a0", "b0")]  # the bad edge
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from orchid_fst_spark.er import star_clusters
+
+    cc = connected_components(df)
+    assert cc.select("component").distinct().count() == 1  # CC chains
+    stars = {(r.node, r.center) for r in star_clusters(df).collect()}
+    centers = {c for _, c in stars}
+    assert centers == {"h1", "h2"}  # two entities survive
+    assert ("a0", "h1") in stars and ("b0", "h2") in stars
+
+
+def test_star_clusters_centers_never_adjacent(spark):
+    # star property on a random-ish deterministic graph: no edge joins
+    # two centers, and every assignment is center==self or an adjacent
+    # center
+    import itertools
+    import zlib
+
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if zlib.crc32((a + b).encode()) % 7 == 0
+    ]
+    from orchid_fst_spark.er import star_clusters
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assign = {r.node: r.center for r in star_clusters(df).collect()}
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    deg = {v: len(us) for v, us in adj.items()}
+    rank = lambda n: (-deg[n], n)  # noqa: E731
+    centers = {v for v in adj if all(rank(v) < rank(u) for u in adj[v])}
+    for a, b in edges:
+        assert not (a in centers and b in centers), (a, b)  # star property
+    expected = {
+        v: (
+            v
+            if v in centers
+            else min(
+                (u for u in adj[v] if u in centers), key=rank, default=v
+            )
+        )
+        for v in adj
+    }
+    assert assign == expected
+
+
 def test_resolve_f1(spark, pages_and_truth):
     pages, truth = pages_and_truth
     pred = resolve(pages, k=2, damerau=True)
