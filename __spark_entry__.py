@@ -1199,6 +1199,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_regions"] = _er_fs_regions
 
+    # term-frequency-adjusted FS weights (Winkler 1995 / the Splink
+    # architecture): agreement on a COMMON first-3-char prefix field is
+    # weaker evidence than on a rare one — the value-specific u
+    # replaces the global one; u itself is the principled
+    # sum(n_v^2)/n^2 over the field distribution (integer-exact)
+    def _er_fs_tf(spark, sf):
+        from orchid_fst_spark.er.scoring import (
+            exact_agreement_u,
+            fs_match_weights,
+            fs_tf_adjusted_weights,
+        )
+
+        d = _vdict(spark, sf)
+
+        def pfx(c):
+            return F.substring(c, 1, 3)
+
+        weighted = fs_match_weights(
+            score_pairs(fuzzy_self_pairs(d, "key", k=2, damerau=False))
+        )
+        u = exact_agreement_u(d, pfx)
+        return fs_tf_adjusted_weights(
+            weighted, d, pfx, m=0.9, u=u, name="pfx3"
+        ).select(
+            "key_a",
+            "key_b",
+            "agree_pfx3",
+            "w_pfx3",
+            "fs_weight",
+            "fs_weight_tf",
+        )
+
+    q["er_fs_tf"] = _er_fs_tf
+
     # ensemble blocking: phonetic + q-gram + suffix candidate graphs
     # unioned (each catches a typo class the others miss), judged by
     # the standard completeness/reduction report vs the lev<=2 truth
@@ -2917,6 +2951,45 @@ FROM feat"""
     # EM-trained FS parameters: the unrolled-CTE replay of the trainer's
     # fixed-point arithmetic (see _fs_em_sql)
     o["er_fs_em"] = f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},\n{_fs_em_sql()}"
+
+    # TF-adjusted FS weights: value-specific u = tf share of the
+    # first-3-char prefix field, global u = sum(n_v^2)/n^2 (exact
+    # integer sums, one double division); every float op mirrors the
+    # Spark plan — ::DOUBLE literals (DuckDB bare 0.9 is DECIMAL),
+    # BIGINT/DOUBLE shares, log2 rounded 6dp (the pinned recipe),
+    # lateral alias reuses the ROUNDED w for the sum like the operator
+    o["er_fs_tf"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
+tf AS (
+  SELECT substr(key, 1, 3) AS v, count(*)::BIGINT AS n_v
+  FROM vdict GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_v)::DOUBLE AS total,
+         sum(n_v * n_v)::DOUBLE / (sum(n_v) * sum(n_v))::DOUBLE AS u_val
+  FROM tf
+),
+fsw AS (
+  SELECT key_a, key_b,
+    round(0.0::DOUBLE
+      + CASE WHEN agree_dist THEN {_fsw['dist'][0]!r}::DOUBLE ELSE {_fsw['dist'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jw THEN {_fsw['jw'][0]!r}::DOUBLE ELSE {_fsw['jw'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jaccard THEN {_fsw['jaccard'][0]!r}::DOUBLE ELSE {_fsw['jaccard'][1]!r}::DOUBLE END,
+    6) AS fs_weight
+  FROM feat
+)
+SELECT f.key_a, f.key_b,
+  coalesce(substr(f.key_a, 1, 3) = substr(f.key_b, 1, 3), FALSE) AS agree_pfx3,
+  round(CASE WHEN substr(f.key_a, 1, 3) = substr(f.key_b, 1, 3)
+        THEN log2(0.9::DOUBLE / coalesce(tf.n_v / t.total, t.u_val))
+        ELSE log2((1.0::DOUBLE - 0.9::DOUBLE) / (1.0::DOUBLE - t.u_val))
+        END, 6) AS w_pfx3,
+  f.fs_weight,
+  round(f.fs_weight + w_pfx3, 6) AS fs_weight_tf
+FROM fsw f
+CROSS JOIN tot t
+LEFT JOIN tf
+  ON tf.v = substr(f.key_a, 1, 3)
+ AND substr(f.key_a, 1, 3) = substr(f.key_b, 1, 3)"""
 
     # survivorship over the vdict k=2 components: longest key wins,
     # lexicographically largest on ties (row_number replays the max_by

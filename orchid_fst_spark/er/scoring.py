@@ -327,6 +327,143 @@ def trained_fs_features(
     return out
 
 
+def exact_agreement_u(
+    records: DataFrame,
+    value_of,
+    record_col: str = "key",
+) -> float:
+    """The principled u-probability for an EXACT-agreement feature:
+    the probability two records drawn at random agree on the field,
+    ``u = sum_v n_v^2 / n^2`` over the field's value distribution
+    (Fellegi & Sunter 1969 §3.3.1 — frequency-based error-free u; what
+    hand-set priors approximate).
+
+    ``value_of`` maps the record's key column to the compared value
+    (e.g. ``lambda c: F.split(c, " ")[0]`` for a first-token field).
+
+    Determinism: the sufficient statistic is INTEGER (``sum n_v^2`` and
+    ``n`` as exact decimal sums — no float accumulation order anywhere);
+    the single float division ``float(s2) / float(n*n)`` mirrors SQL's
+    ``s2::DOUBLE / (n*n)::DOUBLE`` bit-for-bit while both stay below
+    2^53 (document the driver-side literal beyond that).  Distributed
+    work: one value-count aggregate + a one-row reduction."""
+    counts = (
+        records.select(value_of(F.col(record_col)).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_v"))
+    )
+    row = counts.agg(
+        F.sum(F.col("n_v").cast("decimal(38,0)") * F.col("n_v")).alias("s2"),
+        F.sum("n_v").cast("decimal(38,0)").alias("n"),
+    ).collect()[0]
+    if row.n is None or int(row.n) == 0:
+        raise ValueError("no non-null field values to measure u over")
+    s2, n = int(row.s2), int(row.n)
+    return float(s2) / float(n * n)
+
+
+def fs_tf_adjusted_weights(
+    scored: DataFrame,
+    records: DataFrame,
+    value_of,
+    record_col: str = "key",
+    a: str = "key_a",
+    b: str = "key_b",
+    m: float = 0.9,
+    u: float = 0.05,
+    name: str = "tf",
+    min_share: float | None = None,
+) -> DataFrame:
+    """Term-frequency-adjusted Fellegi–Sunter weight for an EXACT-
+    agreement feature (Winkler 1995; the Splink architecture's
+    term_frequency_adjustments): agreement on a COMMON value ("smith")
+    is weaker evidence than agreement on a rare one, so the value-
+    specific u replaces the global u — ``P(agree on v | U) ≈ tf_v^2``
+    and ``P(show v and agree | M) ≈ m·tf_v`` give the value-specific
+    agreement weight ``log2(m / tf_v)``; disagreement keeps the global
+    ``log2((1-m)/(1-u))``.
+
+    - ``value_of``: maps a key column to the compared field value (same
+      expression applied to ``records[record_col]``, ``pairs[a]`` and
+      ``pairs[b]``).
+    - ``m``/``u``: the feature's trained parameters (``u`` also backs
+      the fallback weight for an agreeing value missing from
+      ``records`` — e.g. pairs built from a superset frame; use
+      ``exact_agreement_u`` for the principled value).
+    - ``min_share``: optional tf floor — caps the boost an ultra-rare
+      value can contribute (Splink's documented guard against
+      once-seen typos dominating the score).
+
+    Adds ``agree_<name>`` (null-safe boolean), ``w_<name>`` (the 6dp
+    per-pair weight) and ``fs_weight_tf`` (= 6dp ``fs_weight + w`` when
+    ``scored`` already carries ``fs_weight``, else the weight alone) —
+    so it composes additively with ``fs_match_weights``.
+
+    Plan: ONE value-count aggregate over ``records`` (+ a one-row total
+    collected as a driver literal — the normalizer pattern), then ONE
+    left equi-join of the pair frame against the count table on the
+    AGREEING value (join key nulled on disagreement, so only agreeing
+    rows can match; AQE broadcasts a small count table, skew-joins a
+    hot one) and map-side arithmetic.  At 100 TB prefer joining the
+    count table onto the RECORD frame before pair generation so each
+    side carries its own n_v — same weights, record-sized join.
+
+    Determinism (cross-engine): shares are exact-long/exact-long double
+    divisions; the value-specific log2 runs JVM-side and is rounded
+    6dp (pinned 0/20000 bitwise flips vs libm at 6dp); the disagreement
+    weight is a Python ``math.log2`` literal (bit-identical to DuckDB's
+    log2 — same libm); sums of already-6dp-rounded doubles are
+    bit-identical in any engine."""
+    import math
+
+    if not (0.0 < u < m < 1.0):
+        raise ValueError(f"need 0 < u < m < 1, got m={m} u={u}")
+    if min_share is not None and not (0.0 < min_share < 1.0):
+        raise ValueError(f"need 0 < min_share < 1, got {min_share}")
+
+    counts = (
+        records.select(value_of(F.col(record_col)).alias("tf_value"))
+        .filter(F.col("tf_value").isNotNull())
+        .groupBy("tf_value")
+        .agg(F.count("*").cast("long").alias("n_v"))
+    )
+    n_total = counts.agg(F.sum("n_v").cast("long")).collect()[0][0]
+    if not n_total:
+        raise ValueError("records carry no non-null field values")
+
+    va, vb = value_of(F.col(a)), value_of(F.col(b))
+    agree = F.coalesce(va == vb, F.lit(False))
+    joined = scored.withColumn(
+        "_tf_join_value", F.when(agree, va)
+    ).join(
+        counts.withColumnRenamed("tf_value", "_tf_join_value"),
+        "_tf_join_value",
+        "left",
+    )
+    share = F.coalesce(
+        F.col("n_v") / F.lit(float(n_total)), F.lit(float(u))
+    )
+    if min_share is not None:
+        share = F.greatest(share, F.lit(float(min_share)))
+    dw = math.log2((1.0 - m) / (1.0 - u))
+    w = F.round(
+        F.when(agree, F.log2(F.lit(float(m)) / share)).otherwise(F.lit(dw)),
+        6,
+    )
+    out = (
+        joined.withColumn(f"agree_{name}", agree)
+        .withColumn(f"w_{name}", w)
+        .drop("_tf_join_value", "n_v")
+    )
+    if "fs_weight" in scored.columns:
+        return out.withColumn(
+            "fs_weight_tf",
+            F.round(F.col("fs_weight") + F.col(f"w_{name}"), 6),
+        )
+    return out.withColumn("fs_weight_tf", F.col(f"w_{name}"))
+
+
 def mutual_best_pairs(
     scored: DataFrame,
     a: str = "key_a",

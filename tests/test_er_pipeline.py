@@ -681,3 +681,76 @@ def test_golden_records_rejects_colliding_names(spark):
     )
     with pytest.raises(ValueError):
         golden_records(df, prefer=[F.col("q")])
+
+
+def test_exact_agreement_u_hand_counts(spark):
+    # u = sum(n_v^2) / n^2 over the field distribution: [aa x3, bb x1]
+    # -> (9 + 1) / 16
+    from orchid_fst_spark.er.scoring import exact_agreement_u
+
+    recs = spark.createDataFrame(
+        [("aa",), ("aa",), ("aa",), ("bb",), (None,)], "key string"
+    )
+    u = exact_agreement_u(recs, lambda c: c)
+    assert u == 10.0 / 16.0
+
+
+def test_fs_tf_weights_hand_math(spark):
+    # records: aa x8, bb x2 (n=10); m=0.8, u=0.2 (identity field)
+    #  - agree on common aa: share .8 -> log2(.8/.8) = 0
+    #  - agree on rare bb:   share .2 -> log2(.8/.2) = 2
+    #  - agree on UNSEEN cc: fallback share = u -> 2
+    #  - disagree (incl. a NULL side): log2(.2/.8) = -2
+    import math
+
+    from orchid_fst_spark.er.scoring import fs_tf_adjusted_weights
+
+    recs = spark.createDataFrame(
+        [("aa",)] * 8 + [("bb",)] * 2, "key string"
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("aa", "aa"),
+            ("bb", "bb"),
+            ("cc", "cc"),
+            ("aa", "bb"),
+            (None, "aa"),
+        ],
+        "key_a string, key_b string",
+    )
+    out = fs_tf_adjusted_weights(
+        pairs, recs, lambda c: c, m=0.8, u=0.2, name="v"
+    )
+    got = {
+        (r.key_a, r.key_b): (r.agree_v, r.w_v, r.fs_weight_tf)
+        for r in out.collect()
+    }
+    assert got[("aa", "aa")] == (True, 0.0, 0.0)
+    assert got[("bb", "bb")] == (True, 2.0, 2.0)
+    assert got[("cc", "cc")] == (True, 2.0, 2.0)
+    assert got[("aa", "bb")] == (False, -2.0, -2.0)
+    assert got[(None, "aa")] == (False, -2.0, -2.0)
+    # min_share floors the rare-value boost (Splink's tf cap)
+    capped = fs_tf_adjusted_weights(
+        pairs, recs, lambda c: c, m=0.8, u=0.2, name="v", min_share=0.5
+    )
+    w_bb = {
+        (r.key_a, r.key_b): r.w_v for r in capped.collect()
+    }[("bb", "bb")]
+    assert w_bb == round(math.log2(0.8 / 0.5), 6)
+
+
+def test_fs_tf_composes_with_fs_weight(spark):
+    # fs_weight already present -> fs_weight_tf = round(fs_weight + w, 6)
+    from orchid_fst_spark.er.scoring import fs_tf_adjusted_weights
+
+    recs = spark.createDataFrame([("aa",)] * 4, "key string")
+    pairs = spark.createDataFrame(
+        [("aa", "aa", 1.25)], "key_a string, key_b string, fs_weight double"
+    )
+    out = fs_tf_adjusted_weights(
+        pairs, recs, lambda c: c, m=0.8, u=0.2, name="v"
+    ).collect()[0]
+    # share = 1.0 -> w = log2(0.8) = -0.321928
+    assert out.w_v == -0.321928
+    assert out.fs_weight_tf == round(1.25 + -0.321928, 6)
