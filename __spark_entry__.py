@@ -952,37 +952,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_pair_metrics"] = _er_pair_metrics
 
-    # clustering-level P/R/F1 via the contingency table (no implied-pair
-    # materialization): predicted = components under k=2 edges, truth =
-    # components under the stricter k=1 edges
-    def _er_cluster_metrics(spark, sf):
+    # the two reference clusterings every clustering-eval entry reads:
+    # predicted = components under k=2 edges, truth = components under
+    # the stricter k=1 edges; singletons keep their own key as label
+    def _vdict_clusterings(spark, sf):
         d = _vdict(spark, sf)
         edges2 = fuzzy_self_pairs(d, "key", k=2, damerau=False)
-        pred = (
-            d.select(F.col("key").alias("node"))
-            .join(
-                connected_components(edges2, src="key_a", dst="key_b"),
-                "node",
-                "left",
+
+        def assign(edges):
+            return (
+                d.select(F.col("key").alias("node"))
+                .join(
+                    connected_components(edges, src="key_a", dst="key_b"),
+                    "node",
+                    "left",
+                )
+                .withColumn("component", F.coalesce("component", "node"))
             )
-            .withColumn("component", F.coalesce("component", "node"))
+
+        return (
+            assign(edges2),
+            assign(edges2.filter(F.col("dist") <= 1)),
+            edges2,
         )
-        edges1 = edges2.filter(F.col("dist") <= 1)
-        truth = (
-            d.select(F.col("key").alias("node"))
-            .join(
-                connected_components(edges1, src="key_a", dst="key_b"),
-                "node",
-                "left",
-            )
-            .withColumn("component", F.coalesce("component", "node"))
-        )
+
+    # clustering-level P/R/F1 via the contingency table (no implied-pair
+    # materialization)
+    def _er_cluster_metrics(spark, sf):
+        pred, truth, _ = _vdict_clusterings(spark, sf)
         return clustering_pair_metrics(
             pred, truth, id_col="node", pred_col="component",
             truth_col="component",
         )
 
     q["er_cluster_metrics"] = _er_cluster_metrics
+
+    # B-cubed P/R/F1 over the same two clusterings: the size-robust
+    # second opinion next to pairwise F1 — per-record averaging via the
+    # contingency cells, fixed-point div(n^2*1e9, marginal) sums so both
+    # engines reduce exact integers (see er.evaluate.bcubed_metrics)
+    def _er_bcubed(spark, sf):
+        from orchid_fst_spark.er.evaluate import bcubed_metrics
+
+        pred, truth, _ = _vdict_clusterings(spark, sf)
+        return bcubed_metrics(
+            pred, truth, id_col="node", pred_col="component",
+            truth_col="component",
+        )
+
+    q["er_bcubed"] = _er_bcubed
+
+    # per-cluster cohesion: direct-edge density of each k<=2 component —
+    # the chained-cluster detector (density at the n-1 tree floor) read
+    # before deciding which clusters star_clusters should re-form
+    def _er_cluster_cohesion(spark, sf):
+        from orchid_fst_spark.er.clustering import cluster_cohesion
+
+        pred, _, edges2 = _vdict_clusterings(spark, sf)
+        return cluster_cohesion(
+            pred,
+            edges2,
+            node_col="node",
+            cluster_col="component",
+            src="key_a",
+            dst="key_b",
+        )
+
+    q["er_cluster_cohesion"] = _er_cluster_cohesion
+
+    # blocking cost report: the exact comparison workload of three
+    # candidate rules (first-2 prefix / key length / last-2 suffix)
+    # from block-size aggregates only — read BEFORE generating a single
+    # pair (one corpus scan for all rules, Splink count_comparisons
+    # discipline)
+    def _er_blocking_cost(spark, sf):
+        from orchid_fst_spark.er.evaluate import blocking_cost
+
+        d = _vdict(spark, sf)
+        return blocking_cost(
+            d,
+            [
+                ("prefix2", F.substring("key", 1, 2)),
+                ("length", F.length("key")),
+                ("suffix2", F.expr("right(key, 2)")),
+            ],
+        )
+
+    q["er_blocking_cost"] = _er_blocking_cost
 
     # incremental resolve: cluster the md5-even half of the dictionary,
     # fold the other half in with er.incremental, and return the updated
@@ -2929,6 +2985,114 @@ SELECT tp, pred_pairs, true_pairs,
   round(CASE WHEN p_raw + r_raw > 0
              THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
 FROM r"""
+
+    # the comp2 (k<=2) / comp1 (k<=1) clusterings shared by the
+    # clustering-eval oracles — the recursive-CTE twin of
+    # _vdict_clusterings (self loops give singletons their own label)
+    _SQL_CLUST = """
+edges2 AS (
+  SELECT a.key AS src, b.key AS dst FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+sym2 AS (
+  SELECT src AS a, dst AS b FROM edges2
+  UNION SELECT dst, src FROM edges2
+  UNION SELECT key, key FROM vdict
+),
+reach2(a, b) AS (
+  SELECT a, b FROM sym2
+  UNION SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a
+),
+comp2 AS (SELECT a AS node, min(b) AS pc FROM reach2 GROUP BY a),
+edges1 AS (
+  SELECT src, dst FROM edges2 WHERE levenshtein(src, dst) <= 1
+),
+sym1 AS (
+  SELECT src AS a, dst AS b FROM edges1
+  UNION SELECT dst, src FROM edges1
+  UNION SELECT key, key FROM vdict
+),
+reach1(a, b) AS (
+  SELECT a, b FROM sym1
+  UNION SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a
+),
+comp1 AS (SELECT a AS node, min(b) AS tc FROM reach1 GROUP BY a)"""
+
+    # B-cubed over comp2 vs comp1: the operator's exact fixed-point
+    # arithmetic — per-cell div(n_cell^2 * 1e9, marginal) summed as
+    # HUGEINT (Spark: decimal(38,0)), ONE double division by N*1e9,
+    # rounded 6dp
+    o["er_bcubed"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+j AS (SELECT c2.pc, c1.tc FROM comp2 c2 JOIN comp1 c1 USING (node)),
+cells AS (SELECT pc, tc, count(*)::BIGINT AS n_cell FROM j GROUP BY 1, 2),
+pcs AS (SELECT pc, sum(n_cell)::BIGINT AS n_pc FROM cells GROUP BY 1),
+tcs AS (SELECT tc, sum(n_cell)::BIGINT AS n_tc FROM cells GROUP BY 1),
+agg AS (
+  SELECT sum(n_cell)::BIGINT AS n_records,
+    sum((n_cell::HUGEINT * n_cell * 1000000000) // n_pc)::HUGEINT AS pfp,
+    sum((n_cell::HUGEINT * n_cell * 1000000000) // n_tc)::HUGEINT AS rfp
+  FROM cells JOIN pcs USING (pc) JOIN tcs USING (tc)
+),
+r AS (
+  SELECT n_records,
+    CASE WHEN n_records > 0
+         THEN pfp::DOUBLE / (n_records::DOUBLE * 1e9) ELSE 1.0 END AS p_raw,
+    CASE WHEN n_records > 0
+         THEN rfp::DOUBLE / (n_records::DOUBLE * 1e9) ELSE 1.0 END AS r_raw
+  FROM agg
+)
+SELECT n_records,
+  round(p_raw, 6) AS bcubed_precision,
+  round(r_raw, 6) AS bcubed_recall,
+  round(CASE WHEN p_raw + r_raw > 0
+             THEN 2 * p_raw * r_raw / (p_raw + r_raw)
+             ELSE 0.0 END, 6) AS bcubed_f1
+FROM r"""
+
+    # per-cluster cohesion over comp2: distinct within-cluster edges /
+    # nC2, exact longs, one double division rounded 6dp
+    o["er_cluster_cohesion"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+sizes AS (
+  SELECT pc AS component, count(*)::BIGINT AS n_members
+  FROM comp2 GROUP BY 1 HAVING count(*) >= 2
+),
+within AS (
+  SELECT ca.pc AS component
+  FROM edges2 e
+  JOIN comp2 ca ON ca.node = e.src
+  JOIN comp2 cb ON cb.node = e.dst
+  WHERE ca.pc = cb.pc
+),
+ec AS (SELECT component, count(*)::BIGINT AS n_edges FROM within GROUP BY 1)
+SELECT s.component, s.n_members,
+  coalesce(ec.n_edges, 0)::BIGINT AS n_edges,
+  (s.n_members * (s.n_members - 1) // 2)::BIGINT AS possible,
+  round(coalesce(ec.n_edges, 0)::DOUBLE
+        / (s.n_members * (s.n_members - 1) // 2), 6) AS density,
+  coalesce(ec.n_edges, 0) = s.n_members - 1 AS is_tree
+FROM sizes s LEFT JOIN ec USING (component)"""
+
+    # blocking cost report: per-rule block-size aggregates only (the
+    # one-scan union replays the operator's explode), exact nC2 longs
+    o["er_blocking_cost"] = f"""WITH {_SQL_VDICT},
+keyed AS (
+  SELECT 'prefix2' AS rule, substr(key, 1, 2) AS bk FROM vdict
+  UNION ALL SELECT 'length', length(key)::VARCHAR FROM vdict
+  UNION ALL SELECT 'suffix2', right(key, 2) FROM vdict
+),
+blocks AS (
+  SELECT rule, bk, count(*)::BIGINT AS n
+  FROM keyed WHERE bk IS NOT NULL GROUP BY 1, 2
+)
+SELECT rule,
+  sum(n)::BIGINT AS n_keyed,
+  count(*)::BIGINT AS n_blocks,
+  max(n)::BIGINT AS max_block,
+  sum(n * (n - 1) // 2)::BIGINT AS comparisons,
+  round(CASE WHEN sum(n * (n - 1) // 2) > 0
+        THEN max(n * (n - 1) // 2)::DOUBLE / sum(n * (n - 1) // 2)
+        ELSE 0.0 END, 6) AS top_share
+FROM blocks GROUP BY rule"""
 
     # Fellegi-Sunter weights: the SAME Python-computed log2 literals the
     # operator folds into its plan, summed in the same fixed order

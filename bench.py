@@ -272,6 +272,11 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_fs_regions",
         "er_ensemble_blocking",
         "er_link_mutual",
+        "er_star_clusters",
+        "er_fs_tf",
+        "er_bcubed",
+        "er_cluster_cohesion",
+        "er_blocking_cost",
     ]
     out = {}
     for name in headline:

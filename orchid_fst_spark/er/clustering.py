@@ -254,3 +254,74 @@ def golden_records(
         rec.alias("_rec"), F.count("*").cast("long").alias("n_members")
     )
     return out.select(cluster_col, "n_members", "_rec.*")
+
+
+def cluster_cohesion(
+    assignment: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-cluster cohesion report: how much direct match evidence holds
+    each transitive cluster together.  Connected components certify only
+    a spanning tree — a chained cluster (a~b, b~c, but a and c share
+    nothing) has density near the n−1 tree floor, a genuine entity's
+    near-clique sits near 1.0.  This is the report you read to decide
+    which clusters to re-form with ``star_clusters`` or route to
+    clerical review (Hassanzadeh et al. VLDB'09 use exactly this
+    density lens to compare dedup cluster generators).
+
+    One row per non-singleton cluster: ``(cluster_id, n_members,
+    n_edges, possible, density, is_tree)`` — ``n_edges`` counts distinct
+    within-cluster match edges, ``possible`` = nC2, ``density`` their
+    6dp ratio, ``is_tree`` flags the n−1 chain floor.
+
+    Plan shape: edges canonicalized, each endpoint resolved by one
+    node-keyed equi-join against the assignment (broadcast when the
+    assignment is small, AQE otherwise), one per-cluster count, one join
+    with cluster sizes.  Everything after the endpoint joins is
+    cluster-count-sized.  Cross-cluster edges (endpoints resolved to
+    different clusters — e.g. edges pruned away before clustering) are
+    dropped; edges with an unassigned endpoint raise no error, they
+    simply cannot pair.
+
+    Determinism: counts are exact longs; density is one double division
+    of two exact longs rounded 6dp (no accumulation order anywhere).
+    """
+    asg = assignment.select(
+        F.col(node_col).alias("_n"), F.col(cluster_col).alias("_c")
+    )
+    e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    within = (
+        e.join(asg.withColumnRenamed("_n", "src"), "src")
+        .withColumnRenamed("_c", "_ca")
+        .join(asg.withColumnRenamed("_n", "dst"), "dst")
+        .withColumnRenamed("_c", "_cb")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .select(F.col("_ca").alias(cluster_col))
+    )
+    edge_counts = within.groupBy(cluster_col).agg(
+        F.count("*").cast("long").alias("n_edges")
+    )
+    sizes = (
+        asg.groupBy(F.col("_c").alias(cluster_col))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    joined = sizes.join(edge_counts, cluster_col, "left").withColumn(
+        "n_edges", F.coalesce("n_edges", F.lit(0)).cast("long")
+    )
+    possible = F.call_function(
+        "div", F.col("n_members") * (F.col("n_members") - 1), F.lit(2)
+    )
+    out = joined.withColumn("possible", possible.cast("long"))
+    return out.select(
+        cluster_col,
+        "n_members",
+        "n_edges",
+        "possible",
+        F.round(F.col("n_edges") / F.col("possible"), 6).alias("density"),
+        (F.col("n_edges") == F.col("n_members") - 1).alias("is_tree"),
+    )

@@ -204,6 +204,159 @@ def blocking_quality(
     )
 
 
+def bcubed_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "cluster_id",
+    truth_col: str = "cluster_id",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 of a predicted clustering vs truth
+    (Bagga & Baldwin 1998; Amigó et al. 2009 show it is the extrinsic
+    clustering metric satisfying all four formal constraints).  Unlike
+    pairwise F1 — which a single giant cluster dominates quadratically —
+    B³ averages PER RECORD, so a chained 10M-member cluster and a
+    botched 3-member cluster are weighted by membership, not by implied
+    pair count.  Read both: pairwise F1 is the north-rule contract, B³
+    is the size-robust second opinion.
+
+    Per record r: precision = |C(r) ∩ T(r)| / |C(r)|, recall =
+    |C(r) ∩ T(r)| / |T(r)| with C/T its predicted/truth cluster; the
+    metric is the mean over records.  Grouping by (pred, truth) cell
+    collapses that to cell counts — ``B³p = (1/N) Σ_cells n²/n_pc`` —
+    so a cluster contributes one contingency row, never its implied
+    pairs (same discipline as ``clustering_pair_metrics``).
+
+    One row: ``(n_records, bcubed_precision, bcubed_recall, bcubed_f1)``.
+
+    Plan shape: one id equi-join, one (pc, tc) cell aggregate, two
+    marginal aggregates over the CELL frame (cluster-count-sized, not
+    corpus-sized), a broadcast-sized join back, one single-row reduce.
+
+    Determinism (cross-engine): each cell term is the exact integer
+    ``div(n_cell² · 10⁹, marginal)`` (decimal(38,0) / HUGEINT — no
+    overflow at any cluster size) summed exactly, then ONE double
+    division by ``N·10⁹`` rounded 6dp — float accumulation order never
+    exists.  Truncation understates each term by < 10⁻⁹, so the summed
+    error is < #cells/N · 10⁻⁹ ≤ 10⁻⁹ — invisible at 6dp away from
+    exact .0000005 boundaries (planted tests keep margins wide).
+    """
+    pred = predicted.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("pc")
+    )
+    tr = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("tc"))
+    cells = (
+        pred.join(tr, "_id")
+        .groupBy("pc", "tc")
+        .agg(F.count("*").cast("long").alias("n_cell"))
+    )
+    pc_sizes = cells.groupBy("pc").agg(F.sum("n_cell").alias("n_pc"))
+    tc_sizes = cells.groupBy("tc").agg(F.sum("n_cell").alias("n_tc"))
+    scale = F.lit(1_000_000_000)
+    n2 = F.col("n_cell").cast("decimal(38,0)") * F.col("n_cell")
+    one = (
+        cells.join(pc_sizes, "pc")
+        .join(tc_sizes, "tc")
+        .agg(
+            F.sum("n_cell").cast("long").alias("n_records"),
+            F.sum(
+                F.call_function("div", n2 * scale, F.col("n_pc"))
+            ).cast("decimal(38,0)").alias("_pfp"),
+            F.sum(
+                F.call_function("div", n2 * scale, F.col("n_tc"))
+            ).cast("decimal(38,0)").alias("_rfp"),
+        )
+    )
+    denom = F.col("n_records").cast("double") * 1e9
+    p_raw = F.when(
+        F.col("n_records") > 0, F.col("_pfp").cast("double") / denom
+    ).otherwise(F.lit(1.0))
+    r_raw = F.when(
+        F.col("n_records") > 0, F.col("_rfp").cast("double") / denom
+    ).otherwise(F.lit(1.0))
+    f1 = F.when(
+        p_raw + r_raw > 0, 2 * p_raw * r_raw / (p_raw + r_raw)
+    ).otherwise(F.lit(0.0))
+    return one.select(
+        "n_records",
+        F.round(p_raw, 6).alias("bcubed_precision"),
+        F.round(r_raw, 6).alias("bcubed_recall"),
+        F.round(f1, 6).alias("bcubed_f1"),
+    )
+
+
+def blocking_cost(
+    records: DataFrame,
+    rules: list[tuple[str, F.Column]],
+    null_safe: bool = True,
+) -> DataFrame:
+    """Predicted comparison workload of each blocking rule WITHOUT
+    generating a single pair (the Splink ``count_comparisons``
+    discipline): at web scale you read this report — block-count,
+    hottest block, and the exact Σ n·(n−1)/2 comparison total per rule
+    — BEFORE paying the candidate-pair shuffle, because one hot key
+    ("index.html") can make a rule quadratically more expensive than
+    its siblings.
+
+    ``rules``: ``[(name, key_expression)]`` over the record frame's
+    columns; null keys opt the record out of that rule (the standard
+    blocking-rule semantics).
+
+    One row per rule: ``(rule, n_keyed, n_blocks, max_block,
+    comparisons, top_share)`` — ``comparisons`` is the exact pair count
+    the rule would emit, ``top_share`` the fraction owned by the single
+    hottest block (skew at a glance, 6dp).
+
+    Plan shape: ONE corpus scan — every rule's key is emitted from the
+    same row via explode(array(struct…)) — then one (rule, key) cell
+    aggregate and one rule-sized reduce; nC2 in exact long ``div``
+    arithmetic.  The corpus is never shuffled on record identity, only
+    (rule, key) counts move.
+    """
+    if not rules:
+        raise ValueError("need at least one (name, key_expression) rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names in {names}")
+    keyed = records.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        expr.cast("string").alias("bk"),
+                    )
+                    for name, expr in rules
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.rule", "_r.bk")
+    if null_safe:
+        keyed = keyed.filter(F.col("bk").isNotNull())
+    blocks = keyed.groupBy("rule", "bk").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ncomp = F.call_function("div", F.col("n") * (F.col("n") - 1), F.lit(2))
+    per_rule = blocks.groupBy("rule").agg(
+        F.sum("n").cast("long").alias("n_keyed"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.max("n").cast("long").alias("max_block"),
+        F.sum(ncomp).cast("long").alias("comparisons"),
+        F.max(ncomp).cast("long").alias("_top"),
+    )
+    top_share = F.when(
+        F.col("comparisons") > 0, F.col("_top") / F.col("comparisons")
+    ).otherwise(F.lit(0.0))
+    return per_rule.select(
+        "rule",
+        "n_keyed",
+        "n_blocks",
+        "max_block",
+        "comparisons",
+        F.round(top_share, 6).alias("top_share"),
+    )
+
+
 def weight_threshold_sweep(
     weighted: DataFrame,
     truth: DataFrame,

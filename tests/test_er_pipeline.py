@@ -754,3 +754,119 @@ def test_fs_tf_composes_with_fs_weight(spark):
     # share = 1.0 -> w = log2(0.8) = -0.321928
     assert out.w_v == -0.321928
     assert out.fs_weight_tf == round(1.25 + -0.321928, 6)
+
+
+def test_bcubed_hand_math(spark):
+    # truth: {a,b,c} {d}; predicted: {a,b} {c,d}
+    # precision: a=1, b=1, c=1/2, d=1/2 -> mean 3/4
+    # recall:    a=2/3, b=2/3, c=1/3, d=1 -> mean 8/12 = 2/3
+    from orchid_fst_spark.er.evaluate import bcubed_metrics
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2)], "url string, cluster_id int"
+    )
+    truth = spark.createDataFrame(
+        [("a", 9), ("b", 9), ("c", 9), ("d", 8)], "url string, cluster_id int"
+    )
+    row = bcubed_metrics(pred, truth).collect()[0]
+    assert row.n_records == 4
+    assert row.bcubed_precision == 0.75
+    assert row.bcubed_recall == round(2.0 / 3.0, 6)
+    p, r = 0.75, 2.0 / 3.0
+    assert row.bcubed_f1 == round(2 * p * r / (p + r), 6)
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    from orchid_fst_spark.er.evaluate import bcubed_metrics
+
+    same = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "url string, cluster_id int"
+    )
+    row = bcubed_metrics(same, same).collect()[0]
+    assert (row.bcubed_precision, row.bcubed_recall, row.bcubed_f1) == (
+        1.0,
+        1.0,
+        1.0,
+    )
+    # all-in-one prediction vs all-singleton truth: precision = mean of
+    # 1/n = 1/3, recall = 1 (each truth cluster is fully inside C(r))
+    lump = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "url string, cluster_id int"
+    )
+    split = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "url string, cluster_id int"
+    )
+    row = bcubed_metrics(lump, split).collect()[0]
+    assert row.bcubed_precision == round(1.0 / 3.0, 6)
+    assert row.bcubed_recall == 1.0
+
+
+def test_cluster_cohesion_chain_vs_clique(spark):
+    from orchid_fst_spark.er.clustering import cluster_cohesion
+
+    asg = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2), ("z", 2),
+         ("solo", 3)],
+        "node string, cluster_id int",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"),                    # chain (tree)
+            ("x", "y"), ("y", "z"), ("x", "z"),        # clique
+            ("b", "a"),                                 # dup, reversed
+            ("a", "x"),                                 # cross-cluster
+            ("a", "a"),                                 # self loop
+        ],
+        "src string, dst string",
+    )
+    rows = {r.cluster_id: r for r in cluster_cohesion(asg, edges).collect()}
+    assert set(rows) == {1, 2}  # singleton cluster 3 excluded
+    assert (rows[1].n_edges, rows[1].possible, rows[1].is_tree) == (2, 3, True)
+    assert rows[1].density == round(2 / 3, 6)
+    assert (rows[2].n_edges, rows[2].density, rows[2].is_tree) == (
+        3,
+        1.0,
+        False,
+    )
+
+
+def test_blocking_cost_hand_counts(spark):
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.er.evaluate import blocking_cost
+
+    recs = spark.createDataFrame(
+        [("aa1",), ("aa2",), ("aa3",), ("ab1",), (None,)], "key string"
+    )
+    rows = {
+        r.rule: r
+        for r in blocking_cost(
+            recs.filter(F.col("key").isNotNull()).unionByName(recs.filter(F.col("key").isNull())),
+            [
+                ("prefix2", F.substring("key", 1, 2)),
+                ("all", F.lit("k")),
+                ("nulls", F.lit(None).cast("string")),
+            ],
+        ).collect()
+    }
+    # prefix2: aa x3 (3 comparisons) + ab x1 (0); null key excluded
+    assert (rows["prefix2"].n_keyed, rows["prefix2"].n_blocks) == (4, 2)
+    assert (rows["prefix2"].max_block, rows["prefix2"].comparisons) == (3, 3)
+    assert rows["prefix2"].top_share == 1.0
+    # single hot block: 5C2 = 10
+    assert (rows["all"].n_keyed, rows["all"].comparisons) == (5, 10)
+    # an all-null rule vanishes from the report
+    assert "nulls" not in rows
+
+
+def test_blocking_cost_rejects_bad_rules(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.er.evaluate import blocking_cost
+
+    recs = spark.createDataFrame([("a",)], "key string")
+    with _pytest.raises(ValueError):
+        blocking_cost(recs, [])
+    with _pytest.raises(ValueError):
+        blocking_cost(recs, [("x", F.col("key")), ("x", F.col("key"))])
