@@ -1317,6 +1317,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_ensemble_blocking"] = _er_ensemble_blocking
 
+    # Adjusted Rand Index over the same comp2-vs-comp1 clusterings the
+    # other clustering-eval entries read: the chance-corrected agreement
+    # number (all four pair-confusion cells, exact longs; the ratio is
+    # a fixed-order double formula rounded 6dp)
+    def _er_ari(spark, sf):
+        from orchid_fst_spark.er.evaluate import ari_metrics
+
+        pred, truth, _ = _vdict_clusterings(spark, sf)
+        return ari_metrics(
+            pred, truth, id_col="node", pred_col="component",
+            truth_col="component",
+        )
+
+    q["er_ari"] = _er_ari
+
+    # progressive ER: three cheap redundant blocking rules (first-2
+    # prefix / last-2 suffix / key length) vote via the CBS block graph;
+    # the top-50 pairs under (weight DESC, id_a, id_b) are the
+    # pay-as-you-go comparison schedule
+    def _er_progressive(spark, sf):
+        from orchid_fst_spark.er.neighborhood import progressive_pairs
+
+        d = _vdict(spark, sf)
+        k = F.col("key")
+        blocks = (
+            d.select(
+                k.alias("id"),
+                F.concat(F.lit("p:"), F.substring(k, 1, 2)).alias("block"),
+            )
+            .unionByName(
+                d.select(
+                    k.alias("id"),
+                    F.concat(
+                        F.lit("s:"),
+                        F.expr(
+                            "substring(key, greatest(length(key)-1, 1), 2)"
+                        ),
+                    ).alias("block"),
+                )
+            )
+            .unionByName(
+                d.select(
+                    k.alias("id"),
+                    F.concat(
+                        F.lit("l:"), F.length(k).cast("string")
+                    ).alias("block"),
+                )
+            )
+        )
+        return progressive_pairs(blocks, budget=50, block_cap=1000)
+
+    q["er_progressive_pairs"] = _er_progressive
+
     # bipartite record linkage end-to-end: two-table fuzzy join (part
     # tokens -> dictionary, k=1) scored by Jaro-Winkler, then the
     # mutual-best 1:1 constraint — each query keeps exactly its best
@@ -3048,6 +3101,74 @@ SELECT n_records,
              THEN 2 * p_raw * r_raw / (p_raw + r_raw)
              ELSE 0.0 END, 6) AS bcubed_f1
 FROM r"""
+
+    # Adjusted Rand Index over comp2 vs comp1: pair-confusion cells
+    # from the same histograms as er_cluster_metrics (exact longs); the
+    # RI/ARI ratios cast every cell to DOUBLE before multiplying
+    # (BIGINT n00^2 overflows at web scale) in the SAME fixed order as
+    # the Spark expression, rounded 6dp
+    o["er_ari"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+j AS (SELECT c2.pc, c1.tc FROM comp2 c2 JOIN comp1 c1 USING (node)),
+cont AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS n11
+  FROM (SELECT pc, tc, count(*) AS n FROM j GROUP BY 1, 2)
+),
+pp AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS pred_pairs
+  FROM (SELECT pc, count(*) AS n FROM j GROUP BY 1)
+),
+tt AS (
+  SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS true_pairs
+  FROM (SELECT tc, count(*) AS n FROM j GROUP BY 1)
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM j),
+cells AS (
+  SELECT n, n11,
+         (pred_pairs - n11)::BIGINT AS n10,
+         (true_pairs - n11)::BIGINT AS n01,
+         (n * (n - 1) // 2 - pred_pairs - true_pairs + n11)::BIGINT AS n00
+  FROM cont, pp, tt, tot
+)
+SELECT n, n11, n10, n01, n00,
+  round(CASE WHEN n11::DOUBLE + n10::DOUBLE + n01::DOUBLE + n00::DOUBLE > 0
+             THEN (n11::DOUBLE + n00::DOUBLE)
+                  / (n11::DOUBLE + n10::DOUBLE + n01::DOUBLE + n00::DOUBLE)
+             ELSE 1.0 END, 6) AS rand_index,
+  round(CASE WHEN (n11::DOUBLE + n10::DOUBLE) * (n10::DOUBLE + n00::DOUBLE)
+              + (n11::DOUBLE + n01::DOUBLE) * (n01::DOUBLE + n00::DOUBLE)
+              <> 0
+             THEN 2.0 * (n11::DOUBLE * n00::DOUBLE - n10::DOUBLE * n01::DOUBLE)
+                  / ((n11::DOUBLE + n10::DOUBLE) * (n10::DOUBLE + n00::DOUBLE)
+                   + (n11::DOUBLE + n01::DOUBLE) * (n01::DOUBLE + n00::DOUBLE))
+             ELSE 1.0 END, 6) AS ari
+FROM cells"""
+
+    # progressive ER: the CBS block graph of the three cheap rules
+    # (DISTINCT assignments, over-cap blocks purged before the pair
+    # join — mirrors block_graph), top-50 under the unique total order
+    o["er_progressive_pairs"] = f"""WITH {_SQL_VDICT},
+asg AS (
+  SELECT DISTINCT id, block FROM (
+    SELECT key AS id, 'p:' || substr(key, 1, 2) AS block FROM vdict
+    UNION ALL
+    SELECT key, 's:' || substr(key, greatest(length(key) - 1, 1), 2)
+    FROM vdict
+    UNION ALL
+    SELECT key, 'l:' || length(key)::VARCHAR FROM vdict
+  )
+),
+capped AS (
+  SELECT id, block FROM (
+    SELECT id, block, count(*) OVER (PARTITION BY block) AS nb FROM asg
+  ) WHERE nb <= 1000
+),
+g AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS weight
+  FROM capped a JOIN capped b USING (block)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, weight FROM g
+ORDER BY weight DESC, id_a, id_b LIMIT 50"""
 
     # per-cluster cohesion over comp2: distinct within-cluster edges /
     # nC2, exact longs, one double division rounded 6dp

@@ -423,3 +423,103 @@ def weight_threshold_sweep(
         "tp",
         *_prf(tp, fp, fn),
     )
+
+
+def ari_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "cluster_id",
+    truth_col: str = "cluster_id",
+) -> DataFrame:
+    """Adjusted Rand Index of a predicted clustering vs a truth
+    clustering (Hubert & Arabie, J. Classification 1985) — the
+    chance-corrected agreement number read next to pairwise F1
+    (``clustering_pair_metrics``) and B-cubed: F1 ignores the
+    together-in-neither cell entirely, so a clustering that shatters
+    everything scores 0 while one that merges everything can still
+    score well on recall; ARI weighs all four pair-confusion cells and
+    is 0 in expectation for a random partition.
+
+    One row: ``(n, n11, n10, n01, n00, rand_index, ari)`` where the
+    pair-confusion cells are exact longs — n11 = pairs together in
+    both clusterings, n10 = together only in predicted, n01 = together
+    only in truth, n00 = together in neither — and
+
+        ARI = 2*(n11*n00 - n10*n01)
+              / ((n11+n10)*(n10+n00) + (n11+n01)*(n01+n00))
+
+    (the pair-counting form; identical to the classic sum-over-
+    contingency-cells formula).  ARI is 1.0 by convention when the
+    denominator is 0 (both clusterings all-singletons or both one
+    cluster — no disagreement is expressible).
+
+    Scale/determinism: the cells come from cluster-size histograms and
+    the (pred, truth) contingency table — sum of nC2 per group, never
+    materialized pairs — so a 10M-member cluster contributes one
+    histogram row (same discipline as ``clustering_pair_metrics``).
+    The cell products are cast to DOUBLE BEFORE multiplying: at web
+    scale n00 ~ (n^2/2)^2 overflows BIGINT multiplication (which
+    DuckDB raises on and Spark silently wraps), while int->double
+    conversion and the fixed-order double formula are correctly
+    rounded and bit-identical in both engines; the final ratio is
+    rounded 6dp per the cross-engine float recipe.
+    """
+    pred = predicted.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("pc")
+    )
+    tr = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("tc"))
+    joined = pred.join(tr, "_id")
+
+    _pair_sum = F.coalesce(
+        F.sum(F.call_function("div", F.col("n") * (F.col("n") - 1), F.lit(2))),
+        F.lit(0),
+    ).cast("long")
+
+    cont = (
+        joined.groupBy("pc", "tc")
+        .agg(F.count("*").alias("n"))
+        .agg(_pair_sum.alias("n11"))
+    )
+    pp = (
+        joined.groupBy("pc")
+        .agg(F.count("*").alias("n"))
+        .agg(_pair_sum.alias("pred_pairs"))
+    )
+    tpairs = (
+        joined.groupBy("tc")
+        .agg(F.count("*").alias("n"))
+        .agg(_pair_sum.alias("true_pairs"))
+    )
+    tot = joined.agg(F.count("*").cast("long").alias("n"))
+    one = cont.crossJoin(pp).crossJoin(tpairs).crossJoin(tot)
+
+    n = F.col("n")
+    total = F.call_function("div", n * (n - F.lit(1)), F.lit(2))
+    n11 = F.col("n11")
+    n10 = (F.col("pred_pairs") - n11).alias("n10")
+    n01 = (F.col("true_pairs") - n11).alias("n01")
+    n00 = (total - F.col("pred_pairs") - F.col("true_pairs") + n11).alias(
+        "n00"
+    )
+    cells = one.select(n.alias("n"), n11, n10, n01, n00)
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = F.lit(2.0) * (d("n11") * d("n00") - d("n10") * d("n01"))
+    den = (d("n11") + d("n10")) * (d("n10") + d("n00")) + (
+        d("n11") + d("n01")
+    ) * (d("n01") + d("n00"))
+    total_pairs = d("n11") + d("n10") + d("n01") + d("n00")
+    ri = F.when(
+        total_pairs > 0, (d("n11") + d("n00")) / total_pairs
+    ).otherwise(F.lit(1.0))
+    ari = F.when(den != 0, num / den).otherwise(F.lit(1.0))
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(ri, 6).alias("rand_index"),
+        F.round(ari, 6).alias("ari"),
+    )

@@ -413,3 +413,42 @@ def qgram_blocking_pairs(
         ).alias("block"),
     )
     return block_graph(ex, block_cap=block_cap)
+
+
+def progressive_pairs(
+    blocks: DataFrame,
+    budget: int,
+    id_col: str = "id",
+    block_col: str = "block",
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Pay-as-you-go comparison schedule (progressive ER: Whang,
+    Marmaros & Garcia-Molina, ICDE 2013; Papenbrock, Heise & Naumann,
+    TKDE 2015): rank every blocked candidate pair by its common-block
+    evidence and emit only the ``budget`` most-promising ones —
+    maximizing matches found per comparison spent when the full
+    candidate set cannot be verified in the available time.
+
+    Input is a redundant block-assignment frame (``id``, ``block``) from
+    any of the blocking generators; the rank signal is the CBS weight
+    from ``block_graph`` (distinct blocks the pair co-occurs in — the
+    more independent blocking rules agree, the more likely the match;
+    Papadakis' meta-blocking weight).  Output: ``(id_a, id_b, weight)``,
+    the top-``budget`` pairs under the TOTAL order (weight DESC, id_a,
+    id_b) — the deterministic tie-break makes the schedule
+    partitioning-invariant, so a resumed run verifies the same prefix.
+
+    Scale: ``block_graph`` purges over-``block_cap`` blocks before the
+    pair explode (constant-memory window-count idiom) and the global
+    top-``budget`` is a ``TakeOrderedAndProject`` — each task keeps a
+    budget-sized heap and ships at most ``budget`` rows to the driver;
+    no full sort, no single-partition window.  Downstream: feed the
+    emitted pairs to the verify/score stage in weight order and stop at
+    the time budget (the hierarchy-of-ordered-records pattern
+    degenerates to exactly this schedule for equality blocks).
+    """
+    g = block_graph(blocks, id_col=id_col, block_col=block_col,
+                    block_cap=block_cap)
+    return g.orderBy(
+        F.col("weight").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(budget)

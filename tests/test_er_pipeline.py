@@ -870,3 +870,86 @@ def test_blocking_cost_rejects_bad_rules(spark):
         blocking_cost(recs, [])
     with _pytest.raises(ValueError):
         blocking_cost(recs, [("x", F.col("key")), ("x", F.col("key"))])
+
+
+def test_ari_hand_math(spark):
+    # pred: {a,b} {c,d}; truth: {a,b,c} {d}
+    # n11 = 1 ((a,b)); pred_pairs = 2; true_pairs = 3; total = 6
+    # n10 = 1, n01 = 2, n00 = 6 - 2 - 3 + 1 = 2
+    # num = 2*(1*2 - 1*2) = 0 -> ARI exactly 0 (chance-level agreement)
+    from orchid_fst_spark.er.evaluate import ari_metrics
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2)], "url string, cluster_id int"
+    )
+    truth = spark.createDataFrame(
+        [("a", 9), ("b", 9), ("c", 9), ("d", 8)], "url string, cluster_id int"
+    )
+    row = ari_metrics(pred, truth).collect()[0]
+    assert (row.n, row.n11, row.n10, row.n01, row.n00) == (4, 1, 1, 2, 2)
+    assert row.ari == 0.0
+    assert row.rand_index == 0.5  # (1 + 2) / 6
+
+
+def test_ari_perfect_and_degenerate(spark):
+    from orchid_fst_spark.er.evaluate import ari_metrics
+
+    same = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "url string, cluster_id int"
+    )
+    assert ari_metrics(same, same).collect()[0].ari == 1.0
+
+    # all-singletons vs all-singletons: no pair is together anywhere,
+    # denominator 0 -> 1.0 by convention (no disagreement expressible)
+    single = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "url string, cluster_id int"
+    )
+    assert ari_metrics(single, single).collect()[0].ari == 1.0
+
+    # one lump vs all singletons: orthogonal partitions -> ARI 0
+    lump = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "url string, cluster_id int"
+    )
+    row = ari_metrics(lump, single).collect()[0]
+    assert row.ari == 0.0
+    assert row.n11 == 0 and row.n10 == 3 and row.n01 == 0 and row.n00 == 0
+
+
+def test_ari_matches_reference_formula(spark):
+    # differential vs the classic sum-over-contingency-cells form,
+    # computed in pure Python on a 12-record 3-vs-4-cluster example
+    import itertools
+
+    from orchid_fst_spark.er.evaluate import ari_metrics
+
+    ids = [f"r{i}" for i in range(12)]
+    pred_lab = [i % 3 for i in range(12)]
+    truth_lab = [i % 4 for i in range(12)]
+    pred = spark.createDataFrame(
+        list(zip(ids, pred_lab)), "url string, cluster_id int"
+    )
+    truth = spark.createDataFrame(
+        list(zip(ids, truth_lab)), "url string, cluster_id int"
+    )
+
+    def c2(n):
+        return n * (n - 1) // 2
+
+    pairs = list(itertools.combinations(range(12), 2))
+    n11 = sum(
+        1
+        for i, j in pairs
+        if pred_lab[i] == pred_lab[j] and truth_lab[i] == truth_lab[j]
+    )
+    sp = sum(1 for i, j in pairs if pred_lab[i] == pred_lab[j])
+    st = sum(1 for i, j in pairs if truth_lab[i] == truth_lab[j])
+    tot = c2(12)
+    n10, n01 = sp - n11, st - n11
+    n00 = tot - sp - st + n11
+    num = 2.0 * (n11 * n00 - n10 * n01)
+    den = (n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00)
+    expect = round(num / den, 6)
+
+    row = ari_metrics(pred, truth).collect()[0]
+    assert (row.n11, row.n10, row.n01, row.n00) == (n11, n10, n01, n00)
+    assert row.ari == expect

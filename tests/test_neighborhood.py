@@ -376,3 +376,38 @@ def test_qgram_blocking_cap_and_short_keys(spark):
     # surviving grams: 'bc0'..'bc4'? no — each 'bc<i>' is unique; only
     # 'abc' was shared and it is purged
     assert got == []
+
+
+def test_progressive_pairs_budget_and_order(spark):
+    from orchid_fst_spark.er.neighborhood import progressive_pairs
+
+    rows = [
+        ("a", "B1"), ("a", "B2"),
+        ("b", "B1"), ("b", "B2"),   # (a,b) co-occur in 2 blocks
+        ("c", "B3"), ("d", "B3"),   # weight 1
+        ("e", "B4"), ("f", "B4"),   # weight 1 (tie with (c,d))
+    ]
+    blocks = spark.createDataFrame(rows, "id string, block string")
+    got = [tuple(r) for r in progressive_pairs(blocks, budget=2).collect()]
+    # highest evidence first; the (weight, id_a, id_b) total order breaks
+    # the (c,d)/(e,f) tie toward (c,d)
+    assert got == [("a", "b", 2), ("c", "d", 1)]
+
+    # budget >= all pairs returns everything, still in schedule order
+    all_got = [
+        tuple(r) for r in progressive_pairs(blocks, budget=100).collect()
+    ]
+    assert all_got == [("a", "b", 2), ("c", "d", 1), ("e", "f", 1)]
+
+
+def test_progressive_pairs_partitioning_invariant(spark):
+    from orchid_fst_spark.er.neighborhood import progressive_pairs
+
+    rows = [(w, w[:2]) for w in WORDS] + [(w, w[-2:]) for w in WORDS]
+    blocks = spark.createDataFrame(rows, "id string, block string")
+    a = [tuple(r) for r in progressive_pairs(blocks, budget=7).collect()]
+    b = [
+        tuple(r)
+        for r in progressive_pairs(blocks.repartition(13), budget=7).collect()
+    ]
+    assert a == b and len(a) == 7
