@@ -1370,6 +1370,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_progressive_pairs"] = _er_progressive
 
+    # --- privacy-preserving record linkage (CLK Bloom encodings) ---
+    # Schnell et al. 2009 bigram Bloom filters over the planted vdict;
+    # everything md5-derived and integer-exact, 32-bit word packing
+    def _clk_enc(spark, sf):
+        from orchid_fst_spark.er.privacy import clk_cardinalities, clk_encode
+
+        enc = clk_encode(_vdict(spark, sf), "key")
+        return clk_cardinalities(enc).withColumnRenamed("id", "key")
+
+    q["clk_encode_cards"] = _clk_enc
+
+    def _clk_dice(spark, sf):
+        from orchid_fst_spark.er.privacy import clk_dice_pairs, clk_encode
+
+        enc = clk_encode(_vdict(spark, sf), "key")
+        return clk_dice_pairs(enc, threshold=0.55).select(
+            F.col("id_a").alias("key_a"),
+            F.col("id_b").alias("key_b"),
+            "inter_bits",
+            "card_a",
+            "card_b",
+            "dice",
+        )
+
+    q["clk_dice_pairs"] = _clk_dice
+
+    # the PPRL scale path: Hamming-LSH banding over the encodings, then
+    # the identical exact Dice verify — output is a (deterministic,
+    # both-engine-identical) subset of the brute pairs
+    def _clk_hlsh(spark, sf):
+        from orchid_fst_spark.er.privacy import clk_encode, clk_hlsh_pairs
+
+        enc = clk_encode(_vdict(spark, sf), "key")
+        return clk_hlsh_pairs(
+            enc, n_bands=12, band_bits=3, threshold=0.55
+        ).select(
+            F.col("id_a").alias("key_a"),
+            F.col("id_b").alias("key_b"),
+            "inter_bits",
+            "card_a",
+            "card_b",
+            "dice",
+        )
+
+    q["clk_hlsh_pairs"] = _clk_hlsh
+
     # bipartite record linkage end-to-end: two-table fuzzy join (part
     # tokens -> dictionary, k=1) scored by Jaro-Winkler, then the
     # mutual-best 1:1 constraint — each query keeps exactly its best
@@ -3169,6 +3215,100 @@ g AS (
 )
 SELECT id_a, id_b, weight FROM g
 ORDER BY weight DESC, id_a, id_b LIMIT 50"""
+
+    # --- CLK privacy-preserving linkage oracles: the same md5-derived
+    # positions, 32-bit word packing (1 << 63 overflows DuckDB's
+    # BIGINT shift — operators.sketch convention), bit_or/bit_count
+    # integer arithmetic, and 6dp Dice as er/privacy.py ---
+    _clk_core = """
+padded AS (SELECT key, '_' || key || '_' AS p FROM vdict),
+grams AS (
+  SELECT key, substr(p, i.i, 2) AS g
+  FROM padded,
+       unnest(generate_series(1, greatest(length(p) - 1, 1))) AS i(i)
+  WHERE length(substr(p, i.i, 2)) = 2
+),
+pos AS (
+  SELECT key,
+         ('0x' || substr(md5('clk|0|' || g), 1, 15))::BIGINT % 256 AS pos
+  FROM grams
+  UNION ALL
+  SELECT key,
+         ('0x' || substr(md5('clk|1|' || g), 1, 15))::BIGINT % 256
+  FROM grams
+),
+words AS (
+  SELECT key, pos // 32 AS word,
+         bit_or(1::BIGINT << (pos % 32)::INTEGER) AS bits
+  FROM pos GROUP BY 1, 2
+),
+cards AS (
+  SELECT key, sum(bit_count(bits))::BIGINT AS card FROM words GROUP BY 1
+)"""
+
+    o["clk_encode_cards"] = (
+        f"WITH {_SQL_VDICT},{_clk_core} SELECT key, card FROM cards"
+    )
+
+    _clk_dice_tail = """
+SELECT i.key_a, i.key_b, i.inter_bits,
+       ca.card AS card_a, cb.card AS card_b,
+       round((2.0 * i.inter_bits) / (ca.card + cb.card), 6) AS dice
+FROM inter i
+JOIN cards ca ON ca.key = i.key_a
+JOIN cards cb ON cb.key = i.key_b
+WHERE round((2.0 * i.inter_bits) / (ca.card + cb.card), 6) >= 0.55"""
+
+    o["clk_dice_pairs"] = f"""WITH {_SQL_VDICT},{_clk_core},
+inter AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         sum(bit_count(a.bits & b.bits))::BIGINT AS inter_bits
+  FROM words a JOIN words b ON a.word = b.word AND a.key < b.key
+  GROUP BY 1, 2
+)
+{_clk_dice_tail}"""
+
+    # HLSH twin: band keys are the concatenated 0/1 flags of the CLK at
+    # the md5-derived driver-side constant positions (regenerated here
+    # from the same hlsh_band_positions helper), candidates the union
+    # of per-band equi-joins, then the identical Dice verify
+    from orchid_fst_spark.er.privacy import hlsh_band_positions
+
+    _bands = hlsh_band_positions(n_bands=12, band_bits=3, m_bits=256)
+    _flag_cols = ",\n    ".join(
+        f"max(CASE WHEN pos = {p} THEN 1 ELSE 0 END)::VARCHAR AS f{bi}_{j}"
+        for bi, ps in enumerate(_bands)
+        for j, p in enumerate(ps)
+    )
+    _band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT key, {bi} AS band, "
+        + " || ".join(f"f{bi}_{j}" for j in range(len(ps)))
+        + " AS bkey FROM flags"
+        for bi, ps in enumerate(_bands)
+    )
+    o["clk_hlsh_pairs"] = f"""WITH {_SQL_VDICT},{_clk_core},
+flags AS (
+  SELECT key,
+    {_flag_cols}
+  FROM pos GROUP BY key
+),
+bk AS (
+  {_band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.key < b.key
+),
+inter AS (
+  SELECT c.key_a, c.key_b,
+         sum(bit_count(wa.bits & wb.bits))::BIGINT AS inter_bits
+  FROM cand c
+  JOIN words wa ON wa.key = c.key_a
+  JOIN words wb ON wb.key = c.key_b AND wb.word = wa.word
+  GROUP BY 1, 2
+)
+{_clk_dice_tail}"""
 
     # per-cluster cohesion over comp2: distinct within-cluster edges /
     # nC2, exact longs, one double division rounded 6dp
