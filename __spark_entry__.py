@@ -1431,6 +1431,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_link_mutual"] = _er_link_mutual
 
+    # field-level Monge-Elkan over multi-token part names: a cheap
+    # (p_brand, p_size) equi-join block generates the pairs — the
+    # kind of attribute block a real linkage config would declare — and
+    # the symmetric ME(JW) score is computed in one Arrow pass; the
+    # oracle replays it as a DuckDB nested list comprehension on the
+    # same 6dp integer fixpoint
+    def _er_monge_elkan(spark, sf):
+        from orchid_fst_spark.er.scoring import monge_elkan_pairs
+
+        p = spark.read.parquet(f"{sf}/part.parquet").select(
+            "p_partkey", "p_brand", "p_size", "p_name"
+        )
+        pairs = (
+            p.alias("a")
+            .join(p.alias("b"), ["p_brand", "p_size"])
+            .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+            .select(
+                F.col("a.p_partkey").alias("id_a"),
+                F.col("b.p_partkey").alias("id_b"),
+                F.col("a.p_name").alias("name_a"),
+                F.col("b.p_name").alias("name_b"),
+            )
+        )
+        return monge_elkan_pairs(pairs, "name_a", "name_b").select(
+            "id_a", "id_b", "me"
+        )
+
+    q["er_monge_elkan"] = _er_monge_elkan
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2892,6 +2921,34 @@ lbest AS (
 SELECT a.k AS key_a, a.p AS key_b, a.s AS score
 FROM lbest a JOIN lbest b ON a.p = b.k AND b.p = a.k
 WHERE a.k < a.p"""
+
+    # Monge-Elkan as a nested list comprehension: per left token, the
+    # max 6dp-fixpointed JW over right tokens (exact BIGINTs), one
+    # integer sum, one IEEE division — hash-exact vs the Arrow kernel
+    o["er_monge_elkan"] = r"""WITH pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         a.p_name AS na, b.p_name AS nb
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+  WHERE a.p_partkey < b.p_partkey
+),
+toks AS (
+  SELECT id_a, id_b,
+    list_filter(string_split_regex(trim(regexp_replace(na, '[/-]', ' ', 'g')), '\s+'), t -> t <> '') AS ta,
+    list_filter(string_split_regex(trim(regexp_replace(nb, '[/-]', ' ', 'g')), '\s+'), t -> t <> '') AS tb
+  FROM pairs
+),
+mes AS (
+  SELECT id_a, id_b,
+    CASE WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0 ELSE
+      list_sum([list_max([cast(floor(jaro_winkler_similarity(x, y)*1e6 + 0.5) AS BIGINT) for y in tb]) for x in ta])::DOUBLE
+      / (1e6 * len(ta)) END AS me_ab,
+    CASE WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0 ELSE
+      list_sum([list_max([cast(floor(jaro_winkler_similarity(y, x)*1e6 + 0.5) AS BIGINT) for x in ta]) for y in tb])::DOUBLE
+      / (1e6 * len(tb)) END AS me_ba
+  FROM toks
+)
+SELECT id_a, id_b, greatest(me_ab, me_ba) AS me FROM mes"""
 
     o["candidate_pairs_k2"] = f"""WITH {_SQL_DICT}
 SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist

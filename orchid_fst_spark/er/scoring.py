@@ -33,6 +33,116 @@ def score_pairs(pairs: DataFrame, a: str = "key_a", b: str = "key_b") -> DataFra
     )
 
 
+def monge_elkan_pairs(
+    pairs: DataFrame, a: str = "key_a", b: str = "key_b", out: str = "me"
+) -> DataFrame:
+    """Add a symmetric Monge-Elkan similarity column to candidate pairs
+    (Monge & Elkan, KDD 1996; Jaro-Winkler inner measure over the same
+    '/-'->space tokenization as ``score_pairs``).  The field-level
+    measure for multi-word names — token reorders and extra tokens that
+    sink whole-string edit distance barely move it.  One Arrow batch per
+    pair partition, O(|ta|*|tb|) JW calls per pair, so it belongs AFTER
+    blocking, never on a raw cross join.  Deterministic across engines
+    via the 6dp integer fixpoint (functions/similarity._me_oneway)."""
+    from ..functions.vectorized import monge_elkan_sim
+
+    return pairs.withColumn(out, monge_elkan_sim(F.col(a), F.col(b)))
+
+
+def weighted_tokens(
+    records: DataFrame,
+    key: str = "key",
+    id_col: str = "id",
+    out_tokens: str = "toks",
+    out_weights: str = "ws",
+) -> DataFrame:
+    """Per-record sorted token array with aligned raw TF-IDF weights —
+    the corpus-statistics input Soft TF-IDF needs (same '/-'->space
+    tokenization as ``score_pairs``; same ``tf·(ln((N+1)/(df+1))+1)``
+    weight rounded 6dp as the ``tf_idf_terms`` family, so the DuckDB
+    twin is the proven formula).
+
+    Plan: one explode + (id, token) count, one token-level DF aggregate
+    joined back BROADCAST (the distinct-token table is vocabulary-sized,
+    never corpus-sized), one sorted collect per record — the aggregation
+    buffer holds one record's tokens, bounded by key length.  N is a
+    one-row count collected as a driver literal (the normalizer
+    pattern)."""
+    toked = records.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            tokens(F.regexp_replace(key, "[/-]", " "))
+        ).alias("t"),
+    )
+    tf = toked.groupBy("_id", "t").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    n_docs = records.count()
+    w = F.round(
+        F.col("tf")
+        * (
+            F.log(
+                (F.lit(float(n_docs)) + F.lit(1.0))
+                / (F.col("df") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    weighted = tf.join(F.broadcast(dfreq), "t").withColumn("w", w)
+    arr = weighted.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "w"))).alias("tw")
+    )
+    return arr.select(
+        F.col("_id").alias(id_col),
+        F.col("tw.t").alias(out_tokens),
+        F.col("tw.w").alias(out_weights),
+    )
+
+
+def soft_tfidf_pairs(
+    pairs: DataFrame,
+    weighted: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    out: str = "soft_tfidf",
+) -> DataFrame:
+    """Add a Soft TF-IDF similarity column (Cohen, Ravikumar & Fienberg,
+    IJCAI 2003 workshop) to candidate id pairs from a ``weighted_tokens``
+    frame: L2-normalized TF-IDF token weights, each left token's best
+    Jaro-Winkler match >= 0.9 contributing ``V(w,S)·V(v*,T)·JW``.  The
+    corpus-weighted hybrid the study found strongest for name matching —
+    shared stopwords contribute ~nothing, shared rare tokens dominate
+    (what ``monge_elkan_pairs`` cannot express).
+
+    Plan: two id equi-joins of the pair frame against the record-sized
+    token-array frame (LEFT — a tokenless side scores 0.0), then ONE
+    Arrow pass.  The reference's fuzzy matching is whole-key
+    (automaton.cpp); this is the field-level corpus-weighted companion
+    the derived ER pipeline adds.  Deterministic cross-engine via the
+    1e9 term fixpoint (functions/similarity.soft_tfidf)."""
+    from ..functions.vectorized import soft_tfidf_sim
+
+    wa = weighted.select(
+        F.col(id_col).alias(id_a),
+        F.col("toks").alias("_ta"),
+        F.col("ws").alias("_wa"),
+    )
+    wb = weighted.select(
+        F.col(id_col).alias(id_b),
+        F.col("toks").alias("_tb"),
+        F.col("ws").alias("_wb"),
+    )
+    return (
+        pairs.join(wa, id_a, "left")
+        .join(wb, id_b, "left")
+        .withColumn(out, soft_tfidf_sim("_ta", "_wa", "_tb", "_wb"))
+        .drop("_ta", "_wa", "_tb", "_wb")
+    )
+
+
 def match_edges(
     scored: DataFrame,
     k: int = 2,

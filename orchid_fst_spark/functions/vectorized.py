@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType
 
 from .distance import batch_levenshtein, damerau_levenshtein
-from .similarity import batch_jaro_winkler
+from .similarity import batch_jaro_winkler, batch_monge_elkan
 
 
 @F.pandas_udf(IntegerType())
@@ -63,4 +63,29 @@ def jaro_winkler_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaro-Winkler similarity, DuckDB-compatible (floored transpositions,
     boost threshold 0.7, p=0.1, prefix<=4)."""
     out = batch_jaro_winkler(a.fillna("").tolist(), b.fillna("").tolist())
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def monge_elkan_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Symmetric Monge-Elkan with a Jaro-Winkler inner measure, 6dp
+    integer-fixpointed per token so the DuckDB list-comprehension twin
+    hash-matches (functions/similarity.monge_elkan)."""
+    out = batch_monge_elkan(a.fillna("").tolist(), b.fillna("").tolist())
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def soft_tfidf_sim(
+    ta: pd.Series, wa: pd.Series, tb: pd.Series, wb: pd.Series
+) -> pd.Series:
+    """Soft TF-IDF (Cohen, Ravikumar & Fienberg 2003) over parallel
+    sorted token / 6dp-TF-IDF-weight arrays; 1e9 integer-fixpointed
+    terms so the DuckDB relational twin hash-matches
+    (functions/similarity.soft_tfidf)."""
+    from .similarity import batch_soft_tfidf
+
+    out = batch_soft_tfidf(
+        ta.tolist(), wa.tolist(), tb.tolist(), wb.tolist()
+    )
     return pd.Series(out)

@@ -146,3 +146,46 @@ def test_damerau_matches_duckdb():
     for a, b in _rand_pairs(500, 13):
         (exp,) = con.execute("select damerau_levenshtein(?,?)", [a, b]).fetchone()
         assert damerau_levenshtein(a, b) == exp
+
+def test_monge_elkan_known():
+    from orchid_fst_spark.functions.similarity import monge_elkan
+
+    # identical token sets in any order score 1.0
+    assert monge_elkan("john smith", "smith john") == 1.0
+    # extra right-side token only dents the b->a direction; symmetric
+    # max keeps the a->b average of perfect matches
+    assert monge_elkan("john smith", "john smith jr") == 1.0
+    # empty / blank inputs
+    assert monge_elkan("", "john") == 0.0
+    assert monge_elkan("  ", "") == 0.0
+    # '/-' separators tokenize like score_pairs
+    assert monge_elkan("john-smith", "smith/john") == 1.0
+
+
+def test_monge_elkan_matches_duckdb():
+    """The 6dp integer-fixpoint kernel must hash-match the DuckDB nested
+    list-comprehension twin (the er_monge_elkan oracle) exactly — no
+    approx, the driver compare hashes raw doubles."""
+    duckdb = pytest.importorskip("duckdb")
+    from orchid_fst_spark.functions.similarity import monge_elkan
+
+    con = duckdb.connect()
+    sql = r"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(regexp_replace(?, '[/-]', ' ', 'g')), '\s+'), x -> x <> '') AS ta,
+         list_filter(string_split_regex(trim(regexp_replace(?, '[/-]', ' ', 'g')), '\s+'), x -> x <> '') AS tb
+)
+SELECT greatest(
+  CASE WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0 ELSE
+    list_sum([list_max([cast(floor(jaro_winkler_similarity(x, y)*1e6 + 0.5) AS BIGINT) for y in tb]) for x in ta])::DOUBLE / (1e6 * len(ta)) END,
+  CASE WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0 ELSE
+    list_sum([list_max([cast(floor(jaro_winkler_similarity(y, x)*1e6 + 0.5) AS BIGINT) for x in ta]) for y in tb])::DOUBLE / (1e6 * len(tb)) END
+) FROM t"""
+    rng = random.Random(77)
+    words = ["john", "jon", "smith", "smyth", "mary", "anne", "ann", "lee", "li", "x"]
+    for _ in range(300):
+        a = " ".join(rng.choices(words, k=rng.randint(0, 4)))
+        b = " ".join(rng.choices(words, k=rng.randint(0, 4)))
+        (exp,) = con.execute(sql, [a, b]).fetchone()
+        got = monge_elkan(a, b)
+        assert got == exp, (a, b, got, exp)
