@@ -1460,6 +1460,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_monge_elkan"] = _er_monge_elkan
 
+    # Soft TF-IDF (Cohen, Ravikumar & Fienberg 2003) over the same
+    # (p_brand, p_size) attribute block: corpus-IDF-weighted best-JW
+    # token matching — the hybrid measure their name-matching study
+    # found strongest; the oracle rebuilds the token-weight arrays
+    # relationally and replays the kernel on the 1e9 term fixpoint
+    def _er_soft_tfidf(spark, sf):
+        from orchid_fst_spark.er.scoring import (
+            soft_tfidf_pairs,
+            weighted_tokens,
+        )
+
+        p = spark.read.parquet(f"{sf}/part.parquet").select(
+            "p_partkey", "p_brand", "p_size", "p_name"
+        )
+        pairs = (
+            p.alias("a")
+            .join(p.alias("b"), ["p_brand", "p_size"])
+            .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+            .select(
+                F.col("a.p_partkey").alias("id_a"),
+                F.col("b.p_partkey").alias("id_b"),
+            )
+        )
+        weighted = weighted_tokens(
+            p.select("p_partkey", "p_name"), key="p_name", id_col="p_partkey"
+        )
+        return soft_tfidf_pairs(
+            pairs, weighted, id_col="p_partkey"
+        ).select("id_a", "id_b", "soft_tfidf")
+
+    q["er_soft_tfidf"] = _er_soft_tfidf
+
     # blocking quality: how much recall a cheap first-2-chars prefix
     # block (the classic weak blocker) gives up vs the complete
     # segment-blocking truth, and how much of the n*(n-1)/2 cross
@@ -2949,6 +2981,64 @@ mes AS (
   FROM toks
 )
 SELECT id_a, id_b, greatest(me_ab, me_ba) AS me FROM mes"""
+
+    # Soft TF-IDF: rebuild the sorted token/TF-IDF-weight arrays
+    # relationally (same ln((N+1)/(df+1))+1 weight as tf_idf_terms,
+    # rounded 6dp), L2 norms via the seedless sequential list fold,
+    # per-left-token best-JW via list_max on the 6dp fixpoint with the
+    # first (= lexicographically smallest) maximum kept, terms fixed to
+    # 1e9 integers so the sum order is irrelevant — hash-exact vs the
+    # Arrow kernel (functions/similarity.soft_tfidf)
+    o["er_soft_tfidf"] = r"""WITH tok AS (
+  SELECT p_partkey AS id,
+         unnest(list_filter(string_split_regex(trim(regexp_replace(p_name, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+  FROM part
+),
+tf AS (SELECT id, t, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM part),
+w AS (
+  SELECT id, tf.t,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS w
+  FROM tf JOIN dfq USING (t) CROSS JOIN n
+),
+arr0 AS (SELECT id, list(struct_pack(t := t, w := w) ORDER BY t) AS tw FROM w GROUP BY id),
+arr AS (
+  SELECT id, tw,
+         sqrt(list_reduce(list_transform(tw, s -> s.w * s.w), (a, b) -> a + b)) AS nrm
+  FROM arr0
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+  WHERE a.p_partkey < b.p_partkey
+),
+pw AS (
+  SELECT p.id_a, p.id_b, aa.tw AS ta, aa.nrm AS na, bb.tw AS tb, bb.nrm AS nb
+  FROM pairs p
+  LEFT JOIN arr aa ON aa.id = p.id_a
+  LEFT JOIN arr bb ON bb.id = p.id_b
+),
+lt AS (
+  SELECT id_a, id_b, na, nb, tb, unnest(ta) AS s
+  FROM pw WHERE ta IS NOT NULL AND tb IS NOT NULL
+),
+sc AS (
+  SELECT id_a, id_b, na, nb, s.w AS wx,
+         list_max([cast(floor(jaro_winkler_similarity(s.t, y.t)*1e6 + 0.5) AS BIGINT) for y in tb]) AS best6,
+         list_filter(tb, y -> cast(floor(jaro_winkler_similarity(s.t, y.t)*1e6 + 0.5) AS BIGINT) = best6)[1].w AS wy
+  FROM lt
+),
+terms AS (
+  SELECT id_a, id_b,
+         CASE WHEN best6 >= 900000
+              THEN cast(floor(((wx / na) * (wy / nb)) * (best6 / 1e6) * 1e9 + 0.5) AS BIGINT)
+              ELSE 0 END AS ti
+  FROM sc
+),
+sums AS (SELECT id_a, id_b, sum(ti)::BIGINT AS st FROM terms GROUP BY 1, 2)
+SELECT p.id_a, p.id_b, coalesce(s.st / 1e9, 0.0) AS soft_tfidf
+FROM pairs p LEFT JOIN sums s ON s.id_a = p.id_a AND s.id_b = p.id_b"""
 
     o["candidate_pairs_k2"] = f"""WITH {_SQL_DICT}
 SELECT a.key AS key_a, b.key AS key_b, levenshtein(a.key, b.key)::BIGINT AS dist

@@ -279,6 +279,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_cluster_cohesion",
         "er_blocking_cost",
         "er_monge_elkan",
+        "er_soft_tfidf",
     ]
     # count() prunes columns: for entries whose cost lives in a value
     # column produced by an Arrow UDF, time with that column consumed
@@ -286,6 +287,9 @@ def bench_queries(spark, sf_dir: str) -> dict:
     # real for er_monge_elkan at sf0.1)
     consume = {
         "er_monge_elkan": lambda df: df.filter(F.col("me") > -1.0).count(),
+        "er_soft_tfidf": lambda df: df.filter(
+            F.col("soft_tfidf") > -1.0
+        ).count(),
     }
     out = {}
     for name in headline:

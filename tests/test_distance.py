@@ -189,3 +189,64 @@ SELECT greatest(
         (exp,) = con.execute(sql, [a, b]).fetchone()
         got = monge_elkan(a, b)
         assert got == exp, (a, b, got, exp)
+
+
+def test_soft_tfidf_known():
+    from orchid_fst_spark.functions.similarity import soft_tfidf
+
+    # exact single-token match: V(a,S)·V(a,T)·1.0 with unit norms = 1.0
+    assert soft_tfidf(["abc"], [2.5], ["abc"], [0.7]) == 1.0
+    # below-theta best match contributes nothing
+    assert soft_tfidf(["abc"], [1.0], ["zzz"], [1.0]) == 0.0
+    # empty sides
+    assert soft_tfidf([], [], ["abc"], [1.0]) == 0.0
+    assert soft_tfidf(None, None, ["abc"], [1.0]) == 0.0
+    # hand-computed: left [abc(1), xyz(2)] vs right [abc(1.5), zzz(0.5)]:
+    # only abc matches (jw=1.0), term = (1/sqrt(5))·(1.5/sqrt(2.5))·1.0
+    import math
+
+    exp = math.floor(
+        (1.0 / math.sqrt(5.0)) * (1.5 / math.sqrt(2.5)) * 1.0 * 1e9 + 0.5
+    ) / 1e9
+    assert soft_tfidf(["abc", "xyz"], [1.0, 2.0], ["abc", "zzz"], [1.5, 0.5]) == exp
+
+
+def test_soft_tfidf_matches_duckdb():
+    """The 1e9 term-fixpoint kernel must hash-match the DuckDB
+    relational twin (the er_soft_tfidf oracle's per-pair core) exactly
+    — including the first-maximum (lexicographically smallest) best-
+    match tie-break over the sorted token arrays."""
+    duckdb = pytest.importorskip("duckdb")
+    from orchid_fst_spark.functions.similarity import soft_tfidf
+
+    con = duckdb.connect()
+    sql = r"""
+WITH t AS (SELECT ? AS ta, ? AS wa, ? AS tb, ? AS wb),
+n AS (
+  SELECT sqrt(list_reduce(list_transform(wa, w -> w * w), (a, b) -> a + b)) AS na,
+         sqrt(list_reduce(list_transform(wb, w -> w * w), (a, b) -> a + b)) AS nb,
+         ta, wa, tb, wb
+  FROM t
+),
+lt AS (SELECT na, nb, tb, wb, unnest(ta) AS x, unnest(wa) AS wx FROM n),
+sc AS (
+  SELECT na, nb, wx,
+         list_max([cast(floor(jaro_winkler_similarity(x, y)*1e6 + 0.5) AS BIGINT) for y in tb]) AS best6,
+         wb[list_position([cast(floor(jaro_winkler_similarity(x, y)*1e6 + 0.5) AS BIGINT) for y in tb], best6)] AS wy
+  FROM lt
+)
+SELECT coalesce(sum(CASE WHEN best6 >= 900000
+  THEN cast(floor(((wx / na) * (wy / nb)) * (best6 / 1e6) * 1e9 + 0.5) AS BIGINT)
+  ELSE 0 END)::BIGINT, 0) / 1e9 FROM sc"""
+    rng = random.Random(41)
+    words = ["john", "jon", "smith", "smyth", "mary", "ann", "anne", "lee"]
+    for _ in range(200):
+        ka = rng.randint(1, 4)
+        kb = rng.randint(1, 4)
+        ta = sorted(set(rng.choices(words, k=ka)))
+        tb = sorted(set(rng.choices(words, k=kb)))
+        wa = [round(rng.uniform(0.1, 3.0), 6) for _ in ta]
+        wb = [round(rng.uniform(0.1, 3.0), 6) for _ in tb]
+        (exp,) = con.execute(sql, [ta, wa, tb, wb]).fetchone()
+        got = soft_tfidf(ta, wa, tb, wb)
+        assert got == exp, (ta, wa, tb, wb, got, exp)
