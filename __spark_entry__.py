@@ -899,6 +899,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["er_star_clusters"] = _er_star_clusters
+
+    # pivot (correlation) clustering over the same match-edge list:
+    # hash-ordered radius-1 clusters — the KwikCluster policy next to
+    # CC (chains) and star (degree hubs); the oracle unrolls the
+    # deterministic rounds as CTEs (the fs_em pattern)
+    def _er_pivot_clusters(spark, sf):
+        from orchid_fst_spark.er.clustering import pivot_clusters
+
+        d = _dict(spark, sf)
+        edges = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        piv = pivot_clusters(edges, src="key_a", dst="key_b")
+        return (
+            d.select(F.col("key").alias("node"))
+            .join(piv, "node", "left")
+            .withColumn("cluster", F.coalesce("cluster", "node"))
+        )
+
+    q["er_pivot_clusters"] = _er_pivot_clusters
     q["er_cluster_sizes"] = lambda spark, sf: (
         _er_components(spark, sf)
         .groupBy("component")
@@ -3132,6 +3150,62 @@ assigned AS (
 )
 SELECT k.key AS node, coalesce(s.center, k.key) AS center
 FROM dict k LEFT JOIN assigned s ON k.key = s.node"""
+    # pivot clustering: the deterministic rounds unrolled as CTEs (the
+    # fs_em pattern) — md5('pivot|'||v) is the shared order, ROW(h, c)
+    # min picks the min-hash adjacent pivot, NOT IN shrinks the active
+    # graph; rounds must match er/clustering.pivot_clusters' default
+    def _pivot_sql(rounds: int = 8) -> str:
+        pi = lambda col: f"md5('pivot|' || {col})"  # noqa: E731
+        parts = [
+            f"""WITH {_SQL_DICT},
+edges AS (
+  SELECT a.key AS src, b.key AS dst FROM dict a, dict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+sym0 AS MATERIALIZED (SELECT src AS v, dst AS u FROM edges UNION ALL SELECT dst, src FROM edges)"""
+        ]
+        # MATERIALIZED is load-bearing: sym{i}/cl{i} are referenced 3x
+        # each, so inlining would expand the round recurrence into
+        # 3^rounds copies of the base scan
+        for i in range(1, rounds + 1):
+            p = i - 1
+            parts.append(
+                f""",
+nb{i} AS MATERIALIZED (SELECT v, min({pi('u')}) AS mn FROM sym{p} GROUP BY v),
+pv{i} AS MATERIALIZED (SELECT v AS c FROM nb{i} WHERE {pi('v')} < mn),
+asg{i} AS (
+  SELECT s.v, min(ROW({pi('p.c')}, p.c)) AS bc
+  FROM sym{p} s JOIN pv{i} p ON s.u = p.c GROUP BY s.v
+),
+cl{i} AS MATERIALIZED (
+  SELECT c AS node, c AS cluster FROM pv{i}
+  UNION ALL SELECT v AS node, bc[2] AS cluster FROM asg{i}
+),
+sym{i} AS MATERIALIZED (
+  SELECT s.v, s.u FROM sym{p} s
+  WHERE s.v NOT IN (SELECT node FROM cl{i})
+    AND s.u NOT IN (SELECT node FROM cl{i})
+)"""
+            )
+        union = " UNION ALL ".join(
+            f"SELECT node, cluster FROM cl{i}" for i in range(1, rounds + 1)
+        )
+        parts.append(
+            f""",
+allcl AS ({union}),
+res AS (
+  SELECT node, cluster FROM allcl
+  UNION ALL
+  SELECT v AS node, v AS cluster FROM (SELECT DISTINCT v FROM sym0)
+  WHERE v NOT IN (SELECT node FROM allcl)
+)
+SELECT k.key AS node, coalesce(r.cluster, k.key) AS cluster
+FROM dict k LEFT JOIN res r ON k.key = r.node"""
+        )
+        return "".join(parts)
+
+    o["er_pivot_clusters"] = _pivot_sql()
+
     # incremental == full re-run (complete blocking => identical edge
     # set; old clusters collapse to their min-member representative):
     # the oracle is the full-corpus CC, same as er_components

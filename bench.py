@@ -274,6 +274,10 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_ensemble_blocking",
         "er_link_mutual",
         "er_star_clusters",
+        "er_pivot_clusters",
+        "er_ari",
+        "er_progressive_pairs",
+        "clk_hlsh_pairs",
         "er_fs_tf",
         "er_bcubed",
         "er_cluster_cohesion",

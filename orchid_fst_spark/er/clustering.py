@@ -213,6 +213,113 @@ def star_clusters(
     )
 
 
+def pivot_clusters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    seed: str = "pivot",
+) -> DataFrame:
+    """Round-synchronous pivot (correlation) clustering — the third
+    cluster-formation policy next to ``connected_components`` (chains)
+    and ``star_clusters`` (degree hubs), from the KwikCluster line of
+    work (Ailon, Charikar & Newman, JACM 2008; parallel rounds per
+    Chierichetti, Dalvi & Kumar, KDD 2014; lock-free round-synchronous
+    assignment as in ClusterWild!, Pan et al., NIPS 2015 — public
+    literature, see PAPERS.md).  Every cluster is a pivot plus a subset
+    of its DIRECT neighbors (radius 1 by construction), and the pivot
+    order is a hash — unbiased by degree, the property the 3-approx
+    analysis of KwikCluster rests on.
+
+    Deterministic variant: the random order is ``pi(v) = md5('{seed}|'
+    || v)`` (identical hex in any engine).  Per round, over the still-
+    active subgraph:
+
+    - pivots  = nodes whose pi beats every active neighbor's pi (the
+      parallel local-minima sweep — per Blelloch, Fineman & Shun,
+      PPoPP 2012, iterating local minima yields EXACTLY the sequential
+      greedy pivot set under pi);
+    - every active non-pivot adjacent to a pivot joins its min-pi
+      adjacent pivot THIS round (the round-synchronous rule: a node
+      adjacent to both a round-r pivot and a lower-pi round-(r+1) pivot
+      goes to the round-r one, where sequential KwikCluster would pick
+      the later lower-pi pivot — the documented ClusterWild!-style
+      deviation, made deterministic);
+    - clustered nodes leave the graph.
+
+    After ``rounds`` rounds (md5 order is effectively random, so the
+    expected round count is O(log n); 8 covers graphs far beyond any
+    realistic blocking output — the loop also exits early the moment
+    the active graph drains) any still-active node becomes a singleton,
+    a bounded-compute contract the unrolled-CTE oracle replays exactly.
+
+    Plan shape per round: one neighbor-min aggregate, one pivot
+    equi-join + min_by aggregate, two anti-joins to shrink the edge
+    frame — every shuffle on node id, no windows; ``sym`` and the
+    per-round output are ``localCheckpoint``-cut so the plan tree stays
+    constant-size across rounds (the pagerank-loop lesson).  Returns
+    ``(node, cluster)`` for every node in the edge list; callers
+    left-join the full record set and coalesce to self, exactly like
+    ``connected_components`` / ``star_clusters`` consumers."""
+    if rounds < 1:
+        raise ValueError("need rounds >= 1")
+
+    def _pi(c) -> F.Column:
+        return F.md5(F.concat(F.lit(f"{seed}|"), c))
+
+    e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = sym.select("v").distinct().localCheckpoint(eager=True)
+
+    clustered: list[DataFrame] = []
+    for _ in range(rounds):
+        if sym.isEmpty():
+            break
+        nbmin = sym.groupBy("v").agg(F.min(_pi(F.col("u"))).alias("mn"))
+        pivots = (
+            nbmin.filter(_pi(F.col("v")) < F.col("mn"))
+            .select(F.col("v").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        assigned = (
+            sym.join(pivots, sym["u"] == pivots["c"])
+            .groupBy("v")
+            .agg(
+                F.min(F.struct(_pi(F.col("c")).alias("h"), F.col("c").alias("c"))).alias("bc")
+            )
+            .select("v", F.col("bc.c").alias("cluster"))
+        )
+        this_round = (
+            pivots.select(F.col("c").alias("node"), F.col("c").alias("cluster"))
+            .unionByName(assigned.select(F.col("v").alias("node"), "cluster"))
+            .localCheckpoint(eager=True)
+        )
+        clustered.append(this_round)
+        gone = this_round.select("node")
+        sym = (
+            sym.join(gone, sym["v"] == gone["node"], "left_anti")
+            .join(gone, sym["u"] == gone["node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    out = clustered[0] if clustered else None
+    for fr in clustered[1:]:
+        out = out.unionByName(fr)
+    leftovers = all_nodes
+    if out is not None:
+        leftovers = all_nodes.join(
+            out, all_nodes["v"] == out["node"], "left_anti"
+        )
+    leftovers = leftovers.select(
+        F.col("v").alias("node"), F.col("v").alias("cluster")
+    )
+    return leftovers if out is None else out.unionByName(leftovers)
+
+
 def golden_records(
     df: DataFrame,
     cluster_col: str = "component",

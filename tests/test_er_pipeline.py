@@ -127,6 +127,106 @@ def test_star_clusters_centers_never_adjacent(spark):
     assert assign == expected
 
 
+def _pivot_replica(edges, rounds=8, seed="pivot"):
+    """Pure-Python round-synchronous KwikCluster under the md5 order —
+    the exact contract of er.clustering.pivot_clusters."""
+    import hashlib
+
+    pi = lambda v: hashlib.md5(f"{seed}|{v}".encode()).hexdigest()  # noqa: E731
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    out = {}
+    cur = {v: set(us) for v, us in adj.items()}
+    for _ in range(rounds):
+        cur = {v: us for v, us in cur.items() if us}
+        if not cur:
+            break
+        pivots = {v for v, us in cur.items() if pi(v) < min(pi(u) for u in us)}
+        newly = {p: p for p in pivots}
+        for v, us in cur.items():
+            if v in pivots:
+                continue
+            adjacent = [p for p in us if p in pivots]
+            if adjacent:
+                newly[v] = min(adjacent, key=pi)
+        out.update(newly)
+        gone = set(newly)
+        cur = {
+            v: {u for u in us if u not in gone}
+            for v, us in cur.items()
+            if v not in gone
+        }
+    for v in adj:
+        out.setdefault(v, v)
+    return out, adj, pi
+
+
+def _crc_graph(n=24, mod=7):
+    import itertools
+    import zlib
+
+    nodes = [f"n{i:02d}" for i in range(n)]
+    return [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if zlib.crc32((a + b).encode()) % mod == 0
+    ]
+
+
+def test_pivot_clusters_matches_replica(spark):
+    from orchid_fst_spark.er.clustering import pivot_clusters
+
+    edges = _crc_graph()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.node, r.cluster) for r in pivot_clusters(df).collect()}
+    expected, _, _ = _pivot_replica(edges)
+    assert got == set(expected.items())
+
+
+def test_pivot_clusters_radius1_and_center_independence(spark):
+    # every cluster is a pivot plus direct neighbors (radius 1), and no
+    # edge joins two distinct cluster centers (pivots form an
+    # independent set — the KwikCluster invariant star/CC lack)
+    from orchid_fst_spark.er.clustering import pivot_clusters
+
+    edges = _crc_graph(n=30, mod=5)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assign = {r.node: r.cluster for r in pivot_clusters(df).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(assign) == set(adj)
+    for v, c in assign.items():
+        assert c == v or c in adj[v], (v, c)  # radius 1
+    centers = set(assign.values())
+    for a, b in edges:
+        assert not (a in centers and b in centers and a != b), (a, b)
+
+
+def test_pivot_set_equals_sequential_greedy(spark):
+    # the BFS'12 claim in the docstring: iterated local minima == the
+    # lexicographically-first (under pi) sequential KwikCluster pivots
+    from orchid_fst_spark.er.clustering import pivot_clusters
+
+    edges = _crc_graph(n=40, mod=9)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = pivot_clusters(df).collect()
+    parallel_pivots = {r.cluster for r in rows}
+    _, adj, pi = _pivot_replica(edges)
+    sequential_pivots, clustered = set(), set()
+    for v in sorted(adj, key=pi):
+        if v in clustered:
+            continue
+        sequential_pivots.add(v)
+        clustered.add(v)
+        clustered |= adj[v]
+    assert parallel_pivots == sequential_pivots
+
+
 def test_resolve_f1(spark, pages_and_truth):
     pages, truth = pages_and_truth
     pred = resolve(pages, k=2, damerau=True)
