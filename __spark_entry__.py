@@ -1183,6 +1183,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["qgram_block_pairs"] = _qgram_block_pairs
 
+    # BlockSplit load balancing (Kolb ICDE'12): 2-char-prefix blocks
+    # (skewed by construction), every intra-block pair emitted exactly
+    # once through bounded sub-block comparison tasks — the
+    # completeness-preserving arm of the skew story (caps drop, splits
+    # keep); max_block=8 forces real splitting at every sf
+    def _block_split_pairs(spark, sf):
+        from orchid_fst_spark.er.neighborhood import block_split_pairs
+
+        v = _vdict(spark, sf)
+        blocks = v.filter(F.length("key") >= 2).select(
+            F.col("key").alias("id"),
+            F.substring("key", 1, 2).alias("block"),
+        )
+        return block_split_pairs(blocks, max_block=8)
+
+    q["block_split_pairs"] = _block_split_pairs
+
     # decision-threshold sweep: P/R/F1 of "fs_weight >= w" for every
     # distinct trained weight (<= 2^K rows), cumulative counts from one
     # pair-sized aggregate — how the FS acceptance threshold is picked
@@ -3891,6 +3908,16 @@ gcapped AS (
 SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS weight
 FROM gcapped a JOIN gcapped b ON a.block = b.block AND a.id < b.id
 GROUP BY 1, 2"""
+
+    # BlockSplit completeness IS the oracle: the balanced sub-block
+    # task decomposition must reproduce the naive intra-block join
+    o["block_split_pairs"] = f"""WITH {_SQL_VDICT},
+basg AS (
+  SELECT key AS id, substr(key, 1, 2) AS block FROM vdict
+  WHERE length(key) >= 2
+)
+SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+FROM basg a JOIN basg b ON a.block = b.block AND a.id < b.id"""
 
     # token blocking over documents: distinct (doc, token) assignments,
     # window-capped hot tokens, shared-token pair counts

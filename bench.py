@@ -269,6 +269,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         # 31-token vocabulary makes every token block hot; the sf0.01
         # correctness gate exercises it) — bench the q-gram member
         "qgram_block_pairs",
+        "block_split_pairs",
         "er_fs_match_metrics",
         "er_fs_regions",
         "er_ensemble_blocking",

@@ -452,3 +452,124 @@ def progressive_pairs(
     return g.orderBy(
         F.col("weight").desc(), F.col("id_a"), F.col("id_b")
     ).limit(budget)
+
+
+def block_split_pairs(
+    blocks: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block",
+    max_block: int = 64,
+    distinct: bool = True,
+) -> DataFrame:
+    """COMPLETENESS-PRESERVING load balancing for skewed blocks —
+    BlockSplit (Kolb, Thor & Rahm, ICDE 2012, "Load Balancing for
+    MapReduce-based Entity Resolution"): every intra-block pair of every
+    block is emitted, but a block with n > ``max_block`` members is
+    split into m = ceil(n / max_block) deterministic sub-blocks and its
+    n·(n-1)/2 comparisons decomposed into m·(m+1)/2 bounded tasks (one
+    per sub-block pair), so no single task ever buffers more than
+    ~2·``max_block`` members.  This is the other arm of the skew story
+    next to ``dedup.cap_hot_buckets`` / ``grouped_bucket_pairs``: caps
+    DROP over-cap blocks (observable recall trade), BlockSplit keeps
+    them and pays the full O(n²) comparison bill in balanced, spillable
+    installments — use it when the blocker is the precision stage and
+    every candidate must be verified (the north rule's "skew-aware
+    block-size caps" covers both arms).  The quadratic bill itself is
+    unchanged — a 10M-member block still implies 5·10¹³ comparisons;
+    meta-blocking / caps remain the tool when that is unaffordable.
+
+    Plan (TWO exchanges, both hash, no driver round-trips):
+
+    1. ``count() over (partition by block)`` + ``row_number`` within the
+       block — the second window reuses the first's hash partitioning
+       (one Exchange, the grouped_bucket_pairs idiom);
+    2. sub-block id s = (rank-1) mod m (round-robin => sizes differ by
+       at most 1); each member explodes to its m comparison tasks
+       ``(block, least(s,t), greatest(s,t))`` for t in [0, m) — the
+       member of sub i meets sub j exactly once (from t = j), the
+       replication factor is exactly m (the paper's match-task fan-out);
+    3. groupBy the task key (second Exchange), collect ≤ 2·max_block
+       (id, s) structs, expand pairs via the posexplode + position-slice
+       idiom (rows stream out, never an O(cap²) array), keep a pair iff
+       the task is intra (i == j) or the subs differ (cross pairs belong
+       to their (i, j) task; intra-sub pairs to (s, s)) — each unordered
+       pair surfaces in EXACTLY one task.
+
+    m uses true integral division (``div``) — ``F.ceil`` on a LONG/LONG
+    double quotient goes off-by-one past 2^53 (the recorded trap).
+    Blocks of size ≤ max_block get m = 1 and flow through the same plan
+    as one intra task.  Returns ``(id_a, id_b)`` with id_a < id_b;
+    ``distinct`` dedups pairs that co-occur in several blocks (within
+    one block a pair is exactly-once by construction — pinned by test);
+    ``distinct=False`` skips that extra shuffle for single-assignment
+    blockers."""
+    if max_block < 2:
+        raise ValueError("need max_block >= 2")
+    df = blocks.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block")
+    )
+    w = Window.partitionBy("block")
+    cap = F.lit(max_block)
+    sized = (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") >= 2)
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("block").orderBy("id")),
+        )
+        .withColumn(
+            "_m",
+            F.call_function("div", F.col("_bn") + cap - F.lit(1), cap),
+        )
+        .withColumn("_s", F.pmod(F.col("_rk") - F.lit(1), F.col("_m")))
+    )
+    tasks = sized.select(
+        "id",
+        "_s",
+        F.col("block").alias("_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_m") - F.lit(1))).alias("_t"),
+    ).select(
+        "id",
+        "_s",
+        "_b",
+        F.least("_s", "_t").alias("_lo"),
+        F.greatest("_s", "_t").alias("_hi"),
+    )
+    # the explicit repartition on the FULL task key is load-bearing:
+    # without it, Catalyst satisfies the groupBy with the window's
+    # block-only hash partitioning (subset-key ClusteredDistribution),
+    # and every task of a giant block stays in ONE partition — the
+    # exact skew BlockSplit exists to break.  This second shuffle IS
+    # the balancing (pinned by the spread test).
+    grouped = (
+        tasks.repartition(F.col("_b"), F.col("_lo"), F.col("_hi"))
+        .groupBy("_b", "_lo", "_hi")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("id"), F.col("_s").alias("s"))
+            ).alias("ms")
+        )
+    )
+    e1 = grouped.select(
+        "_lo", "_hi", "ms", F.posexplode("ms").alias("i", "a")
+    )
+    e2 = e1.select(
+        "_lo",
+        "_hi",
+        "a",
+        F.explode(
+            F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))
+        ).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    out = (
+        e2.filter(
+            (a["id"] != b["id"])
+            & ((F.col("_lo") == F.col("_hi")) | (a["s"] != b["s"]))
+        )
+        .select(
+            F.least(a["id"], b["id"]).alias("id_a"),
+            F.greatest(a["id"], b["id"]).alias("id_b"),
+        )
+    )
+    return out.distinct() if distinct else out

@@ -859,6 +859,35 @@ def main() -> None:
                   "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
     )
 
+    from orchid_fst_spark.er.neighborhood import block_split_pairs
+
+    add(
+        "BlockSplit load balancing (`er.neighborhood.block_split_pairs`)",
+        "Completeness-preserving skew splitting (Kolb ICDE'12): block "
+        "size + in-block rank from ONE Exchange (the second window "
+        "reuses the first's hash partitioning), round-robin sub-block "
+        "ids, m-way task fan-out via one bounded Generate, then an "
+        "EXPLICIT repartition on the full (block, lo, hi) task key — "
+        "that second Exchange IS the balancing: without it Catalyst "
+        "satisfies the groupBy with block-only partitioning and a "
+        "giant block's every task lands in one partition.  Pair "
+        "expansion streams through posexplode + position-slice; "
+        "distinct=False keeps the whole pipeline at exactly two "
+        "Exchange nodes, all JVM.",
+        block_split_pairs(
+            docs.select(
+                F.col("doc_id").cast("string").alias("id"),
+                F.substring("text", 1, 2).alias("block"),
+            ),
+            max_block=8,
+            distinct=False,
+        ),
+        must_contain=("Window",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+        at_most={"Exchange": 4},  # 4 mentions == TWO Exchange nodes
+    )
+
     from orchid_fst_spark.operators.sampling import dsir_weights
 
     add(

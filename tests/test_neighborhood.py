@@ -411,3 +411,100 @@ def test_progressive_pairs_partitioning_invariant(spark):
         for r in progressive_pairs(blocks.repartition(13), budget=7).collect()
     ]
     assert a == b and len(a) == 7
+
+
+def test_block_split_completeness_vs_naive(spark):
+    # planted skew: one 200-member block, small blocks, a pair sharing
+    # two blocks, a singleton — the pair set must equal the naive
+    # all-intra-block join exactly (BlockSplit trades nothing away)
+    import itertools
+    from collections import defaultdict
+
+    from orchid_fst_spark.er.neighborhood import block_split_pairs
+
+    rows = [(f"g{i:03d}", "BIG") for i in range(200)]
+    rows += [(f"s{i}", f"blk{i % 5}") for i in range(23)]
+    rows += [("s0", "extra"), ("s1", "extra")]
+    rows += [("lone", "single")]
+    df = spark.createDataFrame(rows, "id string, block string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in block_split_pairs(df, max_block=16).collect()
+    }
+    blocks = defaultdict(set)
+    for i, b in rows:
+        blocks[b].add(i)
+    truth = {
+        pair
+        for ms in blocks.values()
+        for pair in itertools.combinations(sorted(ms), 2)
+    }
+    assert got == truth
+
+
+def test_block_split_exactly_once_and_m1_path(spark):
+    from orchid_fst_spark.er.neighborhood import block_split_pairs
+
+    big = spark.createDataFrame(
+        [(f"g{i:03d}", "B") for i in range(200)], "id string, block string"
+    )
+    # distinct=False: within one block every unordered pair surfaces in
+    # exactly one comparison task
+    assert block_split_pairs(big, max_block=16, distinct=False).count() == (
+        200 * 199 // 2
+    )
+    # m=1 path: a block under the cap flows through the same plan
+    small = spark.createDataFrame(
+        [(f"s{i}", "B") for i in range(5)], "id string, block string"
+    )
+    assert block_split_pairs(small, max_block=16, distinct=False).count() == 10
+
+
+def test_block_split_spreads_giant_block(spark):
+    # the load-balancing claim itself: with AQE coalescing off, the
+    # giant block's pairs come from many shuffle partitions and no
+    # partition holds more than a small multiple of the fair share
+    # (the explicit task-key repartition is load-bearing — block-only
+    # partitioning would put every task in ONE partition)
+    from pyspark.sql import functions as F
+
+    from orchid_fst_spark.er.neighborhood import block_split_pairs
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = spark.createDataFrame(
+            [(f"g{i:03d}", "B") for i in range(200)],
+            "id string, block string",
+        )
+        p = block_split_pairs(df, max_block=16, distinct=False)
+        parts = (
+            p.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .count()
+            .collect()
+        )
+        total = 200 * 199 // 2
+        assert len(parts) >= 4, parts
+        assert max(r["count"] for r in parts) <= total * 0.3, parts
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_block_split_plan_two_exchanges(spark):
+    import contextlib
+    import io
+
+    from orchid_fst_spark.er.neighborhood import block_split_pairs
+
+    df = spark.createDataFrame(
+        [(f"g{i}", "B") for i in range(50)], "id string, block string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        block_split_pairs(df, max_block=8, distinct=False).explain("formatted")
+    # formatted names each node twice (tree line + detail header):
+    # 4 mentions == TWO Exchange nodes (block window + task-key
+    # repartition), nothing else
+    assert buf.getvalue().count("Exchange") == 4, buf.getvalue()
