@@ -271,6 +271,185 @@ feat AS (
 )
 """
 
+# leveled (Winkler 1990) comparison vector over the same pairs CTE —
+# twin of er.scoring.default_fs_level_features (6dp rounding BEFORE
+# banding, missing evidence -> level 0)
+_SQL_FS_LVL = r"""
+lfeat AS (
+  SELECT key_a, key_b,
+    CASE WHEN dist <= 1 THEN 1 ELSE 0 END AS lvl_dist,
+    CASE WHEN round(jaro_winkler_similarity(key_a, key_b), 6) >= 0.95 THEN 2
+         WHEN round(jaro_winkler_similarity(key_a, key_b), 6) >= 0.88 THEN 1
+         ELSE 0 END AS lvl_jw,
+    CASE WHEN round(CASE WHEN len(list_distinct(
+            list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')
+            || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> ''))) > 0
+       THEN len(list_intersect(
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')),
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> ''))))::DOUBLE
+            / len(list_distinct(
+              list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')
+              || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')))
+       ELSE 0.0 END, 6) >= 0.5 THEN 2
+         WHEN round(CASE WHEN len(list_distinct(
+            list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')
+            || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> ''))) > 0
+       THEN len(list_intersect(
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')),
+              list_distinct(list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> ''))))::DOUBLE
+            / len(list_distinct(
+              list_filter(string_split_regex(trim(regexp_replace(key_a, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')
+              || list_filter(string_split_regex(trim(regexp_replace(key_b, '[/-]', ' ', 'g')), '\s+'), x -> x <> '')))
+       ELSE 0.0 END, 6) >= 0.2 THEN 1
+         ELSE 0 END AS lvl_jaccard
+  FROM pairs
+)
+"""
+
+# (name, n_levels) of the leveled model — must match
+# er.scoring.default_fs_level_features
+_FS_LEVELS = [("dist", 2), ("jw", 3), ("jaccard", 3)]
+
+
+def _fs_em_leveled_sql(
+    iters: int = 10,
+    with_final: bool = True,
+    weights: bool = False,
+    pat_sql: str | None = None,
+) -> str:
+    """Unrolled-CTE DuckDB twin of ``er.scoring.fs_em_train_leveled``
+    (and, with ``weights=True``, of ``fs_leveled_weights``): level-
+    pattern contingency table, then ``iters`` E/M CTE pairs replaying
+    the multi-level fixed-point EM statement-for-statement; the weights
+    form joins every pair back to the final parameter row and sums the
+    level-selected ``floor(log2(m/u)*1e6+0.5)/1e6`` terms in feature
+    order (libm log2 — bit-identical to Python's ``math.log2``)."""
+    from orchid_fst_spark.er.scoring import _em_round_clamp, fs_level_init
+
+    lam0 = _em_round_clamp(0.1)
+    lvl_cols = [f"lvl_{n}" for n, _ in _FS_LEVELS]
+
+    def sel(src: str, kind: str, name: str, nl: int) -> str:
+        cases = " ".join(
+            f"WHEN {lv} THEN {src}.{kind}_{name}_{lv}" for lv in range(1, nl)
+        )
+        return (
+            f"(CASE lvl_{name} {cases} ELSE {src}.{kind}_{name}_0 END)"
+        )
+
+    def w_v(src: str):
+        w = f"{src}.lam"
+        v = f"(1 - {src}.lam)"
+        for n, nl in _FS_LEVELS:
+            w += f" * {sel(src, 'm', n, nl)}"
+            v += f" * {sel(src, 'u', n, nl)}"
+        return w, v
+
+    def clamp6(x: str) -> str:
+        return (
+            f"least(greatest(floor(({x}) * 1000000 + 0.5) / 1000000, "
+            f"1e-06), 0.999999)"
+        )
+
+    p0_cols = [f"{lam0!r}::DOUBLE AS lam"]
+    for n, nl in _FS_LEVELS:
+        m0, u0 = fs_level_init(nl)
+        for lv in range(nl):
+            p0_cols.append(f"{m0[lv]!r}::DOUBLE AS m_{n}_{lv}")
+            p0_cols.append(f"{u0[lv]!r}::DOUBLE AS u_{n}_{lv}")
+    ctes = [
+        pat_sql
+        if pat_sql is not None
+        else "pat AS (\n  SELECT "
+        + ", ".join(lvl_cols)
+        + ", count(*)::BIGINT AS n_pairs\n  FROM lfeat GROUP BY 1, 2, 3\n)",
+        "tot AS (SELECT sum(n_pairs)::BIGINT AS n_total FROM pat)",
+        f"p0 AS (SELECT {', '.join(p0_cols)})",
+    ]
+    for i in range(1, iters + 1):
+        w, v = w_v(f"p{i - 1}")
+        ctes.append(
+            f"e{i} AS (\n  SELECT pat.*,\n"
+            f"    least(greatest(floor(({w}) / (({w}) + ({v}))"
+            f" * 1000000000 + 0.5)::BIGINT, 1), 999999999) AS p_int\n"
+            f"  FROM pat, p{i - 1}\n)"
+        )
+        m_cols = [
+            clamp6(
+                "sum(p_int * n_pairs)::DOUBLE"
+                " / (max(n_total) * 1000000000)::DOUBLE"
+            )
+            + " AS lam"
+        ]
+        for n, nl in _FS_LEVELS:
+            for lv in range(nl):
+                m_cols.append(
+                    clamp6(
+                        f"sum(CASE WHEN lvl_{n} = {lv} THEN p_int * n_pairs"
+                        " ELSE 0 END)::DOUBLE / sum(p_int * n_pairs)::DOUBLE"
+                    )
+                    + f" AS m_{n}_{lv}"
+                )
+                m_cols.append(
+                    clamp6(
+                        f"sum(CASE WHEN lvl_{n} = {lv} THEN"
+                        " (1000000000 - p_int) * n_pairs ELSE 0 END)::DOUBLE"
+                        " / (max(n_total) * 1000000000"
+                        " - sum(p_int * n_pairs))::DOUBLE"
+                    )
+                    + f" AS u_{n}_{lv}"
+                )
+        ctes.append(
+            f"p{i} AS (\n  SELECT {(',' + chr(10) + '    ').join(m_cols)}\n"
+            f"  FROM e{i}, tot\n)"
+        )
+    param_cols = [
+        f"{kind}_{n}_{lv}"
+        for n, nl in _FS_LEVELS
+        for lv in range(nl)
+        for kind in ("m", "u")
+    ]
+    if weights:
+        def w6(n: str, lv: int) -> str:
+            return (
+                f"floor(log2(p.m_{n}_{lv} / p.u_{n}_{lv})"
+                " * 1000000 + 0.5) / 1000000"
+            )
+
+        terms = []
+        for n, nl in _FS_LEVELS:
+            cases = " ".join(
+                f"WHEN {lv} THEN {w6(n, lv)}" for lv in range(1, nl)
+            )
+            terms.append(f"(CASE l.lvl_{n} {cases} ELSE {w6(n, 0)} END)")
+        final = (
+            "SELECT l.key_a, l.key_b, "
+            + ", ".join(f"l.{c}" for c in lvl_cols)
+            + ",\n  "
+            + " + ".join(terms)
+            + f" AS fs_weight\nFROM lfeat l, p{iters} p"
+        )
+    else:
+        wf, vf = w_v("p")
+        ctes.append(
+            "epost AS (\n  SELECT "
+            + ", ".join(f"pat.{c}" for c in lvl_cols)
+            + ", pat.n_pairs,\n"
+            f"    floor(({wf}) / (({wf}) + ({vf})) * 1000000 + 0.5)"
+            " / 1000000 AS posterior,\n    p.lam, "
+            + ", ".join(f"p.{c}" for c in param_cols)
+            + f"\n  FROM pat, p{iters} p\n)"
+        )
+        final = (
+            "SELECT "
+            + ", ".join(lvl_cols)
+            + ", n_pairs, posterior, lam, "
+            + ", ".join(param_cols)
+            + "\nFROM epost"
+        )
+    return ",\n".join(ctes) + ("\n" + final if with_final else "")
+
+
 # iteration count shared by the er_fs_em entry and its unrolled oracle
 _FS_EM_ITERS = 10
 
@@ -1134,6 +1313,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return patterns
 
     q["er_fs_em"] = _er_fs_em
+
+    # Winkler-1990 multi-level FS: graded agreement bands (exact /
+    # close / disagree) instead of booleans — same one-aggregate
+    # sufficient statistic (<= prod(levels) rows), same driver EM
+    def _er_fs_leveled(spark, sf):
+        from orchid_fst_spark.er.scoring import fs_em_train_leveled
+
+        scored = score_pairs(
+            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        )
+        _, patterns = fs_em_train_leveled(scored, iters=_FS_EM_ITERS)
+        return patterns
+
+    q["er_fs_leveled"] = _er_fs_leveled
+
+    # per-pair partial-agreement weights at the trained leveled params:
+    # a near-agreeing JW band earns an intermediate log2(m/u), the
+    # refinement Winkler showed dominates binary agreement
+    def _er_fs_leveled_weights(spark, sf):
+        from orchid_fst_spark.er.scoring import (
+            fs_em_train_leveled,
+            fs_leveled_weights,
+        )
+
+        scored = score_pairs(
+            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        )
+        params, _ = fs_em_train_leveled(scored, iters=_FS_EM_ITERS)
+        return fs_leveled_weights(scored, params).select(
+            "key_a", "key_b", "lvl_dist", "lvl_jw", "lvl_jaccard",
+            "fs_weight",
+        )
+
+    q["er_fs_leveled_weights"] = _er_fs_leveled_weights
 
     # mutual-best-match 1:1 linkage: one min_by aggregate per key over
     # the symmetrized pairs, then the node-sized best-frame self-join —
@@ -3614,6 +3827,17 @@ FROM feat"""
     # EM-trained FS parameters: the unrolled-CTE replay of the trainer's
     # fixed-point arithmetic (see _fs_em_sql)
     o["er_fs_em"] = f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},\n{_fs_em_sql()}"
+
+    # leveled (Winkler) EM report and partial-agreement weights: the
+    # same unrolled fixed-point replay over level patterns
+    o["er_fs_leveled"] = (
+        f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},{_SQL_FS_LVL},\n"
+        f"{_fs_em_leveled_sql(_FS_EM_ITERS)}"
+    )
+    o["er_fs_leveled_weights"] = (
+        f"WITH {_SQL_VDICT},{_SQL_FS_FEAT},{_SQL_FS_LVL},\n"
+        f"{_fs_em_leveled_sql(_FS_EM_ITERS, weights=True)}"
+    )
 
     # TF-adjusted FS weights: value-specific u = tf share of the
     # first-3-char prefix field, global u = sum(n_v^2)/n^2 (exact

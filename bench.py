@@ -280,6 +280,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_progressive_pairs",
         "clk_hlsh_pairs",
         "er_fs_tf",
+        "er_fs_leveled",
+        "er_fs_leveled_weights",
         "er_bcubed",
         "er_cluster_cohesion",
         "er_blocking_cost",
@@ -291,6 +293,9 @@ def bench_queries(spark, sf_dir: str) -> dict:
     # (a filter on it forces the UDF; measured 1.8 s pruned vs 9.2 s
     # real for er_monge_elkan at sf0.1)
     consume = {
+        "er_fs_leveled_weights": lambda df: df.filter(
+            F.col("fs_weight") > -1e9
+        ).count(),
         "er_monge_elkan": lambda df: df.filter(F.col("me") > -1.0).count(),
         "er_soft_tfidf": lambda df: df.filter(
             F.col("soft_tfidf") > -1.0

@@ -697,3 +697,259 @@ def fs_three_way(
         .when(w < F.lit(float(lower)), F.lit("nonlink"))
         .otherwise(F.lit("review")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level (Winkler) comparison vectors
+# ---------------------------------------------------------------------------
+
+
+def default_fs_level_features() -> list[tuple[str, F.Column, int]]:
+    """The leveled comparison vector ``fs_em_train_leveled`` defaults
+    to: ``(name, level_column, n_levels)`` with level 0 = worst
+    agreement and level n_levels-1 = best.  Winkler's string-comparator
+    bands (0.88/0.94-style cuts on Jaro-Winkler) over the
+    ``score_pairs`` columns; ``dist`` stays 2-level because the k<=2
+    candidate generators never emit dist > 2 (a dead level would train
+    both its m and u to the 1e-6 clamp and carry weight 0).  Every
+    similarity is rounded to 6dp BEFORE banding (the cross-engine
+    argmin/rank recipe, applied to thresholds)."""
+    jw6 = F.round(F.col("jw"), 6)
+    jc6 = F.round(F.col("token_jaccard"), 6)
+    return [
+        ("dist", F.when(F.col("dist") <= 1, 1).otherwise(0), 2),
+        (
+            "jw",
+            F.when(jw6 >= 0.95, 2).when(jw6 >= 0.88, 1).otherwise(0),
+            3,
+        ),
+        (
+            "jaccard",
+            F.when(jc6 >= 0.5, 2).when(jc6 >= 0.2, 1).otherwise(0),
+            3,
+        ),
+    ]
+
+
+def fs_level_init(n_levels: int) -> tuple[list[float], list[float]]:
+    """Deterministic EM start for one leveled feature: triangular mass
+    ascending toward full agreement for m, descending for u —
+    ``m0[l] = (l+1)/T``, ``u0[l] = (L-l)/T`` with ``T = L(L+1)/2``,
+    both 6dp-round-clamped so the SQL twin folds the identical
+    literals."""
+    total = n_levels * (n_levels + 1) // 2
+    m0 = [_em_round_clamp((lv + 1) / total) for lv in range(n_levels)]
+    u0 = [_em_round_clamp((n_levels - lv) / total) for lv in range(n_levels)]
+    return m0, u0
+
+
+def _flag_levels(
+    df: DataFrame, features: list[tuple[str, F.Column, int]]
+) -> DataFrame:
+    """Add one null-safe INT column ``lvl_<name>`` per feature
+    (missing evidence = level 0, the same coercion as
+    ``_flag_features``)."""
+    out = df
+    for name, col, _n in features:
+        out = out.withColumn(
+            f"lvl_{name}", F.coalesce(col, F.lit(0)).cast("int")
+        )
+    return out
+
+
+def _em_fit_leveled(
+    pats: list[tuple[tuple[int, ...], int]],
+    level_counts: list[int],
+    iters: int = 10,
+    lam0: float = 0.1,
+) -> tuple[float, list[list[float]], list[list[float]]]:
+    """Driver-side EM over a LEVEL-pattern contingency table — the
+    multi-level generalization of ``_em_fit`` (Winkler 1990, "String
+    Comparator Metrics and Enhanced Decision Rules in the Fellegi-
+    Sunter Model"): per feature f, ``m[f][l] = P(level=l | M)`` and
+    ``u[f][l] = P(level=l | U)``.  Same fixed-point determinism
+    contract as the binary fit: integer posteriors, exact BIGINT
+    M-step sums, 6dp round-clamp per parameter.  After rounding the
+    per-feature level masses need not sum to exactly 1 — harmless,
+    the decision rule only consumes ratios, and the SQL twin replays
+    the identical arithmetic."""
+    import math
+
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+    if not pats:
+        raise ValueError("no candidate pairs to train on")
+    pats = sorted(pats, key=lambda t: t[0])
+    n_total = sum(n for _, n in pats)
+    n_features = len(level_counts)
+
+    lam = _em_round_clamp(lam0)
+    m, u = [], []
+    for nl in level_counts:
+        m0, u0 = fs_level_init(nl)
+        m.append(m0)
+        u.append(u0)
+
+    def _posteriors(lam, m, u):
+        out = []
+        for g, n in pats:
+            w = lam
+            v = 1.0 - lam
+            for k in range(n_features):
+                w = w * m[k][g[k]]
+                v = v * u[k][g[k]]
+            p = w / (w + v)
+            p_int = math.floor(p * _EM_PSCALE + 0.5)
+            p_int = min(max(p_int, 1), _EM_PSCALE - 1)
+            out.append((g, n, p_int))
+        return out
+
+    for _ in range(iters):
+        e = _posteriors(lam, m, u)
+        sum_p = sum(p_int * n for _, n, p_int in e)
+        den_u = n_total * _EM_PSCALE - sum_p
+        lam = _em_round_clamp(sum_p / float(n_total * _EM_PSCALE))
+        new_m, new_u = [], []
+        for k, nl in enumerate(level_counts):
+            new_m.append(
+                [
+                    _em_round_clamp(
+                        sum(p_int * n for g, n, p_int in e if g[k] == lv)
+                        / float(sum_p)
+                    )
+                    for lv in range(nl)
+                ]
+            )
+            new_u.append(
+                [
+                    _em_round_clamp(
+                        sum(
+                            (_EM_PSCALE - p_int) * n
+                            for g, n, p_int in e
+                            if g[k] == lv
+                        )
+                        / float(den_u)
+                    )
+                    for lv in range(nl)
+                ]
+            )
+        m, u = new_m, new_u
+    return lam, m, u
+
+
+def fs_em_train_leveled(
+    scored: DataFrame,
+    features: list[tuple[str, F.Column, int]] | None = None,
+    iters: int = 10,
+    lam0: float = 0.1,
+):
+    """Unsupervised training of the MULTI-LEVEL Fellegi–Sunter model
+    (Winkler 1990's enhanced decision rules): comparison vectors carry
+    graded agreement levels (exact / close / disagree) instead of
+    booleans, so a near-agreeing Jaro-Winkler band contributes partial
+    evidence rather than collapsing onto one side of a threshold —
+    the refinement Winkler showed dominates the binary model on
+    name-matching.
+
+    Distributed work is unchanged from ``fs_em_train``: ONE hash
+    aggregate collapses the pair frame into at most prod(n_levels)
+    level-pattern counts (map-side combine), and EM iterates on the
+    driver over that exact sufficient statistic.  Same fixed-point
+    cross-engine determinism contract (see ``_em_fit_leveled``).
+
+    Returns ``(params, patterns)``:
+
+    - ``params``: ``{"lam": float, "<name>": (m_levels, u_levels)}``
+      with per-level lists ordered worst -> best.
+    - ``patterns``: DataFrame ``(lvl_<name>..., n_pairs, posterior,
+      lam, m_<name>_<l>..., u_<name>_<l>...)`` — the auditable report,
+      literal-folded like ``fs_em_train``'s."""
+    if features is None:
+        features = default_fs_level_features()
+    if not features:
+        raise ValueError("need at least one feature")
+    names = [n for n, _c, _l in features]
+    level_counts = [nl for _n, _c, nl in features]
+    flagged = _flag_levels(scored, features)
+    lvl_cols = [f"lvl_{n}" for n in names]
+    pat_df = flagged.groupBy(*lvl_cols).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    rows = pat_df.collect()  # <= prod(n_levels) rows by construction
+    if not rows:
+        raise ValueError("no candidate pairs to train on")
+    for r in rows:
+        for c, nl in zip(lvl_cols, level_counts):
+            if not 0 <= int(r[c]) < nl:
+                raise ValueError(
+                    f"{c} produced level {r[c]} outside [0, {nl})"
+                )
+    pats = [
+        (tuple(int(r[c]) for c in lvl_cols), int(r["n_pairs"]))
+        for r in rows
+    ]
+    lam, m, u = _em_fit_leveled(pats, level_counts, iters, lam0)
+    params: dict = {"lam": lam}
+    for k, name in enumerate(names):
+        params[name] = (m[k], u[k])
+    pat_local = scored.sparkSession.createDataFrame(rows, pat_df.schema)
+    w: F.Column = F.lit(lam)
+    v: F.Column = F.lit(1.0 - lam)
+    for k, name in enumerate(names):
+        lk = F.col(f"lvl_{name}")
+        mc: F.Column = F.lit(m[k][0])
+        uc: F.Column = F.lit(u[k][0])
+        for lv in range(1, level_counts[k]):
+            mc = F.when(lk == lv, F.lit(m[k][lv])).otherwise(mc)
+            uc = F.when(lk == lv, F.lit(u[k][lv])).otherwise(uc)
+        w = w * mc
+        v = v * uc
+    post = F.floor(
+        w / (w + v) * F.lit(float(_EM_RSCALE)) + F.lit(0.5)
+    ) / F.lit(float(_EM_RSCALE))
+    report = pat_local.withColumn("posterior", post).withColumn(
+        "lam", F.lit(lam)
+    )
+    for k, name in enumerate(names):
+        for lv in range(level_counts[k]):
+            report = report.withColumn(
+                f"m_{name}_{lv}", F.lit(m[k][lv])
+            ).withColumn(f"u_{name}_{lv}", F.lit(u[k][lv]))
+    return params, report
+
+
+def fs_leveled_weights(
+    scored: DataFrame,
+    params: dict,
+    features: list[tuple[str, F.Column, int]] | None = None,
+    weight_col: str = "fs_weight",
+) -> DataFrame:
+    """Winkler-1990 partial-agreement match weight: per feature the
+    level-specific ``log2(m[l] / u[l])`` — a near-agreement band earns
+    an intermediate weight instead of the binary all-or-nothing — summed
+    in fixed feature order.  Every weight is a PYTHON literal
+    ``floor(log2(m/u) * 1e6 + 0.5) / 1e6`` folded into the plan
+    (map-side, zero exchanges; libm log2 is bit-identical to DuckDB's,
+    the established ``fs_match_weights`` discipline).  Clamped-dead
+    levels (never observed: m = u = 1e-6) get weight exactly 0."""
+    import math
+
+    if features is None:
+        features = default_fs_level_features()
+    flagged = _flag_levels(scored, features)
+    total: F.Column | None = None
+    for name, _col, nl in features:
+        m_levels, u_levels = params[name]
+        if len(m_levels) != nl or len(u_levels) != nl:
+            raise ValueError(f"params for {name} do not have {nl} levels")
+        lk = F.col(f"lvl_{name}")
+        weights = [
+            math.floor(math.log2(m_levels[lv] / u_levels[lv]) * _EM_RSCALE + 0.5)
+            / _EM_RSCALE
+            for lv in range(nl)
+        ]
+        wc: F.Column = F.lit(weights[0])
+        for lv in range(1, nl):
+            wc = F.when(lk == lv, F.lit(weights[lv])).otherwise(wc)
+        total = wc if total is None else total + wc
+    return flagged.withColumn(weight_col, total)

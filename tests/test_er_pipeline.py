@@ -1053,3 +1053,110 @@ def test_ari_matches_reference_formula(spark):
     row = ari_metrics(pred, truth).collect()[0]
     assert (row.n11, row.n10, row.n01, row.n00) == (n11, n10, n01, n00)
     assert row.ari == expect
+
+
+def test_fs_em_leveled_recovers_planted_populations(spark):
+    from orchid_fst_spark.er.scoring import fs_em_train_leveled, score_pairs
+
+    # 40 exact pairs (top level everywhere), 30 close pairs (dist 1,
+    # high-but-not-exact JW), 160 far pairs (bottom levels): EM must
+    # put match mass on the high levels and non-match mass on level 0,
+    # and the posteriors must separate the extreme patterns
+    rows = (
+        [("spark", "spark", 0)] * 40
+        + [("spark", "sparkk", 1)] * 30
+        + [("spark", "zzzz-qq", 2)] * 160
+    )
+    pairs = spark.createDataFrame(
+        rows, "key_a string, key_b string, dist long"
+    )
+    params, patterns = fs_em_train_leveled(score_pairs(pairs), iters=10)
+    m_jw, u_jw = params["jw"]
+    assert m_jw[2] > 0.8, params  # matches live in the top JW band
+    assert u_jw[0] > 0.8, params  # non-matches in the bottom band
+    pats = {
+        (r.lvl_dist, r.lvl_jw, r.lvl_jaccard): r for r in patterns.collect()
+    }
+    best = pats[(1, 2, 2)]
+    worst = pats[(0, 0, 0)]
+    assert best.posterior > 0.95 and best.n_pairs == 40
+    assert worst.posterior < 0.05 and worst.n_pairs == 160
+
+
+def test_fs_em_leveled_partitioning_invariant(spark):
+    from orchid_fst_spark.er.scoring import fs_em_train_leveled, score_pairs
+
+    rows = (
+        [("spark", "spark", 0)] * 7
+        + [("spark", "sparkk", 1)] * 5
+        + [("spark", "zzzz-qq", 2)] * 30
+    )
+    pairs = spark.createDataFrame(
+        rows, "key_a string, key_b string, dist long"
+    )
+    p1, _ = fs_em_train_leveled(score_pairs(pairs), iters=10)
+    p8, _ = fs_em_train_leveled(score_pairs(pairs).repartition(8), iters=10)
+    assert p1 == p8  # exact: integer sufficient statistic
+
+
+def test_fs_leveled_weights_hand_math(spark):
+    import math
+
+    from orchid_fst_spark.er.scoring import fs_leveled_weights, score_pairs
+
+    # hand parameters with a dead level (clamped both sides -> weight
+    # exactly 0) and known ratios elsewhere
+    params = {
+        "lam": 0.2,
+        "dist": ([0.05, 0.9], [0.8, 0.1]),
+        "jw": ([0.02, 1e-06, 0.9], [0.7, 1e-06, 0.05]),
+        "jaccard": ([0.1, 0.3, 0.6], [0.6, 0.3, 0.1]),
+    }
+
+    def w6(m, u):
+        return math.floor(math.log2(m / u) * 10**6 + 0.5) / 10**6
+
+    scored = score_pairs(
+        spark.createDataFrame(
+            [("spark", "spark", 0), ("spark", "zzzz-qq", 2)],
+            "key_a string, key_b string, dist long",
+        )
+    )
+    got = {
+        r.key_b: r.fs_weight
+        for r in fs_leveled_weights(scored, params).collect()
+    }
+    # exact pair: dist lvl1, jw lvl2, jaccard lvl2
+    exp_match = w6(0.9, 0.1) + w6(0.9, 0.05) + w6(0.6, 0.1)
+    # far pair: all level 0
+    exp_far = w6(0.05, 0.8) + w6(0.02, 0.7) + w6(0.1, 0.6)
+    assert got["spark"] == exp_match
+    assert got["zzzz-qq"] == exp_far
+    # the dead jw level carries weight exactly 0
+    assert w6(1e-06, 1e-06) == 0.0
+
+
+def test_fs_leveled_weight_order_matches_posterior_order(spark):
+    # partial agreement: the close pair's trained weight must land
+    # strictly between the exact pair's and the far pair's — the
+    # graded-evidence property the binary model cannot express
+    from orchid_fst_spark.er.scoring import (
+        fs_em_train_leveled,
+        fs_leveled_weights,
+        score_pairs,
+    )
+
+    rows = (
+        [("spark", "spark", 0)] * 40
+        + [("spark", "sparkk", 1)] * 30
+        + [("spark", "zzzz-qq", 2)] * 160
+    )
+    scored = score_pairs(
+        spark.createDataFrame(rows, "key_a string, key_b string, dist long")
+    )
+    params, _ = fs_em_train_leveled(scored, iters=10)
+    w = {
+        r.key_b: r.fs_weight
+        for r in fs_leveled_weights(scored, params).collect()
+    }
+    assert w["spark"] > w["sparkk"] > w["zzzz-qq"], w

@@ -255,3 +255,54 @@ def test_fs_em_python_matches_duckdb_replay(pats, iters):
     got = row[0]
     exp = (lam, m[0], u[0], m[1], u[1], m[2], u[2])
     assert got == exp, f"params diverged: duck={got} py={exp}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=1, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[:3],
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=40, deadline=None)
+def test_fs_em_leveled_python_matches_duckdb_replay(pats, iters):
+    """The multi-level EM determinism contract, fuzzed: _em_fit_leveled
+    over a random level-pattern table must reproduce the unrolled-CTE
+    DuckDB replay bit-for-bit (same lockstep property as the binary
+    twin, now over per-level parameter vectors)."""
+    import duckdb
+
+    from __spark_entry__ import _fs_em_leveled_sql
+    from orchid_fst_spark.er.scoring import _em_fit_leveled
+
+    lam, m, u = _em_fit_leveled(
+        [((a, b, c), n) for a, b, c, n in pats], [2, 3, 3], iters=iters
+    )
+    values = ", ".join(f"({a}, {b}, {c}, {n})" for a, b, c, n in pats)
+    pat_cte = (
+        "pat AS (SELECT * FROM (VALUES " + values + ") "
+        "t(lvl_dist, lvl_jw, lvl_jaccard, n_pairs))"
+    )
+    sql = "WITH " + _fs_em_leveled_sql(iters=iters, pat_sql=pat_cte)
+    cols = ["lam"]
+    for name, nl in (("dist", 2), ("jw", 3), ("jaccard", 3)):
+        for lv in range(nl):
+            cols += [f"m_{name}_{lv}", f"u_{name}_{lv}"]
+    con = duckdb.connect()
+    row = con.sql(
+        "SELECT DISTINCT " + ", ".join(cols) + " FROM (" + sql + ")"
+    ).fetchall()
+    con.close()
+    assert len(row) == 1
+    exp = [lam]
+    for k, nl in enumerate((2, 3, 3)):
+        for lv in range(nl):
+            exp += [m[k][lv], u[k][lv]]
+    assert list(row[0]) == exp, f"params diverged: duck={row[0]} py={exp}"
