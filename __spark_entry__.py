@@ -1359,6 +1359,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_mutual_best"] = _er_mutual_best
 
+    # maximal 1:1 matching: iterated mutual-best rounds == sequential
+    # greedy matching under the (-score, key_a, key_b) edge order
+    # (local-dominant edge matching, Preis'99 1/2-approx)
+    def _er_greedy_link(spark, sf):
+        from orchid_fst_spark.er.scoring import greedy_one_to_one
+
+        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        return greedy_one_to_one(score_pairs(cands), score_col="jw")
+
+    q["er_greedy_link"] = _er_greedy_link
+
     # phonetic (simplified-Soundex) blocking over the eval dictionary:
     # sound-alike keys pair up through the capped block graph — all-JVM
     # string expressions, no Python in the plan
@@ -4094,6 +4105,62 @@ best AS (
 SELECT a.k AS key_a, a.p AS key_b, a.s AS score
 FROM best a JOIN best b ON a.p = b.k AND b.p = a.k
 WHERE a.k < a.p"""
+
+    # greedy 1:1 matching: the mutual-best rounds unrolled as CTEs (the
+    # pivot-clusters pattern); MATERIALIZED is load-bearing — e{i}/mb{i}
+    # are referenced 3x each, inlining would exponentiate the recurrence
+    def _greedy_match_sql(rounds: int = 8) -> str:
+        parts = [
+            f"""WITH {_SQL_VDICT},
+gpairs AS (
+  SELECT a.key AS key_a, b.key AS key_b
+  FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+ge0 AS MATERIALIZED (
+  SELECT key_a, key_b,
+         round(jaro_winkler_similarity(key_a, key_b), 6) AS s
+  FROM gpairs
+)"""
+        ]
+        for i in range(1, rounds + 1):
+            p = i - 1
+            parts.append(
+                f""",
+gsym{i} AS (
+  SELECT key_a AS k, key_b AS p, s FROM ge{p}
+  UNION ALL SELECT key_b, key_a, s FROM ge{p}
+),
+gbest{i} AS MATERIALIZED (
+  SELECT k, p, s FROM (
+    SELECT k, p, s,
+           row_number() OVER (PARTITION BY k ORDER BY s DESC, p ASC) AS rn
+    FROM gsym{i}
+  ) WHERE rn = 1
+),
+gmb{i} AS MATERIALIZED (
+  SELECT a.k AS key_a, a.p AS key_b, a.s AS score
+  FROM gbest{i} a JOIN gbest{i} b ON a.p = b.k AND b.p = a.k
+  WHERE a.k < a.p
+),
+ggone{i} AS (
+  SELECT key_a AS node FROM gmb{i}
+  UNION ALL SELECT key_b FROM gmb{i}
+),
+ge{i} AS MATERIALIZED (
+  SELECT * FROM ge{p}
+  WHERE key_a NOT IN (SELECT node FROM ggone{i})
+    AND key_b NOT IN (SELECT node FROM ggone{i})
+)"""
+            )
+        union = " UNION ALL ".join(
+            f"SELECT key_a, key_b, score FROM gmb{i}"
+            for i in range(1, rounds + 1)
+        )
+        parts.append(f"\n{union}")
+        return "".join(parts)
+
+    o["er_greedy_link"] = _greedy_match_sql()
 
     o["phonetic_block_pairs"] = f"""WITH {_SQL_VDICT},
 lets AS (

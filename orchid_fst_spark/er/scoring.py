@@ -953,3 +953,71 @@ def fs_leveled_weights(
             wc = F.when(lk == lv, F.lit(weights[lv])).otherwise(wc)
         total = wc if total is None else total + wc
     return flagged.withColumn(weight_col, total)
+
+
+def greedy_one_to_one(
+    scored: DataFrame,
+    a: str = "key_a",
+    b: str = "key_b",
+    score_col: str = "jw",
+    rounds: int = 8,
+) -> DataFrame:
+    """MAXIMAL 1:1 matching by iterated mutual-best rounds — the
+    round-synchronous local-dominant edge matching (Preis, STACS'99;
+    Manne & Bisseling 2007: a 1/2-approximation of maximum-weight
+    matching that parallel graph systems ship).  ``mutual_best_pairs``
+    alone leaves nodes unmatched whenever their best partner prefers
+    someone else; iterating — match the locally-dominant edges, remove
+    both endpoints, repeat on the residual graph — matches every node
+    that still has an unmatched neighbor.
+
+    Determinism and the sequential contract: with the per-node order
+    ``(-round(s, 6), partner)`` (and the node-local partner order being
+    consistent with the global ``(-s, min, max)`` edge order — case
+    check in the test replica), the iterated local-dominant edge set is
+    EXACTLY the sequential greedy matching over edges sorted by
+    ``(-round(s,6), key_a, key_b)`` — pinned by test.  Each round is
+    the ``mutual_best_pairs`` plan (one Exchange on the node id + a
+    node-sized self-join) plus two anti-joins to drop matched
+    endpoints; per-round frames are ``localCheckpoint``-cut so the
+    plan tree stays constant-size (the pagerank-loop lesson).
+
+    After ``rounds`` rounds (expected O(log n) suffice; the loop exits
+    early the moment the residual graph drains) any residual edges are
+    left unmatched — a bounded-compute contract the unrolled-CTE
+    oracle replays exactly.  Returns ``(key_a, key_b, score)`` with
+    ``key_a < key_b``, at most one row per node anywhere."""
+    if rounds < 1:
+        raise ValueError("need rounds >= 1")
+    e = (
+        scored.filter(F.col(a) != F.col(b))
+        .select(
+            F.least(F.col(a), F.col(b)).alias("key_a"),
+            F.greatest(F.col(a), F.col(b)).alias("key_b"),
+            F.round(F.col(score_col), 6).alias("s"),
+        )
+        .groupBy("key_a", "key_b")
+        .agg(F.max("s").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    matched: list[DataFrame] = []
+    for _ in range(rounds):
+        if e.isEmpty():
+            break
+        mb = mutual_best_pairs(e, score_col="s").localCheckpoint(eager=True)
+        matched.append(mb)
+        gone = (
+            mb.select(F.col("key_a").alias("node"))
+            .unionAll(mb.select(F.col("key_b").alias("node")))
+        )
+        e = (
+            e.join(gone, e["key_a"] == gone["node"], "left_anti")
+            .join(gone, e["key_b"] == gone["node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not matched:
+        return e.select("key_a", "key_b", F.col("s").alias("score")).limit(0)
+    out = matched[0]
+    for fr in matched[1:]:
+        out = out.unionByName(fr)
+    return out

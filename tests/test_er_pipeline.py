@@ -1160,3 +1160,72 @@ def test_fs_leveled_weight_order_matches_posterior_order(spark):
         for r in fs_leveled_weights(scored, params).collect()
     }
     assert w["spark"] > w["sparkk"] > w["zzzz-qq"], w
+
+
+def _scored_crc_edges(n=26, mod=4):
+    # deterministic scored graph with plenty of score TIES (2dp grid)
+    # to exercise the lexicographic tie-break
+    import itertools
+    import zlib
+
+    nodes = [f"n{i:02d}" for i in range(n)]
+    return [
+        (a, b, (zlib.crc32((a + "|" + b).encode()) % 100) / 100.0)
+        for a, b in itertools.combinations(nodes, 2)
+        if zlib.crc32((b + a).encode()) % mod == 0
+    ]
+
+
+def test_greedy_one_to_one_equals_sequential_greedy(spark):
+    from orchid_fst_spark.er.scoring import greedy_one_to_one
+
+    edges = _scored_crc_edges()
+    df = spark.createDataFrame(edges, "key_a string, key_b string, jw double")
+    got = {
+        (r.key_a, r.key_b, r.score)
+        for r in greedy_one_to_one(df, score_col="jw").collect()
+    }
+    used, exp = set(), set()
+    for a, b, s in sorted(edges, key=lambda e: (-round(e[2], 6), e[0], e[1])):
+        if a not in used and b not in used:
+            used |= {a, b}
+            exp.add((a, b, round(s, 6)))
+    assert got == exp
+
+
+def test_greedy_one_to_one_is_a_maximal_matching(spark):
+    from orchid_fst_spark.er.scoring import greedy_one_to_one
+
+    edges = _scored_crc_edges(n=30, mod=3)
+    df = spark.createDataFrame(edges, "key_a string, key_b string, jw double")
+    rows = greedy_one_to_one(df, score_col="jw").collect()
+    # matching: no node appears twice
+    nodes = [n for r in rows for n in (r.key_a, r.key_b)]
+    assert len(nodes) == len(set(nodes))
+    # maximal: every unmatched edge has a matched endpoint
+    matched = set(nodes)
+    for a, b, _s in edges:
+        if (
+            a != b
+            and not any(
+                (r.key_a, r.key_b) == tuple(sorted((a, b))) for r in rows
+            )
+        ):
+            assert a in matched or b in matched, (a, b)
+
+
+def test_greedy_one_to_one_beats_single_round_coverage(spark):
+    # one mutual-best round strands nodes whose best partner prefers a
+    # third node; the iterated form must match strictly more nodes on a
+    # preference chain a-b-c-d with descending scores
+    from orchid_fst_spark.er.scoring import (
+        greedy_one_to_one,
+        mutual_best_pairs,
+    )
+
+    edges = [("a", "b", 0.9), ("b", "c", 0.8), ("c", "d", 0.7)]
+    df = spark.createDataFrame(edges, "key_a string, key_b string, jw double")
+    one = mutual_best_pairs(df, score_col="jw").collect()
+    assert {(r.key_a, r.key_b) for r in one} == {("a", "b")}
+    full = greedy_one_to_one(df, score_col="jw").collect()
+    assert {(r.key_a, r.key_b) for r in full} == {("a", "b"), ("c", "d")}
