@@ -1096,6 +1096,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["er_pivot_clusters"] = _er_pivot_clusters
+
+    # canopy clustering: OVERLAPPING cheap-metric canopies — loose
+    # graph lev<=2 grants membership, tight graph lev<=1 removes from
+    # the pool; centers = md5-ordered sequential canopy centers
+    def _er_canopies(spark, sf):
+        from orchid_fst_spark.er.clustering import canopy_clusters
+
+        d = _dict(spark, sf)
+        loose = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        tight = loose.filter(F.col("dist") <= 1)
+        return canopy_clusters(
+            loose, tight, src="key_a", dst="key_b"
+        )
+
+    q["er_canopies"] = _er_canopies
     q["er_cluster_sizes"] = lambda spark, sf: (
         _er_components(spark, sf)
         .groupBy("component")
@@ -3446,6 +3461,70 @@ FROM dict k LEFT JOIN res r ON k.key = r.node"""
         return "".join(parts)
 
     o["er_pivot_clusters"] = _pivot_sql()
+
+    # canopy clustering: center rounds = the pivot recursion on the
+    # TIGHT graph (removal = center + tight neighbors), then one loose
+    # join for the overlapping memberships
+    def _canopy_sql(rounds: int = 8) -> str:
+        pi = lambda col: f"md5('canopy|' || {col})"  # noqa: E731
+        parts = [
+            f"""WITH {_SQL_DICT},
+ledges AS (
+  SELECT a.key AS src, b.key AS dst FROM dict a, dict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+lsym AS MATERIALIZED (SELECT src AS v, dst AS u FROM ledges UNION ALL SELECT dst, src FROM ledges),
+tsym0 AS MATERIALIZED (
+  SELECT v, u FROM lsym WHERE levenshtein(v, u) <= 1
+),
+iso AS (
+  SELECT DISTINCT v AS c FROM lsym
+  WHERE v NOT IN (SELECT v FROM tsym0)
+)"""
+        ]
+        for i in range(1, rounds + 1):
+            p = i - 1
+            parts.append(
+                f""",
+cnb{i} AS MATERIALIZED (SELECT v, min({pi('u')}) AS mn FROM tsym{p} GROUP BY v),
+cpv{i} AS MATERIALIZED (SELECT v AS c FROM cnb{i} WHERE {pi('v')} < mn),
+crm{i} AS MATERIALIZED (
+  SELECT c AS node FROM cpv{i}
+  UNION SELECT s.v FROM tsym{p} s JOIN cpv{i} p ON s.u = p.c
+),
+tsym{i} AS MATERIALIZED (
+  SELECT s.v, s.u FROM tsym{p} s
+  WHERE s.v NOT IN (SELECT node FROM crm{i})
+    AND s.u NOT IN (SELECT node FROM crm{i})
+),
+cis{i} AS MATERIALIZED (
+  SELECT DISTINCT v AS c FROM tsym{p}
+  WHERE v NOT IN (SELECT node FROM crm{i})
+    AND v NOT IN (SELECT v FROM tsym{i})
+)"""
+            )
+        center_union = " UNION ".join(
+            ["SELECT c FROM iso"]
+            + [f"SELECT c FROM cpv{i}" for i in range(1, rounds + 1)]
+            + [f"SELECT c FROM cis{i}" for i in range(1, rounds + 1)]
+        )
+        parts.append(
+            f""",
+centers AS MATERIALIZED ({center_union}),
+allm AS MATERIALIZED (
+  SELECT l.v AS node, c.c AS canopy FROM lsym l JOIN centers c ON l.u = c.c
+  UNION SELECT c AS node, c AS canopy FROM centers
+)
+SELECT DISTINCT node, canopy FROM (
+  SELECT node, canopy FROM allm
+  UNION ALL
+  SELECT v AS node, v AS canopy FROM (SELECT DISTINCT v FROM lsym)
+  WHERE v NOT IN (SELECT node FROM allm)
+)"""
+        )
+        return "".join(parts)
+
+    o["er_canopies"] = _canopy_sql()
 
     # incremental == full re-run (complete blocking => identical edge
     # set; old clusters collapse to their min-member representative):

@@ -277,6 +277,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_link_mutual",
         "er_star_clusters",
         "er_pivot_clusters",
+        "er_canopies",
         "er_ari",
         "er_progressive_pairs",
         "clk_hlsh_pairs",

@@ -432,3 +432,134 @@ def cluster_cohesion(
         F.round(F.col("n_edges") / F.col("possible"), 6).alias("density"),
         (F.col("n_edges") == F.col("n_members") - 1).alias("is_tree"),
     )
+
+
+def canopy_clusters(
+    edges_loose: DataFrame,
+    edges_tight: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    seed: str = "canopy",
+) -> DataFrame:
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the
+    classic cheap-metric pre-clustering: canopies OVERLAP (a record may
+    belong to several), so the expensive comparison stage runs within
+    canopies without the hard-partition recall loss of exclusive
+    blocking.  Edge-based like the rest of the clustering menu: the
+    caller supplies the LOOSE graph (cheap similarity >= T1 —
+    membership) and the TIGHT graph (>= T2 — removal), from any blocker
+    + cheap score; ``edges_tight`` must be a subset of ``edges_loose``
+    (T2 >= T1 in similarity terms — the union is taken internally so a
+    violating tight edge still grants membership).
+
+    Deterministic sequential contract: under the md5 order ``pi(v) =
+    md5('{seed}|' || v)``, sequential canopy processing (next unremoved
+    point becomes a center; every point within T1 joins its canopy;
+    points within T2 leave the pool) picks EXACTLY the iterated
+    local-minima pivot set of the tight graph — the same
+    Blelloch/Fineman/Shun argument as ``pivot_clusters``, since removal
+    is "adjacent to an earlier center in E2".  So: centers = pivot
+    rounds on ``edges_tight`` (one neighbor-min aggregate + two
+    anti-joins per round, ``localCheckpoint``-cut), then ONE semi-join
+    of the symmetrized loose graph against the center set emits the
+    overlapping memberships.  After ``rounds`` rounds any still-active
+    node becomes a self-canopy member only (the bounded-compute
+    contract the unrolled-CTE oracle replays; the loop exits early when
+    the tight graph drains).
+
+    Returns ``(node, canopy)`` — one row per membership, centers
+    included as ``(c, c)``; nodes outside every canopy get ``(v, v)``."""
+    if rounds < 1:
+        raise ValueError("need rounds >= 1")
+
+    def _pi(c) -> F.Column:
+        return F.md5(F.concat(F.lit(f"{seed}|"), c))
+
+    loose = _canonical(
+        edges_loose.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).unionByName(
+        _canonical(
+            edges_tight.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst")
+            )
+        )
+    ).distinct()
+    tight = _canonical(
+        edges_tight.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    lsym = (
+        loose.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .union(loose.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    tsym = (
+        tight.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .union(tight.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = lsym.select("v").distinct().localCheckpoint(eager=True)
+
+    # tight-graph pivot rounds: centers + removal, no assignment
+    sym = tsym
+    centers: DataFrame | None = None
+    # a node with loose edges but NO tight edges is never removed and
+    # never blocked: it is a center by construction (sequential canopy
+    # reaches it eventually) — seed the center set with them
+    isolated = all_nodes.join(
+        tsym.select("v").distinct(), "v", "left_anti"
+    ).select(F.col("v").alias("c"))
+    centers = isolated.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        if sym.isEmpty():
+            break
+        nbmin = sym.groupBy("v").agg(F.min(_pi(F.col("u"))).alias("mn"))
+        pivots = (
+            nbmin.filter(_pi(F.col("v")) < F.col("mn"))
+            .select(F.col("v").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        centers = centers.unionByName(pivots)
+        removed = (
+            pivots.select(F.col("c").alias("node"))
+            .unionByName(
+                sym.join(pivots, sym["u"] == pivots["c"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_nodes = sym.select("v").distinct()
+        sym = (
+            sym.join(removed, sym["v"] == removed["node"], "left_anti")
+            .join(removed, sym["u"] == removed["node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        # a node whose every tight neighbor was just removed (without
+        # being removed itself) can never be blocked again: sequential
+        # canopy centers it when reached — add it now (removed nodes
+        # never center, so these are mutually consistent)
+        newly_isolated = (
+            prev_nodes.join(
+                removed, prev_nodes["v"] == removed["node"], "left_anti"
+            )
+            .join(sym.select("v").distinct(), "v", "left_anti")
+            .select(F.col("v").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        centers = centers.unionByName(newly_isolated)
+    centers = centers.localCheckpoint(eager=True)
+
+    member = lsym.join(
+        centers, lsym["u"] == centers["c"]
+    ).select(F.col("v").alias("node"), F.col("c").alias("canopy"))
+    self_rows = centers.select(
+        F.col("c").alias("node"), F.col("c").alias("canopy")
+    )
+    covered = member.select("node").unionByName(
+        self_rows.select("node")
+    ).distinct()
+    stranded = all_nodes.join(
+        covered, all_nodes["v"] == covered["node"], "left_anti"
+    ).select(F.col("v").alias("node"), F.col("v").alias("canopy"))
+    return member.unionByName(self_rows).unionByName(stranded).distinct()

@@ -1229,3 +1229,80 @@ def test_greedy_one_to_one_beats_single_round_coverage(spark):
     assert {(r.key_a, r.key_b) for r in one} == {("a", "b")}
     full = greedy_one_to_one(df, score_col="jw").collect()
     assert {(r.key_a, r.key_b) for r in full} == {("a", "b"), ("c", "d")}
+
+
+def _canopy_replica(loose, tight, seed="canopy"):
+    """Sequential McCallum canopy under the md5 order — the contract of
+    er.clustering.canopy_clusters (centers + overlapping members)."""
+    import hashlib
+
+    pi = lambda v: hashlib.md5(f"{seed}|{v}".encode()).hexdigest()  # noqa: E731
+    ladj, tadj = {}, {}
+    nodes = set()
+    for a, b in loose + tight:
+        if a != b:
+            ladj.setdefault(a, set()).add(b)
+            ladj.setdefault(b, set()).add(a)
+            nodes |= {a, b}
+    for a, b in tight:
+        if a != b:
+            tadj.setdefault(a, set()).add(b)
+            tadj.setdefault(b, set()).add(a)
+    pool = set(nodes)
+    centers = []
+    for v in sorted(nodes, key=pi):
+        if v not in pool:
+            continue
+        centers.append(v)
+        pool.discard(v)
+        pool -= tadj.get(v, set())
+    out = {(c, c) for c in centers}
+    for c in centers:
+        for v in ladj.get(c, set()):
+            out.add((v, c))
+    return out, set(centers)
+
+
+def test_canopy_clusters_matches_sequential_replica(spark):
+    from orchid_fst_spark.er.clustering import canopy_clusters
+
+    loose = _crc_graph(n=28, mod=4)
+    tight = [e for e in loose if sum(map(ord, e[0] + e[1])) % 2 == 0]
+    ldf = spark.createDataFrame(loose, "src string, dst string")
+    tdf = spark.createDataFrame(tight, "src string, dst string")
+    got = {(r.node, r.canopy) for r in canopy_clusters(ldf, tdf).collect()}
+    exp, centers = _canopy_replica(loose, tight)
+    assert got == exp
+    # canopies genuinely overlap on this graph (the property exclusive
+    # blocking cannot express) — if not, the fixture is too sparse
+    from collections import Counter
+
+    per_node = Counter(n for n, _c in got)
+    assert max(per_node.values()) >= 2
+
+
+def test_canopy_centers_form_tight_mis(spark):
+    # centers are a maximal independent set of the TIGHT graph: no two
+    # centers tight-adjacent, every non-center tight-adjacent to a
+    # center (or tight-isolated, in which case it IS a center)
+    from orchid_fst_spark.er.clustering import canopy_clusters
+
+    loose = _crc_graph(n=32, mod=3)
+    tight = [e for e in loose if sum(map(ord, e[0] + e[1])) % 3 == 0]
+    ldf = spark.createDataFrame(loose, "src string, dst string")
+    tdf = spark.createDataFrame(tight, "src string, dst string")
+    rows = canopy_clusters(ldf, tdf).collect()
+    centers = {r.canopy for r in rows} & {r.node for r in rows}
+    # every emitted canopy id is a center or a stranded/self singleton;
+    # recompute the true center set from the replica for the MIS check
+    _exp, true_centers = _canopy_replica(loose, tight)
+    tadj = {}
+    for a, b in tight:
+        tadj.setdefault(a, set()).add(b)
+        tadj.setdefault(b, set()).add(a)
+    for c in true_centers:
+        assert not (tadj.get(c, set()) & true_centers), c  # independent
+    nodes = {n for e in loose + tight for n in e}
+    for v in nodes - true_centers:
+        assert tadj.get(v) and (tadj[v] & true_centers), v  # maximal
+    assert centers == true_centers
