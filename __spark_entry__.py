@@ -1385,6 +1385,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_greedy_link"] = _er_greedy_link
 
+    # group linkage (On ICDE'07): normalized mutual-best matching
+    # weight between first-letter groups over the member-level fuzzy
+    # pair sims — group-vs-group similarity, all aggregates
+    def _er_group_linkage(spark, sf):
+        from orchid_fst_spark.er.scoring import group_linkage
+
+        v = _vdict(spark, sf)
+        cands = score_pairs(
+            fuzzy_self_pairs(v, "key", k=2, damerau=False)
+        )
+        groups = v.select("key", F.substring("key", 1, 1).alias("grp"))
+        return group_linkage(cands, groups, score_col="jw")
+
+    q["er_group_linkage"] = _er_group_linkage
+
     # phonetic (simplified-Soundex) blocking over the eval dictionary:
     # sound-alike keys pair up through the capped block graph — all-JVM
     # string expressions, no Python in the plan
@@ -4240,6 +4255,77 @@ ge{i} AS MATERIALIZED (
         return "".join(parts)
 
     o["er_greedy_link"] = _greedy_match_sql()
+
+    # group linkage: the per-group-pair mutual-best rounds unrolled
+    # (4 rounds, matching er.scoring.group_linkage's default)
+    def _group_linkage_sql(rounds: int = 4) -> str:
+        parts = [
+            f"""WITH {_SQL_VDICT},
+glp AS (
+  SELECT a.key AS ka, b.key AS kb,
+         floor(round(jaro_winkler_similarity(a.key, b.key), 6) * 1000000
+               + 0.5)::BIGINT AS s6
+  FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+grpm AS (SELECT key AS k, substr(key, 1, 1) AS g FROM vdict),
+gsizes AS (SELECT g, count(*)::BIGINT AS n FROM grpm GROUP BY g),
+gann AS (
+  SELECT gma.g AS ga0, gmb.g AS gb0, ka, kb, s6
+  FROM glp JOIN grpm gma ON glp.ka = gma.k JOIN grpm gmb ON glp.kb = gmb.k
+  WHERE gma.g <> gmb.g
+),
+grem0 AS MATERIALIZED (
+  SELECT least(ga0, gb0) AS ga, greatest(ga0, gb0) AS gb,
+         CASE WHEN ga0 > gb0 THEN kb ELSE ka END AS l,
+         CASE WHEN ga0 > gb0 THEN ka ELSE kb END AS r,
+         max(s6) AS s6
+  FROM gann GROUP BY 1, 2, 3, 4
+)"""
+        ]
+        for i in range(1, rounds + 1):
+            p = i - 1
+            parts.append(
+                f""",
+gbl{i} AS (
+  SELECT ga, gb, l, min(ROW(-s6, r, s6)) AS bc FROM grem{p} GROUP BY 1, 2, 3
+),
+gbr{i} AS (
+  SELECT ga, gb, r, min(ROW(-s6, l, s6)) AS bc FROM grem{p} GROUP BY 1, 2, 3
+),
+gmut{i} AS MATERIALIZED (
+  SELECT bl.ga, bl.gb, bl.l AS l, bl.bc[2] AS r, bl.bc[3] AS s6
+  FROM gbl{i} bl JOIN gbr{i} br
+    ON bl.ga = br.ga AND bl.gb = br.gb
+   AND bl.bc[2] = br.r AND br.bc[2] = bl.l
+),
+grem{i} AS MATERIALIZED (
+  SELECT t.* FROM grem{p} t
+  WHERE NOT EXISTS (SELECT 1 FROM gmut{i} m
+                    WHERE m.ga = t.ga AND m.gb = t.gb AND m.l = t.l)
+    AND NOT EXISTS (SELECT 1 FROM gmut{i} m
+                    WHERE m.ga = t.ga AND m.gb = t.gb AND m.r = t.r)
+)"""
+            )
+        union = " UNION ALL ".join(
+            f"SELECT ga, gb, s6 FROM gmut{i}" for i in range(1, rounds + 1)
+        )
+        parts.append(
+            f""",
+gallm AS ({union}),
+gagg AS (
+  SELECT ga, gb, count(*)::BIGINT AS matched, sum(s6)::BIGINT AS msum
+  FROM gallm GROUP BY 1, 2
+)
+SELECT gagg.ga AS grp_a, gagg.gb AS grp_b, sa.n AS n_a, sb.n AS n_b,
+       matched,
+       round(msum::DOUBLE
+             / (1000000.0 * (sa.n + sb.n - matched)::DOUBLE), 6) AS sim
+FROM gagg JOIN gsizes sa ON gagg.ga = sa.g JOIN gsizes sb ON gagg.gb = sb.g"""
+        )
+        return "".join(parts)
+
+    o["er_group_linkage"] = _group_linkage_sql()
 
     o["phonetic_block_pairs"] = f"""WITH {_SQL_VDICT},
 lets AS (

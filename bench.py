@@ -263,6 +263,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_fs_resolve",
         "er_mutual_best",
         "er_greedy_link",
+        "er_group_linkage",
         "er_threshold_sweep",
         "er_golden_records",
         "phonetic_block_pairs",

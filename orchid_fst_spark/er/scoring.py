@@ -1021,3 +1021,168 @@ def greedy_one_to_one(
     for fr in matched[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def group_linkage(
+    member_pairs: DataFrame,
+    groups: DataFrame,
+    a: str = "key_a",
+    b: str = "key_b",
+    score_col: str = "jw",
+    key_col: str = "key",
+    group_col: str = "grp",
+    rounds: int = 4,
+) -> DataFrame:
+    """Group linkage (On, Koudas, Lee, Marian, Srivastava & Yu, ICDE
+    2007): similarity between GROUPS of records (households, author
+    publication sets, multi-page hosts) as the normalized weight of a
+    matching over member-pair similarities —
+    ``sim(G1, G2) = sum(matched sims) / (|G1| + |G2| - |matching|)``,
+    the paper's bipartite-matching measure (1 iff the groups match
+    member-for-member at sim 1).  The matching is the iterated
+    mutual-best (local-dominant) rule run PER GROUP PAIR — after the
+    rounds drain it equals the sequential greedy matching under the
+    ``(-round(s,6), l, r)`` edge order within each group pair (the
+    ``greedy_one_to_one`` argument, applied independently per
+    (grp_a, grp_b) partition; pinned by test), a 1/2-approximation of
+    the paper's optimal assignment.
+
+    Plan: member pairs annotate group ids via two equi-joins on the
+    record key; each round is TWO ``min_by`` aggregates keyed
+    (ga, gb, member) + an aliased self-join for mutuality + two
+    anti-joins to drop matched members — all shuffles on (group pair,
+    member), no windows; per-round ``localCheckpoint`` cuts keep the
+    plan constant-size, and the loop exits early when no pairs remain.
+    Determinism: sims are 6dp-fixed to INTEGER micro-units before any
+    sum (exact BIGINT addition in any order), ties break on the
+    partner id, and the single float division happens once at the
+    end — ``msum / (1e6 * (n1 + n2 - matched))``.
+
+    Returns ``(grp_a, grp_b, n_a, n_b, matched, sim)`` with
+    ``grp_a < grp_b``, one row per group pair that shares at least one
+    scored member pair."""
+    if rounds < 1:
+        raise ValueError("need rounds >= 1")
+    g = groups.select(
+        F.col(key_col).alias("k"), F.col(group_col).alias("g")
+    )
+    sizes = g.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    s6 = (
+        F.floor(F.round(F.col(score_col), 6) * F.lit(1000000) + F.lit(0.5))
+        .cast("long")
+        .alias("s6")
+    )
+    p = member_pairs.select(F.col(a).alias("ka"), F.col(b).alias("kb"), s6)
+    ann = (
+        p.join(g.withColumnRenamed("k", "ka").withColumnRenamed("g", "ga"), "ka")
+        .join(g.withColumnRenamed("k", "kb").withColumnRenamed("g", "gb"), "kb")
+        .filter(F.col("ga") != F.col("gb"))
+    )
+    # canonicalize the group pair; (l, r) = the member on the lesser /
+    # greater group's side; duplicate (l, r) pairs keep the best score
+    swap = F.col("ga") > F.col("gb")
+    remaining = (
+        ann.select(
+            F.least("ga", "gb").alias("ga"),
+            F.greatest("ga", "gb").alias("gb"),
+            F.when(swap, F.col("kb")).otherwise(F.col("ka")).alias("l"),
+            F.when(swap, F.col("ka")).otherwise(F.col("kb")).alias("r"),
+            "s6",
+        )
+        .groupBy("ga", "gb", "l", "r")
+        .agg(F.max("s6").alias("s6"))
+        .localCheckpoint(eager=True)
+    )
+    matched_frames: list[DataFrame] = []
+    for _ in range(rounds):
+        if remaining.isEmpty():
+            break
+        best_l = remaining.groupBy("ga", "gb", "l").agg(
+            F.min_by(
+                F.struct(F.col("r"), F.col("s6")),
+                F.struct(-F.col("s6"), F.col("r")),
+            ).alias("bl")
+        )
+        best_r = remaining.groupBy("ga", "gb", "r").agg(
+            F.min_by(
+                F.struct(F.col("l"), F.col("s6")),
+                F.struct(-F.col("s6"), F.col("l")),
+            ).alias("br")
+        )
+        L, R = best_l.alias("L"), best_r.alias("R")
+        mutual = (
+            L.join(
+                R,
+                (F.col("L.ga") == F.col("R.ga"))
+                & (F.col("L.gb") == F.col("R.gb"))
+                & (F.col("L.bl.r") == F.col("R.r"))
+                & (F.col("R.br.l") == F.col("L.l")),
+            )
+            .select(
+                F.col("L.ga").alias("ga"),
+                F.col("L.gb").alias("gb"),
+                F.col("L.l").alias("l"),
+                F.col("L.bl.r").alias("r"),
+                F.col("L.bl.s6").alias("s6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        matched_frames.append(mutual)
+        lgone = mutual.select("ga", "gb", F.col("l").alias("m"))
+        rgone = mutual.select("ga", "gb", F.col("r").alias("m"))
+        remaining = (
+            remaining.join(
+                lgone,
+                (remaining["ga"] == lgone["ga"])
+                & (remaining["gb"] == lgone["gb"])
+                & (remaining["l"] == lgone["m"]),
+                "left_anti",
+            )
+            .join(
+                rgone,
+                (remaining["ga"] == rgone["ga"])
+                & (remaining["gb"] == rgone["gb"])
+                & (remaining["r"] == rgone["m"]),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    if not matched_frames:
+        empty = remaining.sparkSession.createDataFrame(
+            [], "ga string, gb string, l string, r string, s6 long"
+        )
+        matched_frames = [empty]
+    allm = matched_frames[0]
+    for fr in matched_frames[1:]:
+        allm = allm.unionByName(fr)
+    agg = allm.groupBy("ga", "gb").agg(
+        F.count("*").cast("long").alias("matched"),
+        F.sum("s6").alias("msum"),
+    )
+    return (
+        agg.join(
+            sizes.withColumnRenamed("g", "ga").withColumnRenamed("n", "n_a"),
+            "ga",
+        )
+        .join(
+            sizes.withColumnRenamed("g", "gb").withColumnRenamed("n", "n_b"),
+            "gb",
+        )
+        .select(
+            F.col("ga").alias("grp_a"),
+            F.col("gb").alias("grp_b"),
+            "n_a",
+            "n_b",
+            "matched",
+            F.round(
+                F.col("msum").cast("double")
+                / (
+                    F.lit(1000000.0)
+                    * (F.col("n_a") + F.col("n_b") - F.col("matched")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )

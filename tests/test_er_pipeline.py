@@ -1306,3 +1306,97 @@ def test_canopy_centers_form_tight_mis(spark):
     for v in nodes - true_centers:
         assert tadj.get(v) and (tadj[v] & true_centers), v  # maximal
     assert centers == true_centers
+
+
+def test_group_linkage_hand_math(spark):
+    from orchid_fst_spark.er.scoring import group_linkage
+
+    # groups A={a1,a2,a3}, B={b1,b2}: a1-b1 strong (0.9), a2-b1 weaker
+    # (0.8, loses b1 to a1 -> not mutual), a2-b2 (0.7) mutual.
+    # matched = {a1-b1 (0.9), a2-b2 (0.7)} -> sim = 1.6 / (3+2-2)
+    pairs = spark.createDataFrame(
+        [("a1", "b1", 0.9), ("a2", "b1", 0.8), ("a2", "b2", 0.7)],
+        "key_a string, key_b string, jw double",
+    )
+    groups = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"), ("b2", "B")],
+        "key string, grp string",
+    )
+    rows = group_linkage(pairs, groups).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.grp_a, r.grp_b, r.n_a, r.n_b, r.matched) == ("A", "B", 3, 2, 2)
+    assert r.sim == round(1.6 / 3.0, 6)
+
+
+def test_group_linkage_perfect_and_tie_break(spark):
+    from orchid_fst_spark.er.scoring import group_linkage
+
+    # perfect member-for-member match at sim 1.0 -> group sim exactly 1
+    pairs = spark.createDataFrame(
+        [("a1", "b1", 1.0), ("a2", "b2", 1.0)],
+        "key_a string, key_b string, jw double",
+    )
+    groups = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+        "key string, grp string",
+    )
+    r = group_linkage(pairs, groups).collect()[0]
+    assert (r.matched, r.sim) == (2, 1.0)
+    # score ties break on the lexicographically smallest partner: both
+    # b-members tie for a1 at 0.8 -> a1's best is b1; b2 unmatched
+    pairs2 = spark.createDataFrame(
+        [("a1", "b1", 0.8), ("a1", "b2", 0.8)],
+        "key_a string, key_b string, jw double",
+    )
+    groups2 = spark.createDataFrame(
+        [("a1", "A"), ("b1", "B"), ("b2", "B")], "key string, grp string"
+    )
+    r2 = group_linkage(pairs2, groups2).collect()[0]
+    assert (r2.matched, r2.n_a, r2.n_b) == (1, 1, 2)
+    assert r2.sim == round(0.8 / 2.0, 6)
+
+
+def test_group_linkage_equals_greedy_matching_per_group_pair(spark):
+    import zlib
+    from collections import defaultdict
+
+    from orchid_fst_spark.er.scoring import group_linkage
+
+    # deterministic members in 3 groups with crc-derived scored pairs
+    members = {f"m{i:02d}": "GABC"[1 + i % 3] for i in range(18)}
+    pairs = []
+    for x in members:
+        for y in members:
+            if x < y and members[x] != members[y] and zlib.crc32((x + y).encode()) % 3 == 0:
+                pairs.append((x, y, (zlib.crc32((y + x).encode()) % 50) / 50.0))
+    pdf = spark.createDataFrame(pairs, "key_a string, key_b string, jw double")
+    gdf = spark.createDataFrame(
+        list(members.items()), "key string, grp string"
+    )
+    got = {
+        (r.grp_a, r.grp_b): (r.matched, r.sim)
+        for r in group_linkage(pdf, gdf).collect()
+    }
+    # replica: sequential greedy matching per group pair under
+    # (-s6, l, r); sim = sum/(n1+n2-matched)
+    per_gp = defaultdict(list)
+    sizes = defaultdict(int)
+    for _m, g in members.items():
+        sizes[g] += 1
+    for x, y, s in pairs:
+        gx, gy = members[x], members[y]
+        (ga, gb) = (gx, gy) if gx < gy else (gy, gx)
+        (l, r) = (x, y) if gx < gy else (y, x)
+        per_gp[(ga, gb)].append((l, r, int(round(s, 6) * 10**6 + 0.5)))
+    exp = {}
+    for gp, es in per_gp.items():
+        used, msum, matched = set(), 0, 0
+        for l, r, s6 in sorted(es, key=lambda e: (-e[2], e[0], e[1])):
+            if l not in used and r not in used:
+                used |= {l, r}
+                msum += s6
+                matched += 1
+        n1, n2 = sizes[gp[0]], sizes[gp[1]]
+        exp[gp] = (matched, round(msum / (10**6 * (n1 + n2 - matched)), 6))
+    assert got == exp
