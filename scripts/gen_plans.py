@@ -888,6 +888,34 @@ def main() -> None:
         at_most={"Exchange": 4},  # 4 mentions == TWO Exchange nodes
     )
 
+    from orchid_fst_spark.er.scoring import group_linkage, score_pairs
+
+    docs_keys = docs.select(
+        F.substring("text", 1, 16).alias("key_a"),
+        F.substring("text", 3, 16).alias("key_b"),
+        (F.length("text") % 100 / 100.0).alias("jw"),
+    ).limit(400)
+    add(
+        "Group linkage round (`er.scoring.group_linkage`)",
+        "One matching round of the per-group-pair mutual-best rule: "
+        "two min_by aggregates keyed (group pair, member) — map-side "
+        "partial combine, no windows, no row_number sorts — an aliased "
+        "self-join for mutuality, anti-joins to retire matched "
+        "members.  Scores are 6dp integer micro-units, so every sum "
+        "is exact BIGINT in any partitioning.",
+        group_linkage(
+            docs_keys,
+            docs.select(
+                F.substring("text", 1, 16).alias("key"),
+                F.substring("source", 1, 1).alias("grp"),
+            ),
+            rounds=1,
+        ),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                  "Window"),
+    )
+
     from orchid_fst_spark.operators.sampling import dsir_weights
 
     add(
