@@ -1720,6 +1720,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_link_mutual"] = _er_link_mutual
 
+    # the maximal-matching upgrade of er_link_mutual: iterated rounds
+    # match chained preferences the single mutual-best round strands
+    def _er_link_greedy(spark, sf):
+        from orchid_fst_spark.er.scoring import greedy_one_to_one
+
+        joined = fuzzy_join(
+            _part_tokens(spark, sf), _dict(spark, sf), "q", "key", k=1,
+            assume_unique=True,
+        )
+        return greedy_one_to_one(score_pairs(joined), score_col="jw")
+
+    q["er_link_greedy"] = _er_link_greedy
+
     # field-level Monge-Elkan over multi-token part names: a cheap
     # (p_brand, p_size) equi-join block generates the pairs — the
     # kind of attribute block a real linkage config would declare — and
@@ -4203,9 +4216,9 @@ WHERE a.k < a.p"""
     # greedy 1:1 matching: the mutual-best rounds unrolled as CTEs (the
     # pivot-clusters pattern); MATERIALIZED is load-bearing — e{i}/mb{i}
     # are referenced 3x each, inlining would exponentiate the recurrence
-    def _greedy_match_sql(rounds: int = 8) -> str:
-        parts = [
-            f"""WITH {_SQL_VDICT},
+    def _greedy_match_sql(rounds: int = 8, head: str | None = None) -> str:
+        if head is None:
+            head = f"""WITH {_SQL_VDICT},
 gpairs AS (
   SELECT a.key AS key_a, b.key AS key_b
   FROM vdict a, vdict b
@@ -4216,7 +4229,7 @@ ge0 AS MATERIALIZED (
          round(jaro_winkler_similarity(key_a, key_b), 6) AS s
   FROM gpairs
 )"""
-        ]
+        parts = [head]
         for i in range(1, rounds + 1):
             p = i - 1
             parts.append(
@@ -4255,6 +4268,28 @@ ge{i} AS MATERIALIZED (
         return "".join(parts)
 
     o["er_greedy_link"] = _greedy_match_sql()
+
+    # bipartite variant: the same unrolled greedy rounds over the
+    # part-token -> dict fuzzy join's edge list (canonicalized +
+    # score-deduped exactly like greedy_one_to_one's input stage)
+    o["er_link_greedy"] = _greedy_match_sql(
+        head=f"""WITH {_SQL_DICT},
+lgqs AS (
+  SELECT DISTINCT tok AS q
+  FROM (SELECT unnest(string_split_regex(trim(p_name), '\\s+')) AS tok
+        FROM part)
+  WHERE tok <> ''
+),
+lgpairs AS (
+  SELECT q AS key_a, key AS key_b FROM lgqs, dict
+  WHERE levenshtein(q, key) <= 1 AND q <> key
+),
+ge0 AS MATERIALIZED (
+  SELECT least(key_a, key_b) AS key_a, greatest(key_a, key_b) AS key_b,
+         max(round(jaro_winkler_similarity(key_a, key_b), 6)) AS s
+  FROM lgpairs GROUP BY 1, 2
+)"""
+    )
 
     # group linkage: the per-group-pair mutual-best rounds unrolled
     # (4 rounds, matching er.scoring.group_linkage's default)

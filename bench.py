@@ -276,6 +276,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_fs_regions",
         "er_ensemble_blocking",
         "er_link_mutual",
+        "er_link_greedy",
         "er_star_clusters",
         "er_pivot_clusters",
         "er_canopies",
