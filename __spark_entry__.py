@@ -1544,6 +1544,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_regions"] = _er_fs_regions
 
+    # the clerical-review WORKLOAD itself: pairs in the FS review band
+    # sampled deterministically (md5 pair key) — what a labeling team
+    # actually receives; partitioning-independent so a resumed run
+    # ships the identical batch
+    def _er_review_sample(spark, sf):
+        from orchid_fst_spark.er.scoring import fs_match_weights, fs_three_way
+        from orchid_fst_spark.operators.sampling import deterministic_sample
+
+        weighted = fs_match_weights(
+            score_pairs(
+                fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+            )
+        )
+        review = fs_three_way(weighted, upper=1.0, lower=-1.0).filter(
+            F.col("decision") == "review"
+        )
+        keyed = review.withColumn(
+            "_pk", F.concat("key_a", F.lit("|"), "key_b")
+        )
+        return deterministic_sample(keyed, "_pk", 0.5, seed="rv").select(
+            "key_a", "key_b", "fs_weight"
+        )
+
+    q["er_review_sample"] = _er_review_sample
+
     # term-frequency-adjusted FS weights (Winkler 1995 / the Splink
     # architecture): agreement on a COMMON first-3-char prefix field is
     # weaker evidence than on a rare one — the value-specific u
@@ -3941,6 +3966,23 @@ SELECT key_a, key_b, dist, agree_dist, agree_jw, agree_jaccard,
     + CASE WHEN agree_jaccard THEN {_fsw['jaccard'][0]!r}::DOUBLE ELSE {_fsw['jaccard'][1]!r}::DOUBLE END,
   6) AS fs_weight
 FROM feat"""
+
+    # the review-band sample: same literal weights, the md5-unit pair
+    # sample at rate 0.5 under seed 'rv'
+    o["er_review_sample"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
+wtd AS (
+  SELECT key_a, key_b,
+    round(0.0::DOUBLE
+      + CASE WHEN agree_dist THEN {_fsw['dist'][0]!r}::DOUBLE ELSE {_fsw['dist'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jw THEN {_fsw['jw'][0]!r}::DOUBLE ELSE {_fsw['jw'][1]!r}::DOUBLE END
+      + CASE WHEN agree_jaccard THEN {_fsw['jaccard'][0]!r}::DOUBLE ELSE {_fsw['jaccard'][1]!r}::DOUBLE END,
+    6) AS fs_weight
+  FROM feat
+)
+SELECT key_a, key_b, fs_weight FROM wtd
+WHERE fs_weight >= -1.0 AND fs_weight < 1.0
+  AND ('0x' || substr(md5('rv|' || key_a || '|' || key_b), 1, 8))::BIGINT
+        / 4294967296.0 < 0.5"""
 
     # EM-trained FS parameters: the unrolled-CTE replay of the trainer's
     # fixed-point arithmetic (see _fs_em_sql)

@@ -274,6 +274,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "block_split_pairs",
         "er_fs_match_metrics",
         "er_fs_regions",
+        "er_review_sample",
         "er_ensemble_blocking",
         "er_link_mutual",
         "er_link_greedy",
