@@ -1400,3 +1400,42 @@ def test_group_linkage_equals_greedy_matching_per_group_pair(spark):
         n1, n2 = sizes[gp[0]], sizes[gp[1]]
         exp[gp] = (matched, round(msum / (10**6 * (n1 + n2 - matched)), 6))
     assert got == exp
+
+
+def test_cluster_policies_refine_connected_components(spark):
+    # structural consistency across the cluster-formation menu: every
+    # star / pivot cluster and every canopy lives INSIDE one connected
+    # component (policies only ever split CC's transitive closure,
+    # never bridge it) — and group-linkage sim stays in [0, 1]
+    from collections import defaultdict
+
+    from orchid_fst_spark.er.clustering import (
+        canopy_clusters,
+        pivot_clusters,
+        star_clusters,
+    )
+
+    edges = _crc_graph(n=30, mod=4)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    for name, rows in (
+        ("star", [(r.node, r.center) for r in star_clusters(df).collect()]),
+        ("pivot", [(r.node, r.cluster) for r in pivot_clusters(df).collect()]),
+        (
+            "canopy",
+            [
+                (r.node, r.canopy)
+                for r in canopy_clusters(
+                    df, df.limit(len(edges) // 2)
+                ).collect()
+            ],
+        ),
+    ):
+        groups = defaultdict(set)
+        for node, cl in rows:
+            groups[cl].add(node)
+        for cl, nodes in groups.items():
+            comps = {comp[n] for n in nodes}
+            assert len(comps) == 1, (name, cl, comps)
