@@ -213,6 +213,19 @@ def star_clusters(
     )
 
 
+def _hash_local_minima(sym: DataFrame, pi) -> DataFrame:
+    """Active nodes whose hash beats every active neighbor's — the
+    per-round pivot/center selection shared by ``pivot_clusters`` and
+    ``canopy_clusters`` (one neighbor-min aggregate + a filter;
+    eagerly checkpointed since every consumer reads it >= twice)."""
+    nbmin = sym.groupBy("v").agg(F.min(pi(F.col("u"))).alias("mn"))
+    return (
+        nbmin.filter(pi(F.col("v")) < F.col("mn"))
+        .select(F.col("v").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def pivot_clusters(
     edges: DataFrame,
     src: str = "src",
@@ -279,12 +292,7 @@ def pivot_clusters(
     for _ in range(rounds):
         if sym.isEmpty():
             break
-        nbmin = sym.groupBy("v").agg(F.min(_pi(F.col("u"))).alias("mn"))
-        pivots = (
-            nbmin.filter(_pi(F.col("v")) < F.col("mn"))
-            .select(F.col("v").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        pivots = _hash_local_minima(sym, _pi)
         assigned = (
             sym.join(pivots, sym["u"] == pivots["c"])
             .groupBy("v")
@@ -464,7 +472,9 @@ def canopy_clusters(
     anti-joins per round, ``localCheckpoint``-cut), then ONE semi-join
     of the symmetrized loose graph against the center set emits the
     overlapping memberships.  After ``rounds`` rounds any still-active
-    node becomes a self-canopy member only (the bounded-compute
+    node simply never centers: it keeps whatever memberships its loose
+    edges to centers grant, and only if NO center is loose-adjacent
+    does it fall back to a ``(v, v)`` self row (the bounded-compute
     contract the unrolled-CTE oracle replays; the loop exits early when
     the tight graph drains).
 
@@ -502,7 +512,6 @@ def canopy_clusters(
 
     # tight-graph pivot rounds: centers + removal, no assignment
     sym = tsym
-    centers: DataFrame | None = None
     # a node with loose edges but NO tight edges is never removed and
     # never blocked: it is a center by construction (sequential canopy
     # reaches it eventually) — seed the center set with them
@@ -513,12 +522,7 @@ def canopy_clusters(
     for _ in range(rounds):
         if sym.isEmpty():
             break
-        nbmin = sym.groupBy("v").agg(F.min(_pi(F.col("u"))).alias("mn"))
-        pivots = (
-            nbmin.filter(_pi(F.col("v")) < F.col("mn"))
-            .select(F.col("v").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        pivots = _hash_local_minima(sym, _pi)
         centers = centers.unionByName(pivots)
         removed = (
             pivots.select(F.col("c").alias("node"))

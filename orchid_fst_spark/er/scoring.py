@@ -951,6 +951,18 @@ def fs_leveled_weights(
         wc: F.Column = F.lit(weights[0])
         for lv in range(1, nl):
             wc = F.when(lk == lv, F.lit(weights[lv])).otherwise(wc)
+        # a level outside [0, n_levels) means the caller's banding and
+        # the declared level count disagree — fail loudly instead of
+        # silently scoring the row with the level-0 weight
+        wc = F.when(
+            (lk < 0) | (lk >= nl),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lvl_{name} out of range [0, {nl}): "),
+                    lk.cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(wc)
         total = wc if total is None else total + wc
     return flagged.withColumn(weight_col, total)
 
@@ -1072,7 +1084,12 @@ def group_linkage(
         .cast("long")
         .alias("s6")
     )
-    p = member_pairs.select(F.col(a).alias("ka"), F.col(b).alias("kb"), s6)
+    # drop self-pairs BEFORE annotation (the mutual_best_pairs hazard:
+    # a key assigned to two groups would otherwise "match itself" at
+    # sim 1.0 and win its best slot)
+    p = member_pairs.filter(F.col(a) != F.col(b)).select(
+        F.col(a).alias("ka"), F.col(b).alias("kb"), s6
+    )
     ann = (
         p.join(g.withColumnRenamed("k", "ka").withColumnRenamed("g", "ga"), "ka")
         .join(g.withColumnRenamed("k", "kb").withColumnRenamed("g", "gb"), "kb")
@@ -1148,10 +1165,10 @@ def group_linkage(
             .localCheckpoint(eager=True)
         )
     if not matched_frames:
-        empty = remaining.sparkSession.createDataFrame(
-            [], "ga string, gb string, l string, r string, s6 long"
-        )
-        matched_frames = [empty]
+        # limit(0) keeps the non-empty path's exact column types (a
+        # hardcoded string schema would flip grp types for callers
+        # using non-string group ids)
+        matched_frames = [remaining.select("ga", "gb", "l", "r", "s6").limit(0)]
     allm = matched_frames[0]
     for fr in matched_frames[1:]:
         allm = allm.unionByName(fr)

@@ -1439,3 +1439,36 @@ def test_cluster_policies_refine_connected_components(spark):
         for cl, nodes in groups.items():
             comps = {comp[n] for n in nodes}
             assert len(comps) == 1, (name, cl, comps)
+
+
+def test_fs_leveled_weights_rejects_out_of_range_level(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from orchid_fst_spark.er.scoring import fs_leveled_weights
+
+    scored = spark.createDataFrame([(5,)], "lv int")
+    params = {"bad": ([0.5, 0.5, 0.5], [0.1, 0.1, 0.1])}
+    df = fs_leveled_weights(
+        scored, params, features=[("bad", F.col("lv"), 3)]
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)):
+        df.collect()
+
+
+def test_group_linkage_ignores_self_pairs(spark):
+    # a key listed in two groups with an identity pair must not match
+    # itself (the mutual_best_pairs hazard, now guarded here too)
+    from orchid_fst_spark.er.scoring import group_linkage
+
+    pairs = spark.createDataFrame(
+        [("x", "x", 1.0), ("x", "b1", 0.6)],
+        "key_a string, key_b string, jw double",
+    )
+    groups = spark.createDataFrame(
+        [("x", "A"), ("x", "B"), ("b1", "B")], "key string, grp string"
+    )
+    rows = group_linkage(pairs, groups).collect()
+    # the only legitimate link is x(A)-b1(B); the (x, x) row is dropped
+    assert {(r.grp_a, r.grp_b, r.matched) for r in rows} == {("A", "B", 1)}
+    assert all(r.sim <= 1.0 for r in rows)
