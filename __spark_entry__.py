@@ -1111,6 +1111,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["er_canopies"] = _er_canopies
+
+    # merge-center: pivot assignment + transitive merge of clusters
+    # whose member touches another cluster's center — Hassanzadeh
+    # VLDB'09's middle ground between center (over-split) and CC
+    # (chains); completes the clustering-policy menu
+    def _er_merge_center(spark, sf):
+        from orchid_fst_spark.er.clustering import merge_center_clusters
+
+        d = _dict(spark, sf)
+        edges = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        mc = merge_center_clusters(edges, src="key_a", dst="key_b")
+        return (
+            d.select(F.col("key").alias("node"))
+            .join(mc, "node", "left")
+            .withColumn("cluster", F.coalesce("cluster", "node"))
+        )
+
+    q["er_merge_center"] = _er_merge_center
     q["er_cluster_sizes"] = lambda spark, sf: (
         _er_components(spark, sf)
         .groupBy("component")
@@ -3463,7 +3481,7 @@ FROM dict k LEFT JOIN assigned s ON k.key = s.node"""
     # fs_em pattern) — md5('pivot|'||v) is the shared order, ROW(h, c)
     # min picks the min-hash adjacent pivot, NOT IN shrinks the active
     # graph; rounds must match er/clustering.pivot_clusters' default
-    def _pivot_sql(rounds: int = 8) -> str:
+    def _pivot_sql(rounds: int = 8, with_final: bool = True) -> str:
         pi = lambda col: f"md5('pivot|' || {col})"  # noqa: E731
         parts = [
             f"""WITH {_SQL_DICT},
@@ -3507,13 +3525,47 @@ res AS (
   UNION ALL
   SELECT v AS node, v AS cluster FROM (SELECT DISTINCT v FROM sym0)
   WHERE v NOT IN (SELECT node FROM allcl)
-)
+)"""
+        )
+        if with_final:
+            parts.append(
+                """
 SELECT k.key AS node, coalesce(r.cluster, k.key) AS cluster
 FROM dict k LEFT JOIN res r ON k.key = r.node"""
-        )
+            )
         return "".join(parts)
 
     o["er_pivot_clusters"] = _pivot_sql()
+
+    # merge-center: the pivot (center) assignment, then clusters whose
+    # member touches ANOTHER cluster's center merge via transitive
+    # closure over the cluster-merge graph (cluster-count-sized)
+    o["er_merge_center"] = (
+        _pivot_sql(with_final=False).replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+pres AS MATERIALIZED (
+  SELECT k.key AS node, coalesce(r.cluster, k.key) AS cluster
+  FROM dict k LEFT JOIN res r ON k.key = r.node
+),
+mctrs AS (SELECT node AS c FROM pres WHERE node = cluster),
+medges AS (
+  SELECT DISTINCT p.cluster AS a, s.u AS b
+  FROM sym0 s JOIN mctrs c ON s.u = c.c JOIN pres p ON s.v = p.node
+  WHERE p.cluster <> s.u
+),
+msym AS (
+  SELECT a, b FROM medges
+  UNION SELECT b, a FROM medges
+  UNION SELECT DISTINCT cluster, cluster FROM pres
+),
+mreach(a, b) AS (
+  SELECT a, b FROM msym
+  UNION SELECT r.a, s.b FROM mreach r JOIN msym s ON r.b = s.a
+),
+mcomp AS (SELECT a AS node, min(b) AS mc FROM mreach GROUP BY a)
+SELECT p.node, m.mc AS cluster
+FROM pres p JOIN mcomp m ON p.cluster = m.node"""
+    )
 
     # canopy clustering: center rounds = the pivot recursion on the
     # TIGHT graph (removal = center + tight neighbors), then one loose

@@ -281,6 +281,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_star_clusters",
         "er_pivot_clusters",
         "er_canopies",
+        "er_merge_center",
         "er_ari",
         "er_progressive_pairs",
         "clk_hlsh_pairs",

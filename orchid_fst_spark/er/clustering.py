@@ -567,3 +567,66 @@ def canopy_clusters(
         covered, all_nodes["v"] == covered["node"], "left_anti"
     ).select(F.col("v").alias("node"), F.col("v").alias("canopy"))
     return member.unionByName(self_rows).unionByName(stranded).distinct()
+
+
+def merge_center_clusters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    seed: str = "pivot",
+) -> DataFrame:
+    """Merge-Center clustering (Hassanzadeh, Chiang, Lee & Miller,
+    "Framework for Evaluating Clustering Algorithms in Duplicate
+    Detection", VLDB 2009) — the middle ground between center/pivot
+    clustering (radius 1, may over-split an entity whose records spread
+    past one center) and connected components (radius unbounded, chains
+    entities): start from the deterministic ``pivot_clusters``
+    assignment, then MERGE clusters whenever a member is match-adjacent
+    to ANOTHER cluster's center, taking the transitive closure of those
+    merges.  A singleton cluster's center is itself (MC semantics: every
+    cluster has a center), so the center set is exactly
+    ``{c : assign(c) = c}``.
+
+    Plan: the pivot rounds, one equi-join of the symmetrized edge list
+    against the center set + one assignment join to emit cluster-merge
+    edges (a CLUSTER-count-sized graph, not record-sized), then
+    ``connected_components`` over it and one relabel join.  Clusters
+    touched by no merge edge keep their pivot label (left join +
+    coalesce).  Deterministic end-to-end: pivot order is md5, merged
+    labels are the lexicographic min cluster id.
+
+    Returns ``(node, cluster)`` for every node in the edge list, same
+    consumer contract as the rest of the clustering menu."""
+    assign = pivot_clusters(
+        edges, src=src, dst=dst, rounds=rounds, seed=seed
+    ).localCheckpoint(eager=True)
+    e = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    sym = e.select(F.col("src").alias("v"), F.col("dst").alias("u")).union(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    )
+    centers = assign.filter(F.col("node") == F.col("cluster")).select(
+        F.col("node").alias("c")
+    )
+    to_center = sym.join(centers, sym["u"] == centers["c"]).select("v", "u")
+    merge_edges = (
+        to_center.join(assign, to_center["v"] == assign["node"])
+        .filter(F.col("cluster") != F.col("u"))
+        .select(F.col("cluster").alias("src"), F.col("u").alias("dst"))
+        .distinct()
+    )
+    merged = connected_components(merge_edges)
+    out = (
+        assign.join(
+            merged, assign["cluster"] == merged["node"], "left"
+        )
+        .select(
+            assign["node"].alias("node"),
+            F.coalesce(merged["component"], assign["cluster"]).alias(
+                "cluster"
+            ),
+        )
+    )
+    return out

@@ -1472,3 +1472,59 @@ def test_group_linkage_ignores_self_pairs(spark):
     # the only legitimate link is x(A)-b1(B); the (x, x) row is dropped
     assert {(r.grp_a, r.grp_b, r.matched) for r in rows} == {("A", "B", 1)}
     assert all(r.sim <= 1.0 for r in rows)
+
+
+def test_merge_center_matches_replica_and_sits_between_pivot_and_cc(spark):
+    from collections import defaultdict
+
+    from orchid_fst_spark.er.clustering import (
+        merge_center_clusters,
+        pivot_clusters,
+    )
+
+    edges = _crc_graph(n=32, mod=4)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.node, r.cluster)
+        for r in merge_center_clusters(df).collect()
+    }
+    # replica: pivot assignment -> merge clusters whose member touches
+    # another cluster's center (singleton clusters centered on
+    # themselves) -> union-find relabel by min cluster id
+    assign, adj, _pi = _pivot_replica(edges)
+    centers = {c for c, cl in assign.items() if c == cl}
+    parent = {cl: cl for cl in set(assign.values())}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for v, nbrs in adj.items():
+        for u in nbrs:
+            if u in centers and assign[v] != u:
+                ra, rb = find(assign[v]), find(u)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then relabel each root to the min member of
+    # its merged set (find already tracks min via the max->min unions)
+    exp = {(v, find(cl)) for v, cl in assign.items()}
+    assert got == exp
+    # structural position: merge-center COARSENS pivot (every pivot
+    # cluster lives inside one MC cluster) and REFINES CC
+    mc = dict(got)
+    pv = {r.node: r.cluster for r in pivot_clusters(df).collect()}
+    by_pivot = defaultdict(set)
+    for v, cl in pv.items():
+        by_pivot[cl].add(v)
+    for members in by_pivot.values():
+        assert len({mc[v] for v in members}) == 1
+    comp = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    by_mc = defaultdict(set)
+    for v, cl in mc.items():
+        by_mc[cl].add(v)
+    for members in by_mc.values():
+        assert len({comp[v] for v in members}) == 1
