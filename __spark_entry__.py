@@ -1664,6 +1664,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_ari"] = _er_ari
 
+    # Generalized Merge Distance (unit costs): minimum split+merge
+    # edits from the k<=2 clustering to the k<=1 truth — the VLDB'10
+    # edit-distance metric; all-integer, the strongest determinism class
+    def _er_gmd(spark, sf):
+        from orchid_fst_spark.er.evaluate import gmd_metrics
+
+        pred, truth, _ = _vdict_clusterings(spark, sf)
+        return gmd_metrics(
+            pred, truth, id_col="node", pred_col="component",
+            truth_col="component",
+        )
+
+    q["er_gmd"] = _er_gmd
+
     # progressive ER: three cheap redundant blocking rules (first-2
     # prefix / last-2 suffix / key length) vote via the CBS block graph;
     # the top-50 pairs under (weight DESC, id_a, id_b) are the
@@ -3799,6 +3813,21 @@ FROM r"""
     # RI/ARI ratios cast every cell to DOUBLE before multiplying
     # (BIGINT n00^2 overflows at web scale) in the SAME fixed order as
     # the Spark expression, rounded 6dp
+    o["er_gmd"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+gj AS (SELECT c2.pc, c1.tc FROM comp2 c2 JOIN comp1 c1 USING (node)),
+gcells AS (SELECT pc, tc, count(*)::BIGINT AS n_cell FROM gj GROUP BY 1, 2),
+gone AS (
+  SELECT sum(n_cell)::BIGINT AS n_records, count(*)::BIGINT AS n_cells,
+         count(DISTINCT pc)::BIGINT AS n_pred,
+         count(DISTINCT tc)::BIGINT AS n_truth
+  FROM gcells
+)
+SELECT n_records, n_cells, n_pred, n_truth,
+       (n_cells - n_pred)::BIGINT AS splits,
+       (n_cells - n_truth)::BIGINT AS merges,
+       (n_cells - n_pred + n_cells - n_truth)::BIGINT AS gmd
+FROM gone"""
+
     o["er_ari"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
 j AS (SELECT c2.pc, c1.tc FROM comp2 c2 JOIN comp1 c1 USING (node)),
 cont AS (

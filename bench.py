@@ -283,6 +283,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_canopies",
         "er_merge_center",
         "er_ari",
+        "er_gmd",
         "er_progressive_pairs",
         "clk_hlsh_pairs",
         "er_fs_tf",

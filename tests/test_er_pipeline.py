@@ -1528,3 +1528,24 @@ def test_merge_center_matches_replica_and_sits_between_pivot_and_cc(spark):
         by_mc[cl].add(v)
     for members in by_mc.values():
         assert len({comp[v] for v in members}) == 1
+
+
+def test_gmd_hand_example(spark):
+    # pred {a,b,c},{d,e} vs truth {a,b},{c,d},{e}: split p1 -> {a,b}|{c},
+    # split p2 -> {d}|{e}, merge {c}+{d}  =>  splits 2, merges 1, gmd 3
+    from orchid_fst_spark.er.evaluate import gmd_metrics
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2)],
+        "url string, cluster_id int",
+    )
+    truth = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 20), ("d", 20), ("e", 30)],
+        "url string, cluster_id int",
+    )
+    r = gmd_metrics(pred, truth).collect()[0]
+    assert (r.n_records, r.n_cells, r.n_pred, r.n_truth) == (5, 4, 2, 3)
+    assert (r.splits, r.merges, r.gmd) == (2, 1, 3)
+    # identical clusterings: gmd 0 both directions
+    z = gmd_metrics(truth, truth).collect()[0]
+    assert (z.splits, z.merges, z.gmd) == (0, 0, 0)
