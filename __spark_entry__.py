@@ -450,6 +450,58 @@ def _fs_em_leveled_sql(
     return ",\n".join(ctes) + ("\n" + final if with_final else "")
 
 
+def _greedy_match_sql(rounds: int = 8, head: str | None = None) -> str:
+    if head is None:
+        head = f"""WITH {_SQL_VDICT},
+gpairs AS (
+  SELECT a.key AS key_a, b.key AS key_b
+  FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+ge0 AS MATERIALIZED (
+  SELECT key_a, key_b,
+     round(jaro_winkler_similarity(key_a, key_b), 6) AS s
+  FROM gpairs
+)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+gsym{i} AS (
+  SELECT key_a AS k, key_b AS p, s FROM ge{p}
+  UNION ALL SELECT key_b, key_a, s FROM ge{p}
+),
+gbest{i} AS MATERIALIZED (
+  SELECT k, p, s FROM (
+SELECT k, p, s,
+       row_number() OVER (PARTITION BY k ORDER BY s DESC, p ASC) AS rn
+FROM gsym{i}
+  ) WHERE rn = 1
+),
+gmb{i} AS MATERIALIZED (
+  SELECT a.k AS key_a, a.p AS key_b, a.s AS score
+  FROM gbest{i} a JOIN gbest{i} b ON a.p = b.k AND b.p = a.k
+  WHERE a.k < a.p
+),
+ggone{i} AS (
+  SELECT key_a AS node FROM gmb{i}
+  UNION ALL SELECT key_b FROM gmb{i}
+),
+ge{i} AS MATERIALIZED (
+  SELECT * FROM ge{p}
+  WHERE key_a NOT IN (SELECT node FROM ggone{i})
+AND key_b NOT IN (SELECT node FROM ggone{i})
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT key_a, key_b, score FROM gmb{i}"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
 # iteration count shared by the er_fs_em entry and its unrolled oracle
 _FS_EM_ITERS = 10
 
@@ -4339,57 +4391,6 @@ WHERE a.k < a.p"""
     # greedy 1:1 matching: the mutual-best rounds unrolled as CTEs (the
     # pivot-clusters pattern); MATERIALIZED is load-bearing — e{i}/mb{i}
     # are referenced 3x each, inlining would exponentiate the recurrence
-    def _greedy_match_sql(rounds: int = 8, head: str | None = None) -> str:
-        if head is None:
-            head = f"""WITH {_SQL_VDICT},
-gpairs AS (
-  SELECT a.key AS key_a, b.key AS key_b
-  FROM vdict a, vdict b
-  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
-),
-ge0 AS MATERIALIZED (
-  SELECT key_a, key_b,
-         round(jaro_winkler_similarity(key_a, key_b), 6) AS s
-  FROM gpairs
-)"""
-        parts = [head]
-        for i in range(1, rounds + 1):
-            p = i - 1
-            parts.append(
-                f""",
-gsym{i} AS (
-  SELECT key_a AS k, key_b AS p, s FROM ge{p}
-  UNION ALL SELECT key_b, key_a, s FROM ge{p}
-),
-gbest{i} AS MATERIALIZED (
-  SELECT k, p, s FROM (
-    SELECT k, p, s,
-           row_number() OVER (PARTITION BY k ORDER BY s DESC, p ASC) AS rn
-    FROM gsym{i}
-  ) WHERE rn = 1
-),
-gmb{i} AS MATERIALIZED (
-  SELECT a.k AS key_a, a.p AS key_b, a.s AS score
-  FROM gbest{i} a JOIN gbest{i} b ON a.p = b.k AND b.p = a.k
-  WHERE a.k < a.p
-),
-ggone{i} AS (
-  SELECT key_a AS node FROM gmb{i}
-  UNION ALL SELECT key_b FROM gmb{i}
-),
-ge{i} AS MATERIALIZED (
-  SELECT * FROM ge{p}
-  WHERE key_a NOT IN (SELECT node FROM ggone{i})
-    AND key_b NOT IN (SELECT node FROM ggone{i})
-)"""
-            )
-        union = " UNION ALL ".join(
-            f"SELECT key_a, key_b, score FROM gmb{i}"
-            for i in range(1, rounds + 1)
-        )
-        parts.append(f"\n{union}")
-        return "".join(parts)
-
     o["er_greedy_link"] = _greedy_match_sql()
 
     # bipartite variant: the same unrolled greedy rounds over the

@@ -306,3 +306,53 @@ def test_fs_em_leveled_python_matches_duckdb_replay(pats, iters):
         for lv in range(nl):
             exp += [m[k][lv], u[k][lv]]
     assert list(row[0]) == exp, f"params diverged: duck={row[0]} py={exp}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=8, max_value=8),
+)
+@settings(max_examples=30, deadline=None)
+def test_greedy_match_sql_equals_sequential_greedy(raw, rounds):
+    """The unrolled mutual-best-rounds SQL == sequential greedy matching
+    under the (-score, a, b) edge order, fuzzed over random scored
+    graphs (ties included by construction: scores live on a 21-value
+    grid)."""
+    import duckdb
+
+    from __spark_entry__ import _greedy_match_sql
+
+    edges = {}
+    for i, j, s in raw:
+        if i == j:
+            continue
+        a, b = (f"n{min(i, j)}", f"n{max(i, j)}")
+        edges[(a, b)] = max(edges.get((a, b), -1.0), round(s / 20.0, 6))
+    if not edges:
+        return
+    values = ", ".join(
+        f"('{a}', '{b}', {s!r})" for (a, b), s in sorted(edges.items())
+    )
+    head = (
+        "WITH ge0 AS MATERIALIZED (SELECT * FROM (VALUES "
+        + values
+        + ") t(key_a, key_b, s))"
+    )
+    sql = _greedy_match_sql(rounds=rounds, head=head)
+    con = duckdb.connect()
+    got = {(r[0], r[1], float(r[2])) for r in con.sql(sql).fetchall()}
+    con.close()
+    used, exp = set(), set()
+    for (a, b), s in sorted(edges.items(), key=lambda kv: (-kv[1], kv[0])):
+        if a not in used and b not in used:
+            used |= {a, b}
+            exp.add((a, b, s))
+    assert got == exp, f"duck={got} py={exp}"
