@@ -1730,6 +1730,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_gmd"] = _er_gmd
 
+    # NMI + V-measure over the same comp2-vs-comp1 clusterings: the
+    # information-theoretic third opinion — entropy sufficient
+    # statistics are exact Σ n·lnfix(n) integer sums over tiny size
+    # histograms folded on the driver (the fs_em_train discipline);
+    # every reported ratio is one fixed-order IEEE expression, 6dp
+    def _er_nmi(spark, sf):
+        from orchid_fst_spark.er.evaluate import nmi_metrics
+
+        pred, truth, _ = _vdict_clusterings(spark, sf)
+        return nmi_metrics(
+            pred, truth, id_col="node", pred_col="component",
+            truth_col="component",
+        )
+
+    q["er_nmi"] = _er_nmi
+
     # progressive ER: three cheap redundant blocking rules (first-2
     # prefix / last-2 suffix / key length) vote via the CBS block graph;
     # the top-50 pairs under (weight DESC, id_a, id_b) are the
@@ -3915,6 +3931,60 @@ SELECT n, n11, n10, n01, n00,
                    + (n11::DOUBLE + n01::DOUBLE) * (n01::DOUBLE + n00::DOUBLE))
              ELSE 1.0 END, 6) AS ari
 FROM cells"""
+
+    # NMI + V-measure over comp2 vs comp1: the operator's exact
+    # arithmetic — lnfix(s) = floor(ln(s)*1e9 + 0.5) per INTEGER group
+    # size (DuckDB ln == Python math.log == the same libm call), exact
+    # HUGEINT Σ c·s·lnfix(s) sums over the size histograms, fixes
+    # clamped at 0, then one fixed-order IEEE expression per ratio,
+    # 6dp half-up
+    _NMI_LNFIX = "CAST(floor(ln({x}::DOUBLE) * 1e9 + 0.5) AS BIGINT)"
+    _NMI_SSUM = (
+        "coalesce(sum(c::HUGEINT * s * "
+        + _NMI_LNFIX.format(x="s")
+        + "), 0)"
+    )
+    o["er_nmi"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+j AS (SELECT c2.pc, c1.tc FROM comp2 c2 JOIN comp1 c1 USING (node)),
+cells AS (SELECT pc, tc, count(*)::BIGINT AS n FROM j GROUP BY 1, 2),
+ch AS (SELECT n AS s, count(*)::BIGINT AS c FROM cells GROUP BY 1),
+ph AS (SELECT s, count(*)::BIGINT AS c FROM
+       (SELECT pc, sum(n)::BIGINT AS s FROM cells GROUP BY 1) GROUP BY 1),
+th AS (SELECT s, count(*)::BIGINT AS c FROM
+       (SELECT tc, sum(n)::BIGINT AS s FROM cells GROUP BY 1) GROUP BY 1),
+sc AS (SELECT {_NMI_SSUM} AS v, coalesce(sum(c), 0)::BIGINT AS n_cells,
+              coalesce(sum(c * s), 0)::BIGINT AS n_records FROM ch),
+sp AS (SELECT {_NMI_SSUM} AS v FROM ph),
+st AS (SELECT {_NMI_SSUM} AS v FROM th),
+fx AS (SELECT n_records, n_cells,
+  greatest(n_records::HUGEINT * {_NMI_LNFIX.format(x="n_records")}
+           - sp.v, 0) AS hp,
+  greatest(n_records::HUGEINT * {_NMI_LNFIX.format(x="n_records")}
+           - st.v, 0) AS ht,
+  greatest(sc.v - sp.v - st.v
+           + n_records::HUGEINT * {_NMI_LNFIX.format(x="n_records")},
+           0) AS mi
+  FROM sc, sp, st),
+r AS (SELECT n_records, n_cells,
+  mi::DOUBLE / (n_records::DOUBLE * 1e9) AS mi_d,
+  hp::DOUBLE / (n_records::DOUBLE * 1e9) AS hp_d,
+  ht::DOUBLE / (n_records::DOUBLE * 1e9) AS ht_d,
+  CASE WHEN ht = 0 THEN 1.0 ELSE mi::DOUBLE / ht::DOUBLE END AS h,
+  CASE WHEN hp = 0 THEN 1.0 ELSE mi::DOUBLE / hp::DOUBLE END AS c,
+  CASE WHEN hp = 0 AND ht = 0 THEN 1.0
+       WHEN hp = 0 OR ht = 0 THEN 0.0
+       ELSE mi::DOUBLE / sqrt(hp::DOUBLE * ht::DOUBLE) END AS nmi
+  FROM fx)
+SELECT n_records, n_cells,
+  floor(hp_d * 1e6 + 0.5) / 1e6 AS h_pred,
+  floor(ht_d * 1e6 + 0.5) / 1e6 AS h_truth,
+  floor(mi_d * 1e6 + 0.5) / 1e6 AS mi,
+  floor(nmi * 1e6 + 0.5) / 1e6 AS nmi,
+  floor(h * 1e6 + 0.5) / 1e6 AS homogeneity,
+  floor(c * 1e6 + 0.5) / 1e6 AS completeness,
+  floor(CASE WHEN h + c = 0 THEN 0.0 ELSE 2 * h * c / (h + c) END
+        * 1e6 + 0.5) / 1e6 AS v_measure
+FROM r"""
 
     # progressive ER: the CBS block graph of the three cheap rules
     # (DISTINCT assignments, over-cap blocks purged before the pair

@@ -525,6 +525,141 @@ def ari_metrics(
     )
 
 
+def nmi_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "url",
+    pred_col: str = "cluster_id",
+    truth_col: str = "cluster_id",
+) -> DataFrame:
+    """Normalized Mutual Information + V-measure of a predicted
+    clustering vs truth (Strehl & Ghosh, JMLR 2002 — sqrt-normalized
+    NMI; Rosenberg & Hirschberg, EMNLP 2007 — homogeneity /
+    completeness / V-measure).  The information-theoretic third opinion
+    next to pairwise F1 (``clustering_pair_metrics``), B-cubed and ARI:
+    V-measure decomposes disagreement into the two failure modes the
+    cluster-formation policy menu (CC chains vs star/pivot over-splits)
+    actually trades between — homogeneity (each predicted cluster holds
+    one entity) and completeness (each entity lands in one cluster).
+
+    One row: ``(n_records, n_cells, h_pred, h_truth, mi, nmi,
+    homogeneity, completeness, v_measure)``.
+
+    Conventions (documented because entropy-0 edges are genuinely
+    ambiguous): ``homogeneity = 1`` when H(truth) = 0, ``completeness =
+    1`` when H(pred) = 0 (the Rosenberg-Hirschberg conventions);
+    ``nmi = 1`` when BOTH entropies are 0 (two trivial clusterings
+    cannot disagree), 0 when exactly one is; ``v_measure = 0`` when
+    homogeneity + completeness = 0.
+
+    Scale: the distributed part is one id equi-join + the (pred, truth)
+    cell aggregate + three SIZE-HISTOGRAM aggregates (group size →
+    #groups).  Every Σ n·ln n entropy statistic depends only on those
+    histograms, whose row count is bounded by the number of DISTINCT
+    group sizes — at most O(√(2N)) rows since distinct sizes sum to ≤ N
+    (≈ 1.4M rows at 10^12 records) — so they are collected and folded
+    on the driver, the ``fs_em_train`` sufficient-statistic discipline.
+    A 10M-member cluster contributes one histogram row.
+
+    Determinism (cross-engine): the only transcendental is ``ln`` of
+    exact INTEGER group sizes, immediately fixed to integer nano-units
+    ``floor(ln(s)·1e9 + 0.5)`` — Python's ``math.log`` and DuckDB's
+    ``ln`` are the same libm call on identical double inputs, and a
+    1-ulp libm disagreement would still have to straddle a 0.5 nano-
+    boundary to flip the fixpoint.  All Σ n·lnfix(n) sums are exact
+    integers (Python bigint / HUGEINT), mi/entropy fixes are clamped at
+    0 (true MI ≥ 0; fixpoint noise of < #groups · 0.5 nano-units could
+    otherwise dip below), and each reported ratio is ONE fixed-order
+    IEEE expression over those integers, rounded 6dp half-up — float
+    accumulation order never exists in either engine.
+    """
+    import math
+
+    pred = predicted.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("pc")
+    )
+    tr = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("tc"))
+    cells = (
+        pred.join(tr, "_id")
+        .groupBy("pc", "tc")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # size histograms: (group size s, #groups of that size c)
+    cell_hist = cells.groupBy("n").agg(F.count("*").alias("c")).collect()
+    pred_hist = (
+        cells.groupBy("pc")
+        .agg(F.sum("n").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    truth_hist = (
+        cells.groupBy("tc")
+        .agg(F.sum("n").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+
+    def _lnfix(s: int) -> int:
+        return math.floor(math.log(s) * 1e9 + 0.5)
+
+    def _ssum(hist, size_field) -> int:
+        return sum(int(r["c"]) * int(r[size_field]) * _lnfix(int(r[size_field]))
+                   for r in hist)
+
+    n_cells = sum(int(r["c"]) for r in cell_hist)
+    n_records = sum(int(r["c"]) * int(r["n"]) for r in cell_hist)
+    if n_records > 0:
+        s_cells = _ssum(cell_hist, "n")
+        s_pred = _ssum(pred_hist, "s")
+        s_truth = _ssum(truth_hist, "s")
+        n_lnfix_n = n_records * _lnfix(n_records)
+        hp_fix = max(n_lnfix_n - s_pred, 0)
+        ht_fix = max(n_lnfix_n - s_truth, 0)
+        mi_fix = max(s_cells - s_pred - s_truth + n_lnfix_n, 0)
+        denom = float(n_records) * 1e9
+        mi = float(mi_fix) / denom
+        h_pred = float(hp_fix) / denom
+        h_truth = float(ht_fix) / denom
+        homog = 1.0 if ht_fix == 0 else float(mi_fix) / float(ht_fix)
+        compl = 1.0 if hp_fix == 0 else float(mi_fix) / float(hp_fix)
+        if hp_fix == 0 and ht_fix == 0:
+            nmi = 1.0
+        elif hp_fix == 0 or ht_fix == 0:
+            nmi = 0.0
+        else:
+            nmi = float(mi_fix) / math.sqrt(float(hp_fix) * float(ht_fix))
+        v = 0.0 if homog + compl == 0 else 2 * homog * compl / (homog + compl)
+    else:
+        mi = h_pred = h_truth = 0.0
+        homog = compl = nmi = 1.0
+        v = 1.0
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    spark = predicted.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_records,
+                n_cells,
+                _r6(h_pred),
+                _r6(h_truth),
+                _r6(mi),
+                _r6(nmi),
+                _r6(homog),
+                _r6(compl),
+                _r6(v),
+            )
+        ],
+        "n_records long, n_cells long, h_pred double, h_truth double, "
+        "mi double, nmi double, homogeneity double, completeness double, "
+        "v_measure double",
+    )
+
+
 def gmd_metrics(
     predicted: DataFrame,
     truth: DataFrame,

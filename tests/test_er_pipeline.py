@@ -901,6 +901,70 @@ def test_bcubed_perfect_and_degenerate(spark):
     assert row.bcubed_recall == 1.0
 
 
+def test_nmi_hand_math(spark):
+    # same planted clusterings as the bcubed hand test:
+    # truth {a,b,c}{d}, pred {a,b}{c,d}; expected values computed with
+    # plain floats here — the operator's 1e-9 fixpoint truncation is
+    # invisible at 1e-5
+    import math as m
+
+    from orchid_fst_spark.er.evaluate import nmi_metrics
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2)], "url string, cluster_id int"
+    )
+    truth = spark.createDataFrame(
+        [("a", 9), ("b", 9), ("c", 9), ("d", 8)], "url string, cluster_id int"
+    )
+    row = nmi_metrics(pred, truth).collect()[0]
+    n = 4
+    h_p = m.log(n) - (2 * m.log(2) + 2 * m.log(2)) / n
+    h_t = m.log(n) - (3 * m.log(3) + 1 * m.log(1)) / n
+    # MI = S_cells/n - S_p/n - S_t/n + ln n, with S/n = ln n - H
+    mi = (2 * m.log(2)) / n + h_p + h_t - m.log(n)
+    assert row.n_records == 4 and row.n_cells == 3
+    assert abs(row.h_pred - h_p) < 1e-5
+    assert abs(row.h_truth - h_t) < 1e-5
+    assert abs(row.mi - mi) < 1e-5
+    assert abs(row.homogeneity - mi / h_t) < 1e-5
+    assert abs(row.completeness - mi / h_p) < 1e-5
+    assert abs(row.nmi - mi / m.sqrt(h_p * h_t)) < 1e-5
+    hh, cc = mi / h_t, mi / h_p
+    assert abs(row.v_measure - 2 * hh * cc / (hh + cc)) < 1e-5
+
+
+def test_nmi_identical_and_degenerate(spark):
+    from orchid_fst_spark.er.evaluate import nmi_metrics
+
+    same = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "url string, cluster_id int"
+    )
+    row = nmi_metrics(same, same).collect()[0]
+    # identical clusterings: the fixpoint identities are EXACT
+    # (s_cells == s_pred == s_truth so mi_fix == hp_fix == ht_fix)
+    assert (row.nmi, row.homogeneity, row.completeness, row.v_measure) == (
+        1.0, 1.0, 1.0, 1.0,
+    )
+    # both trivial (single cluster each side): entropies 0, convention 1s
+    triv = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "url string, cluster_id int"
+    )
+    row = nmi_metrics(triv, triv).collect()[0]
+    assert (row.h_pred, row.h_truth, row.mi) == (0.0, 0.0, 0.0)
+    assert (row.nmi, row.v_measure) == (1.0, 1.0)
+    # all-in-one prediction vs all-singleton truth: H(pred)=0 so
+    # completeness=1 by convention; MI=0 so homogeneity=0, nmi=0
+    split = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "url string, cluster_id int"
+    )
+    row = nmi_metrics(triv, split).collect()[0]
+    assert row.h_pred == 0.0 and row.h_truth > 0
+    assert (row.mi, row.homogeneity, row.completeness, row.nmi) == (
+        0.0, 0.0, 1.0, 0.0,
+    )
+    assert row.v_measure == 0.0
+
+
 def test_cluster_cohesion_chain_vs_clique(spark):
     from orchid_fst_spark.er.clustering import cluster_cohesion
 
