@@ -968,6 +968,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("dist") <= 2)
     )
 
+    # affine-gap (Gotoh) distance <= 4 of the abbreviation 'strm' —
+    # the truncation-tolerant comparator (Bilenko & Mooney KDD'03):
+    # 'stream' matches at 4 via ONE 2-char gap (3+1) where scattered
+    # unit indels would cost 6.  JVM banded-Levenshtein prefilter is
+    # EXACT (every affine op costs >= 1, so lev lower-bounds affine);
+    # DuckDB has no affine-gap function, so the oracle joins the
+    # DP-truth fixture (scripts/gen_fixtures.py) — truth-vs-engine,
+    # the fuzzy_osa_k2 pattern.
+    def _affine_gap_scan(spark, sf):
+        from orchid_fst_spark.functions.vectorized import affine_gap_distance
+
+        return (
+            _dict(spark, sf)
+            .filter(F.levenshtein(F.col("key"), F.lit("strm"), 4) <= 4)
+            .withColumn(
+                "dist",
+                affine_gap_distance(F.col("key"), F.lit("strm")).cast("long"),
+            )
+            .filter(F.col("dist") <= 4)
+        )
+
+    q["affine_gap_scan"] = _affine_gap_scan
+
     # persisted build-once/query-many index (operators/index.py): the
     # artifact is built (once per sf_dir) into a deterministic temp path,
     # then the query runs off the pickled shard DAGs — same oracle as
@@ -3341,6 +3364,12 @@ SELECT count(*)::BIGINT AS hits FROM dict WHERE levenshtein(key, 'scan') <= 2"""
 SELECT d.key, d.value, t.dist
 FROM dict d
 JOIN read_parquet('/root/repo/fixtures/osa_scan_k2.parquet') t USING (key)"""
+    # DuckDB has no affine-gap function either; same DP-truth-fixture
+    # pattern (scripts/gen_fixtures.py gen_affine_fixture)
+    o["affine_gap_scan"] = f"""WITH {_SQL_DICT}
+SELECT d.key, d.value, t.dist
+FROM dict d
+JOIN read_parquet('/root/repo/fixtures/affine_strm_k4.parquet') t USING (key)"""
 
     o["fuzzy_join_parts"] = f"""WITH {_SQL_DICT},
 qs AS (

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from orchid_fst_spark.functions.distance import osa  # noqa: E402
+from orchid_fst_spark.functions.distance import affine_gap, osa  # noqa: E402
 from orchid_fst_spark.operators.bpe import reference_bpe  # noqa: E402
 
 SF_DIRS = [
@@ -46,6 +46,45 @@ _FIXDIR = os.path.join(
 )
 OUT = os.path.join(_FIXDIR, "osa_scan_k2.parquet")
 BPE_OUT = os.path.join(_FIXDIR, "bpe_merges.parquet")
+AG_OUT = os.path.join(_FIXDIR, "affine_strm_k4.parquet")
+
+#: affine_gap_scan entry parameters (must match __spark_entry__.py)
+AG_THRESHOLD = 4
+
+
+def gen_affine_fixture() -> None:
+    """fixtures/affine_strm_k4.parquet: the affine-gap (Gotoh, default
+    integer costs mismatch=2/open=3/extend=1) <= 4 neighborhood of
+    'strm' over the union vocabulary — same superset-fixture pattern as
+    the OSA oracle (DuckDB has no affine-gap function; the Spark side
+    computes it live via the numpy batch kernel)."""
+    import re as _re
+
+    toks = set()
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        if not os.path.exists(p):
+            continue
+        docs = pq.read_table(p, columns=["text"])
+        for text in docs.column("text").to_pylist():
+            toks.update(
+                t
+                for t in _re.split(r"\s+", text.strip(), flags=_re.ASCII)
+                if t
+            )
+    rows = []
+    for t in sorted(toks):
+        d = affine_gap(t, "strm")
+        if d <= AG_THRESHOLD:
+            rows.append((t, d))
+    table = pa.table(
+        {
+            "key": pa.array([k for k, _ in rows], pa.string()),
+            "dist": pa.array([d for _, d in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, AG_OUT)
+    print(f"wrote {AG_OUT}: {len(rows)} rows ({rows})")
 
 #: bpe_merges entry parameters (must match __spark_entry__.py)
 BPE_NUM_MERGES = 12
@@ -138,3 +177,4 @@ def main() -> None:
 if __name__ == "__main__":
     main()
     gen_bpe_fixture()
+    gen_affine_fixture()

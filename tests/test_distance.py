@@ -112,6 +112,91 @@ def test_batch_kernel_matches_oracle():
             assert (got == exp).all()
 
 
+def test_affine_gap_known_values():
+    from orchid_fst_spark.functions.distance import affine_gap
+
+    # identity / empty boundaries (gap of length L costs 3 + (L-1)*1)
+    assert affine_gap("", "") == 0
+    assert affine_gap("abc", "abc") == 0
+    assert affine_gap("abc", "") == 5
+    assert affine_gap("", "abcd") == 6
+    # one substitution = mismatch cost
+    assert affine_gap("scan", "scat") == 2
+    # the Bilenko-Mooney motivation: ONE long gap (truncation) is
+    # cheaper than the same chars as two scattered gaps
+    assert affine_gap("street", "st") == 3 + 3 * 1  # one gap of 4
+    one_gap = affine_gap("abcdef", "af")       # gap "bcde": 3+3
+    two_gaps = affine_gap("abcdef", "acf")     # gaps "b","de": (3)+(3+1)
+    assert one_gap == 6 and two_gaps == 7
+    # symmetry
+    for a, b in _rand_pairs(200, 11):
+        assert affine_gap(a, b) == affine_gap(b, a)
+
+
+def test_affine_gap_unit_costs_is_levenshtein():
+    from orchid_fst_spark.functions.distance import affine_gap
+
+    for a, b in _rand_pairs(1000, 13):
+        assert affine_gap(
+            a, b, mismatch=1, gap_open=1, gap_extend=1
+        ) == levenshtein(a, b)
+
+
+def test_affine_gap_no_sub_is_lcs_distance():
+    # with substitution priced out and unit gaps, the optimum is
+    # indel-only: distance == len(a) + len(b) - 2*LCS(a, b)
+    from orchid_fst_spark.functions.distance import affine_gap
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for ca in a:
+            cur = [0]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1])
+                )
+            prev = cur
+        return prev[-1]
+
+    for a, b in _rand_pairs(500, 17, maxlen=9):
+        got = affine_gap(a, b, mismatch=10**6, gap_open=1, gap_extend=1)
+        assert got == len(a) + len(b) - 2 * lcs(a, b)
+
+
+def test_affine_gap_lower_bounded_by_levenshtein():
+    # every affine op costs >= 1 under the defaults, so unit-cost
+    # Levenshtein is an exact JVM prefilter for affine thresholds
+    from orchid_fst_spark.functions.distance import affine_gap
+
+    for a, b in _rand_pairs(1000, 19):
+        assert affine_gap(a, b) >= levenshtein(a, b)
+
+
+def test_affine_gap_batch_matches_oracle():
+    from orchid_fst_spark.functions.distance import affine_gap, batch_affine_gap
+
+    pairs = _rand_pairs(5000, 23)
+    left = [a for a, _ in pairs]
+    right = [b for _, b in pairs]
+    for costs in (
+        dict(mismatch=2, gap_open=3, gap_extend=1),
+        dict(mismatch=1, gap_open=1, gap_extend=1),
+        dict(mismatch=3, gap_open=5, gap_extend=2),
+    ):
+        got = batch_affine_gap(left, right, **costs)
+        exp = [affine_gap(a, b, **costs) for a, b in pairs]
+        assert got.tolist() == exp
+
+
+def test_affine_gap_rejects_inverted_costs():
+    from orchid_fst_spark.functions.distance import affine_gap, batch_affine_gap
+
+    with pytest.raises(ValueError):
+        affine_gap("a", "b", gap_open=1, gap_extend=2)
+    with pytest.raises(ValueError):
+        batch_affine_gap(["a"], ["b"], gap_open=1, gap_extend=2)
+
+
 def test_osa_vs_true_damerau_relationship():
     for a, b in _rand_pairs(2000, 7):
         dl = damerau_levenshtein(a, b)
