@@ -1769,6 +1769,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_nmi"] = _er_nmi
 
+    # merge-based ER (Swoosh, VLDBJ'09): per dict key a 4-record
+    # gadget where record #3's evidence spans values contributed by #1
+    # (A-side) and #2 (B-side) — it matches NO record pairwise but
+    # matches the merged entity in round 2; #4 shares B-evidence only
+    # and must stay a singleton.  rounds=2 is the gadget's fixpoint;
+    # the oracle replays both rounds (edges = A-pairs INTERSECT
+    # B-pairs, recursive-CTE closure per round)
+    def _swoosh_records(spark, sf):
+        k = F.col("key")
+
+        def _rec(tag, avals, bvals):
+            return F.struct(
+                F.concat(k, F.lit(tag)).alias("id"),
+                F.array(*[F.concat(F.lit(p), k) for p in avals]).alias(
+                    "a_vals"
+                ),
+                F.array(*[F.concat(F.lit(p), k) for p in bvals]).alias(
+                    "b_vals"
+                ),
+            )
+
+        return (
+            _dict(spark, sf)
+            .select(
+                F.explode(
+                    F.array(
+                        _rec("#1", ["a1:", "a9:"], ["b1:"]),
+                        _rec("#2", ["a1:"], ["b1:", "b2:"]),
+                        _rec("#3", ["a9:"], ["b2:"]),
+                        _rec("#4", ["a7:"], ["b1:"]),
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+
+    def _er_swoosh(spark, sf):
+        from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+        return swoosh_resolve(_swoosh_records(spark, sf), rounds=2)
+
+    q["er_swoosh"] = _er_swoosh
+
+    # the merged golden entities of the same resolve (union value sets
+    # reported as sizes — scalar columns for the hash compare)
+    def _er_swoosh_entities(spark, sf):
+        from orchid_fst_spark.er.swoosh import (
+            swoosh_entities,
+            swoosh_resolve,
+        )
+
+        recs = _swoosh_records(spark, sf)
+        asg = swoosh_resolve(recs, rounds=2)
+        return swoosh_entities(recs, asg).select(
+            "entity_id",
+            "n_members",
+            F.size("a_vals").cast("long").alias("n_a_vals"),
+            F.size("b_vals").cast("long").alias("n_b_vals"),
+        )
+
+    q["er_swoosh_entities"] = _er_swoosh_entities
+
     # progressive ER: three cheap redundant blocking rules (first-2
     # prefix / last-2 suffix / key length) vote via the CBS block graph;
     # the top-50 pairs under (weight DESC, id_a, id_b) are the
@@ -4014,6 +4076,78 @@ SELECT n_records, n_cells,
   floor(CASE WHEN h + c = 0 THEN 0.0 ELSE 2 * h * c / (h + c) END
         * 1e6 + 0.5) / 1e6 AS v_measure
 FROM r"""
+
+    # merge-based ER (Swoosh): the operator's round-synchronous replay
+    # — per round, entity value sets from the BASE records + current
+    # assignment, edges = A-overlap pairs INTERSECT B-overlap pairs
+    # (the conjunctive match), recursive-CTE closure, min-label
+    # regroup; two rounds = the gadget's fixpoint
+    _SQL_SWOOSH = _SQL_DICT + r""",
+srecs AS MATERIALIZED (
+  SELECT key || '#1' AS id, ['a1:'||key, 'a9:'||key] AS av,
+         ['b1:'||key] AS bv FROM dict
+  UNION ALL
+  SELECT key || '#2', ['a1:'||key], ['b1:'||key, 'b2:'||key] FROM dict
+  UNION ALL
+  SELECT key || '#3', ['a9:'||key], ['b2:'||key] FROM dict
+  UNION ALL
+  SELECT key || '#4', ['a7:'||key], ['b1:'||key] FROM dict
+),
+sa AS MATERIALIZED (SELECT id, unnest(av) AS val FROM srecs),
+sb AS MATERIALIZED (SELECT id, unnest(bv) AS val FROM srecs),
+asg0 AS MATERIALIZED (SELECT id, id AS ent FROM srecs),
+va1 AS MATERIALIZED (SELECT DISTINCT g.ent, s.val FROM sa s JOIN asg0 g USING (id)),
+vb1 AS MATERIALIZED (SELECT DISTINCT g.ent, s.val FROM sb s JOIN asg0 g USING (id)),
+ed1 AS MATERIALIZED (
+  -- conjunctive match as a distinct-join (WITH RECURSIVE forbids
+  -- INTERSECT at CTE top level)
+  SELECT pa.e1, pa.e2 FROM
+  (SELECT DISTINCT x.ent AS e1, y.ent AS e2
+   FROM va1 x JOIN va1 y ON x.val = y.val AND x.ent < y.ent) pa
+  JOIN
+  (SELECT DISTINCT x.ent AS e1, y.ent AS e2
+   FROM vb1 x JOIN vb1 y ON x.val = y.val AND x.ent < y.ent) pb
+  USING (e1, e2)
+),
+sym1 AS MATERIALIZED (SELECT e1 AS a, e2 AS b FROM ed1 UNION SELECT e2, e1 FROM ed1
+         UNION SELECT ent, ent FROM asg0),
+reach1(a, b) AS (SELECT a, b FROM sym1
+  UNION SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a),
+lab1 AS MATERIALIZED (SELECT a AS ent, min(b) AS c FROM reach1 GROUP BY a),
+asg1 AS MATERIALIZED (SELECT g.id, l.c AS ent FROM asg0 g JOIN lab1 l USING (ent)),
+va2 AS MATERIALIZED (SELECT DISTINCT g.ent, s.val FROM sa s JOIN asg1 g USING (id)),
+vb2 AS MATERIALIZED (SELECT DISTINCT g.ent, s.val FROM sb s JOIN asg1 g USING (id)),
+ed2 AS MATERIALIZED (
+  -- conjunctive match as a distinct-join (WITH RECURSIVE forbids
+  -- INTERSECT at CTE top level)
+  SELECT pa.e1, pa.e2 FROM
+  (SELECT DISTINCT x.ent AS e1, y.ent AS e2
+   FROM va2 x JOIN va2 y ON x.val = y.val AND x.ent < y.ent) pa
+  JOIN
+  (SELECT DISTINCT x.ent AS e1, y.ent AS e2
+   FROM vb2 x JOIN vb2 y ON x.val = y.val AND x.ent < y.ent) pb
+  USING (e1, e2)
+),
+sym2 AS MATERIALIZED (SELECT e1 AS a, e2 AS b FROM ed2 UNION SELECT e2, e1 FROM ed2
+         UNION SELECT DISTINCT ent, ent FROM asg1),
+reach2(a, b) AS (SELECT a, b FROM sym2
+  UNION SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a),
+lab2 AS MATERIALIZED (SELECT a AS ent, min(b) AS c FROM reach2 GROUP BY a),
+asg2 AS MATERIALIZED (SELECT g.id, l.c AS ent FROM asg1 g JOIN lab2 l USING (ent))"""
+
+    o["er_swoosh"] = (
+        f"WITH RECURSIVE {_SQL_SWOOSH}\n"
+        "SELECT id, ent AS entity_id FROM asg2"
+    )
+
+    o["er_swoosh_entities"] = f"""WITH RECURSIVE {_SQL_SWOOSH},
+m AS (SELECT ent, count(*)::BIGINT AS n_members FROM asg2 GROUP BY ent),
+na AS (SELECT g.ent, count(DISTINCT s.val)::BIGINT AS n_a_vals
+       FROM sa s JOIN asg2 g USING (id) GROUP BY g.ent),
+nb AS (SELECT g.ent, count(DISTINCT s.val)::BIGINT AS n_b_vals
+       FROM sb s JOIN asg2 g USING (id) GROUP BY g.ent)
+SELECT m.ent AS entity_id, n_members, n_a_vals, n_b_vals
+FROM m JOIN na USING (ent) JOIN nb USING (ent)"""
 
     # progressive ER: the CBS block graph of the three cheap rules
     # (DISTINCT assignments, over-cap blocks purged before the pair

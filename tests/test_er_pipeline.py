@@ -901,6 +901,162 @@ def test_bcubed_perfect_and_degenerate(spark):
     assert row.bcubed_recall == 1.0
 
 
+def _rswoosh_py(recs):
+    """Sequential textbook R-Swoosh (Benjelloun et al. VLDBJ'09) under
+    the union-merge / conjunctive-overlap instance.  recs: list of
+    (id, set_a, set_b).  Returns the partition as a set of frozensets
+    of member ids."""
+    work = [(frozenset([rid]), set(a), set(b)) for rid, a, b in recs]
+    out = []
+    while work:
+        members, ra, rb = work.pop(0)
+        buddy = None
+        for s in out:
+            if (ra & s[1]) and (rb & s[2]):
+                buddy = s
+                break
+        if buddy is not None:
+            out.remove(buddy)
+            work.append(
+                (members | buddy[0], ra | buddy[1], rb | buddy[2])
+            )
+        else:
+            out.append((members, ra, rb))
+    return {m for m, _, _ in out}
+
+
+def _swoosh_partition(asg_rows):
+    from collections import defaultdict
+
+    by_ent = defaultdict(set)
+    for r in asg_rows:
+        by_ent[r.entity_id].add(r.id)
+    return set(map(frozenset, by_ent.values()))
+
+
+def test_swoosh_novelty_gadget(spark):
+    # r3 matches NEITHER r1 nor r2 pairwise (A-overlap only with r1,
+    # B-overlap only with r2) but matches their merge — the matches
+    # cluster-based ER cannot find from pairwise edges
+    from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+    recs = spark.createDataFrame(
+        [
+            ("r1", ["a1", "a9"], ["b1"]),
+            ("r2", ["a1"], ["b1", "b2"]),
+            ("r3", ["a9"], ["b2"]),
+            ("r4", ["a7"], ["b1"]),  # B overlaps, A never: singleton
+        ],
+        "id string, a_vals array<string>, b_vals array<string>",
+    )
+    asg = swoosh_resolve(recs).collect()
+    assert _swoosh_partition(asg) == {
+        frozenset({"r1", "r2", "r3"}),
+        frozenset({"r4"}),
+    }
+    # entity label = min member id
+    assert {r.entity_id for r in asg} == {"r1", "r4"}
+    # one round is NOT enough (the pairwise-evidence round only finds
+    # r1-r2); the paradigm gap is exactly the second round
+    one = swoosh_resolve(recs, rounds=1).collect()
+    assert _swoosh_partition(one) == {
+        frozenset({"r1", "r2"}),
+        frozenset({"r3"}),
+        frozenset({"r4"}),
+    }
+
+
+def test_swoosh_three_hop_chain(spark):
+    # r4's evidence spans values contributed by r1 and r3, and r3 only
+    # joins the entity in round 2 — the match surfaces in round 3
+    from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+    recs = spark.createDataFrame(
+        [
+            ("r1", ["a1", "a9"], ["b1"]),
+            ("r2", ["a1"], ["b1", "b2"]),
+            ("r3", ["a9", "a5"], ["b2"]),
+            ("r4", ["a5"], ["b1"]),
+        ],
+        "id string, a_vals array<string>, b_vals array<string>",
+    )
+    full = _swoosh_partition(swoosh_resolve(recs).collect())
+    assert full == {frozenset({"r1", "r2", "r3", "r4"})}
+    two = _swoosh_partition(swoosh_resolve(recs, rounds=2).collect())
+    assert two == {frozenset({"r1", "r2", "r3"}), frozenset({"r4"})}
+    three = _swoosh_partition(swoosh_resolve(recs, rounds=3).collect())
+    assert three == full
+
+
+def test_swoosh_matches_sequential_rswoosh(spark):
+    # ICAR ⇒ unique fixpoint independent of merge order: the round-
+    # synchronous distributed engine must equal textbook sequential
+    # R-Swoosh on random inputs
+    import random
+
+    from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+    for seed in (3, 7, 11, 19):
+        rng = random.Random(seed)
+        recs = []
+        for i in range(14):
+            a = sorted(
+                {f"a{rng.randint(1, 6)}" for _ in range(rng.randint(1, 3))}
+            )
+            b = sorted(
+                {f"b{rng.randint(1, 6)}" for _ in range(rng.randint(1, 3))}
+            )
+            recs.append((f"r{i:02d}", a, b))
+        sdf = spark.createDataFrame(
+            recs, "id string, a_vals array<string>, b_vals array<string>"
+        )
+        got = _swoosh_partition(swoosh_resolve(sdf).collect())
+        exp = _rswoosh_py([(rid, set(a), set(b)) for rid, a, b in recs])
+        assert got == exp, f"seed {seed}: {got} != {exp}"
+
+
+def test_swoosh_entities_union(spark):
+    from orchid_fst_spark.er.swoosh import swoosh_entities, swoosh_resolve
+
+    recs = spark.createDataFrame(
+        [
+            ("r1", ["a1", "a9"], ["b1"]),
+            ("r2", ["a1"], ["b1", "b2"]),
+            ("r3", ["a9"], ["b2"]),
+            ("r4", ["a7"], ["b9"]),
+        ],
+        "id string, a_vals array<string>, b_vals array<string>",
+    )
+    asg = swoosh_resolve(recs)
+    ents = {r.entity_id: r for r in swoosh_entities(recs, asg).collect()}
+    assert ents["r1"].n_members == 3
+    assert ents["r1"].a_vals == ["a1", "a9"]
+    assert ents["r1"].b_vals == ["b1", "b2"]
+    assert ents["r4"].n_members == 1
+    assert ents["r4"].a_vals == ["a7"]
+
+
+def test_swoosh_value_cap(spark):
+    # a value shared by more entities than the cap generates no pairs
+    # that round — the hot-block discipline
+    from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+    recs = spark.createDataFrame(
+        [
+            ("r1", ["hot"], ["b1"]),
+            ("r2", ["hot"], ["b1"]),
+            ("r3", ["hot"], ["b1"]),
+        ],
+        "id string, a_vals array<string>, b_vals array<string>",
+    )
+    capped = _swoosh_partition(
+        swoosh_resolve(recs, value_cap=2).collect()
+    )
+    assert capped == {frozenset({"r1"}), frozenset({"r2"}), frozenset({"r3"})}
+    uncapped = _swoosh_partition(swoosh_resolve(recs).collect())
+    assert uncapped == {frozenset({"r1", "r2", "r3"})}
+
+
 def test_nmi_hand_math(spark):
     # same planted clusterings as the bcubed hand test:
     # truth {a,b,c}{d}, pred {a,b}{c,d}; expected values computed with
