@@ -1724,6 +1724,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_ensemble_blocking"] = _er_ensemble_blocking
 
+    # learned disjunctive blocking scheme (Michelson & Knoblock
+    # AAAI'06): greedy weighted set-cover of the lev<=2 truth pairs
+    # over three cheap rules — the report that says WHICH blocker
+    # union to pay for; the oracle replays all three greedy steps
+    # (argmax by gain DESC, comparisons ASC, rule ASC)
+    def _er_blocking_scheme(spark, sf):
+        from orchid_fst_spark.er.neighborhood import learn_blocking_scheme
+
+        d = _vdict(spark, sf)
+        rules = [
+            ("len", F.length("key").cast("string")),
+            ("p2", F.expr("substring(key, 1, 2)")),
+            ("s2", F.expr("substring(key, greatest(length(key) - 1, 1), 2)")),
+        ]
+        truth = fuzzy_self_pairs(d, "key", k=2, damerau=False).select(
+            "key_a", "key_b"
+        )
+        return learn_blocking_scheme(
+            d, truth, rules, id_col="key", max_rules=3
+        )
+
+    q["er_blocking_scheme"] = _er_blocking_scheme
+
     # Adjusted Rand Index over the same comp2-vs-comp1 clusterings the
     # other clustering-eval entries read: the chance-corrected agreement
     # number (all four pair-confusion cells, exact longs; the ratio is
@@ -4519,6 +4542,106 @@ SELECT n_records, n_candidates, n_truth, tp,
              THEN 1 - n_candidates::DOUBLE / (n_records * (n_records - 1) // 2)
              ELSE 0.0 END, 6) AS reduction_ratio
 FROM em"""
+
+    # learned blocking scheme: the operator's greedy replay — per-rule
+    # capped blocks, exact nC2 comparison counts, truth coverage via
+    # two truth-sized joins, three unrolled argmax steps (gain DESC,
+    # comparisons ASC, rule ASC); a step emits its row only when it
+    # adds coverage.  MATERIALIZED throughout (the CTE-re-inlining
+    # lesson from the swoosh oracle)
+    o["er_blocking_scheme"] = f"""WITH {_SQL_VDICT},
+lkeyed AS MATERIALIZED (
+  SELECT DISTINCT key AS id, rule, bk FROM (
+    SELECT key, 'len' AS rule, length(key)::VARCHAR AS bk FROM vdict
+    UNION ALL SELECT key, 'p2', substr(key, 1, 2) FROM vdict
+    UNION ALL
+    SELECT key, 's2', substr(key, greatest(length(key) - 1, 1), 2)
+    FROM vdict
+  )
+),
+lcap AS MATERIALIZED (
+  SELECT id, rule, bk FROM (
+    SELECT id, rule, bk,
+           count(*) OVER (PARTITION BY rule, bk) AS n
+    FROM lkeyed
+  ) WHERE n <= 1000
+),
+lcomp AS MATERIALIZED (
+  SELECT rule, coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS comparisons
+  FROM (SELECT rule, bk, count(*) AS n FROM lcap GROUP BY 1, 2)
+  GROUP BY rule
+),
+ltruth AS MATERIALIZED (
+  SELECT a.key AS pa, b.key AS pb FROM vdict a, vdict b
+  WHERE a.key < b.key AND levenshtein(a.key, b.key) <= 2
+),
+lnt AS (SELECT count(*)::BIGINT AS n_truth FROM ltruth),
+lcov AS MATERIALIZED (
+  SELECT DISTINCT x.rule, t.pa, t.pb
+  FROM ltruth t
+  JOIN lcap x ON x.id = t.pa
+  JOIN lcap y ON y.id = t.pb AND y.rule = x.rule AND y.bk = x.bk
+),
+g1 AS MATERIALIZED (
+  SELECT c.rule, count(*)::BIGINT AS gain FROM lcov c GROUP BY 1
+),
+st1 AS MATERIALIZED (
+  SELECT r.rule, coalesce(g.gain, 0)::BIGINT AS gain, r.comparisons
+  FROM lcomp r LEFT JOIN g1 g USING (rule)
+  ORDER BY gain DESC, comparisons ASC, rule ASC LIMIT 1
+),
+cov1 AS MATERIALIZED (
+  SELECT pa, pb FROM lcov WHERE rule = (SELECT rule FROM st1)
+),
+g2 AS MATERIALIZED (
+  SELECT c.rule, count(*)::BIGINT AS gain FROM lcov c
+  WHERE c.rule <> (SELECT rule FROM st1)
+    AND NOT EXISTS (SELECT 1 FROM cov1 w
+                    WHERE w.pa = c.pa AND w.pb = c.pb)
+  GROUP BY 1
+),
+st2 AS MATERIALIZED (
+  SELECT r.rule, coalesce(g.gain, 0)::BIGINT AS gain, r.comparisons
+  FROM lcomp r LEFT JOIN g2 g USING (rule)
+  WHERE r.rule <> (SELECT rule FROM st1)
+  ORDER BY gain DESC, comparisons ASC, rule ASC LIMIT 1
+),
+cov2 AS MATERIALIZED (
+  SELECT pa, pb FROM cov1
+  UNION
+  SELECT pa, pb FROM lcov WHERE rule = (SELECT rule FROM st2)
+),
+g3 AS MATERIALIZED (
+  SELECT c.rule, count(*)::BIGINT AS gain FROM lcov c
+  WHERE c.rule NOT IN (SELECT rule FROM st1 UNION SELECT rule FROM st2)
+    AND NOT EXISTS (SELECT 1 FROM cov2 w
+                    WHERE w.pa = c.pa AND w.pb = c.pb)
+  GROUP BY 1
+),
+st3 AS MATERIALIZED (
+  SELECT r.rule, coalesce(g.gain, 0)::BIGINT AS gain, r.comparisons
+  FROM lcomp r LEFT JOIN g3 g USING (rule)
+  WHERE r.rule NOT IN (SELECT rule FROM st1 UNION SELECT rule FROM st2)
+  ORDER BY gain DESC, comparisons ASC, rule ASC LIMIT 1
+),
+lrows AS (
+  SELECT 1 AS step, s1.rule, s1.gain AS new_tp, s1.gain AS cum_tp,
+         s1.comparisons, s1.comparisons AS cum_comparisons
+  FROM st1 s1 WHERE s1.gain > 0
+  UNION ALL
+  SELECT 2, s2.rule, s2.gain, s1.gain + s2.gain, s2.comparisons,
+         s1.comparisons + s2.comparisons
+  FROM st1 s1, st2 s2 WHERE s2.gain > 0
+  UNION ALL
+  SELECT 3, s3.rule, s3.gain, s1.gain + s2.gain + s3.gain,
+         s3.comparisons,
+         s1.comparisons + s2.comparisons + s3.comparisons
+  FROM st1 s1, st2 s2, st3 s3 WHERE s3.gain > 0
+)
+SELECT step, rule, new_tp, cum_tp, comparisons, cum_comparisons,
+       floor((cum_tp::DOUBLE / n_truth::DOUBLE) * 1e6 + 0.5) / 1e6
+         AS completeness
+FROM lrows, lnt"""
 
     # three-region decision counts over the literal FS weights
     o["er_fs_regions"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},

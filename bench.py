@@ -294,6 +294,12 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_blocking_cost",
         "er_monge_elkan",
         "er_soft_tfidf",
+        "er_nmi",
+        "affine_gap_scan",
+        # er_swoosh_entities re-runs the same resolve — bench the
+        # resolve once
+        "er_swoosh",
+        "er_blocking_scheme",
     ]
     # count() prunes columns: for entries whose cost lives in a value
     # column produced by an Arrow UDF, time with that column consumed

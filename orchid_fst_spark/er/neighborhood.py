@@ -415,6 +415,168 @@ def qgram_blocking_pairs(
     return block_graph(ex, block_cap=block_cap)
 
 
+def learn_blocking_scheme(
+    records: DataFrame,
+    truth: DataFrame,
+    rules: list[tuple[str, F.Column]],
+    id_col: str = "id",
+    a: str = "key_a",
+    b: str = "key_b",
+    max_rules: int | None = None,
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Learn a disjunctive blocking scheme: greedily select the rule
+    union that covers the labeled truth pairs at the least comparison
+    cost (the sequential-covering construction of Michelson & Knoblock,
+    "Learning Blocking Schemes for Record Linkage", AAAI 2006; the
+    selection report Christen 2012 says to read before paying any
+    candidate shuffle).  Each step picks the rule with the most truth
+    pairs NOT yet covered by the selected union — ties broken by fewer
+    comparisons, then rule name — and stops when no rule adds coverage.
+
+    ``rules``: ``[(name, key_expression)]`` over the record frame
+    (the ``blocking_cost`` convention; null keys opt the record out).
+    Returns one row per SELECTED rule, in selection order:
+    ``(step, rule, new_tp, cum_tp, comparisons, cum_comparisons,
+    completeness)`` — ``comparisons`` is the rule's own exact pair
+    count under the cap, ``completeness`` the cumulative recall of the
+    union against ``truth`` (6dp).
+
+    Scale shape: ONE corpus scan emits every rule's key
+    (explode(array(struct…))), blocks over ``block_cap`` are purged
+    with the window-count idiom (consistent with what the capped
+    blockers would actually emit), per-rule comparison counts are
+    nC2 histogram sums (never materialized pairs), and coverage is
+    two TRUTH-sized equi-joins — the corpus is never pair-exploded.
+    The greedy fold runs on the driver over per-rule COUNTS (the
+    ``fs_em_train`` sufficient-statistic discipline); each step is one
+    anti-join + count over the truth-sized coverage frame, lineage-cut
+    per step.
+    """
+    if not rules:
+        raise ValueError("need at least one (name, key_expression) rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names in {names}")
+
+    keyed = (
+        records.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("rule"),
+                            expr.cast("string").alias("bk"),
+                        )
+                        for name, expr in rules
+                    ]
+                )
+            ).alias("_r"),
+        )
+        .select("_id", "_r.rule", "_r.bk")
+        .filter(F.col("bk").isNotNull())
+        .distinct()
+    )
+    capped = (
+        keyed.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("rule", "bk"))
+        )
+        .filter(F.col("_n") <= block_cap)
+        .drop("_n")
+        .localCheckpoint(eager=True)
+    )
+
+    ncomp = F.call_function("div", F.col("n") * (F.col("n") - 1), F.lit(2))
+    comps = {
+        r["rule"]: int(r["comparisons"])
+        for r in capped.groupBy("rule", "bk")
+        .agg(F.count("*").alias("n"))
+        .groupBy("rule")
+        .agg(F.sum(ncomp).cast("long").alias("comparisons"))
+        .collect()
+    }
+    comps = {n: comps.get(n, 0) for n in names}
+
+    t = (
+        truth.select(
+            F.least(F.col(a), F.col(b)).alias("pa"),
+            F.greatest(F.col(a), F.col(b)).alias("pb"),
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .distinct()
+    )
+    n_truth = t.count()
+    x = capped.select(
+        F.col("_id").alias("pa"), F.col("rule"), F.col("bk")
+    )
+    y = capped.select(
+        F.col("_id").alias("pb"), F.col("rule"), F.col("bk")
+    )
+    cov = (
+        t.join(x, "pa").join(y, ["pb", "rule", "bk"])
+        .select("rule", "pa", "pb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    import math
+
+    remaining = list(names)
+    covered: DataFrame | None = None
+    rows = []
+    cum_tp = 0
+    cum_comp = 0
+    steps = max_rules if max_rules is not None else len(names)
+    for step in range(1, steps + 1):
+        if not remaining:
+            break
+        pending = cov.filter(F.col("rule").isin(remaining))
+        if covered is not None:
+            pending = pending.join(covered, ["pa", "pb"], "left_anti")
+        gains = {
+            r["rule"]: int(r["gain"])
+            for r in pending.groupBy("rule")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .collect()
+        }
+        best = sorted(
+            remaining, key=lambda n: (-gains.get(n, 0), comps[n], n)
+        )[0]
+        g = gains.get(best, 0)
+        if g == 0:
+            break
+        cum_tp += g
+        cum_comp += comps[best]
+        rows.append((step, best, g, cum_tp, comps[best], cum_comp))
+        newly = cov.filter(F.col("rule") == best).select("pa", "pb")
+        covered = (
+            newly if covered is None else covered.union(newly).distinct()
+        ).localCheckpoint(eager=True)
+        remaining.remove(best)
+
+    def _r6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    out = [
+        (
+            s,
+            rule,
+            ntp,
+            ctp,
+            c,
+            cc,
+            1.0 if n_truth == 0 else _r6(ctp / n_truth),
+        )
+        for s, rule, ntp, ctp, c, cc in rows
+    ]
+    return records.sparkSession.createDataFrame(
+        out,
+        "step int, rule string, new_tp long, cum_tp long, "
+        "comparisons long, cum_comparisons long, completeness double",
+    )
+
+
 def progressive_pairs(
     blocks: DataFrame,
     budget: int,

@@ -998,6 +998,33 @@ def main() -> None:
     )
     _sh.rmtree(_tid, ignore_errors=True)
 
+    from orchid_fst_spark.er.swoosh import _entity_values, _overlap_pairs
+
+    _srecs = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("a_vals"),
+        F.array(F.col("lang")).alias("b_vals"),
+    )
+    _sasg = _srecs.select(F.col("id").alias("_id"), F.col("id").alias("ent"))
+    _sva = _entity_values(_srecs, _sasg, "id", "a_vals")
+    _svb = _entity_values(_srecs, _sasg, "id", "b_vals")
+    add(
+        "Swoosh round edges (`er.swoosh.swoosh_resolve`, one round)",
+        "The conjunctive match is two value equi-joins intersected on "
+        "the entity pair — no arrays, no cartesian, all JVM.  With "
+        "`value_cap` the hot-value purge is the constant-memory window "
+        "count BEFORE each self-join (WindowExec spills; the window's "
+        "hash partitioning is reused by the join).  Per round this "
+        "edge frame feeds connected_components; the assignment is "
+        "lineage-cut so every round plans this same constant tree.",
+        _overlap_pairs(_sva, 1000).join(
+            _overlap_pairs(_svb, 1000), ["e1", "e2"]
+        ),
+        must_contain=("Window",),
+        must_not=("CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"),
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — annotated physical plans (sf0.01, local[8])\n\n"

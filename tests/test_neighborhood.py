@@ -508,3 +508,79 @@ def test_block_split_plan_two_exchanges(spark):
     # 4 mentions == TWO Exchange nodes (block window + task-key
     # repartition), nothing else
     assert buf.getvalue().count("Exchange") == 4, buf.getvalue()
+
+
+def test_learn_blocking_scheme_greedy_order(spark):
+    from orchid_fst_spark.er.neighborhood import learn_blocking_scheme
+
+    # truth: (a1,a2) covered by prefix only; (b1,b2) covered by suffix
+    # only; (c1,c2) covered by BOTH.  prefix covers 2 pairs, suffix 2 —
+    # prefix is cheaper (fewer comparisons) if its blocks are smaller.
+    recs = spark.createDataFrame(
+        [("aX1",), ("aX2",), ("1Yb",), ("2Yb",), ("cZ1",), ("cZ2",)],
+        "id string",
+    )
+    rules = [
+        ("pre", F.expr("substring(id, 1, 1)")),
+        ("suf", F.expr("substring(id, 3, 1)")),
+    ]
+    truth = spark.createDataFrame(
+        [("aX1", "aX2"), ("1Yb", "2Yb"), ("cZ1", "cZ2")],
+        "key_a string, key_b string",
+    )
+    out = learn_blocking_scheme(recs, truth, rules, id_col="id").collect()
+    # pre covers (aX1,aX2) [block 'a'] and (cZ1,cZ2) [block 'c'] = 2;
+    # suf covers (1Yb,2Yb) [block 'b'] and (cZ1,cZ2) [block '1'? no —
+    # third char: aX1->1, aX2->2, 1Yb->b, 2Yb->b, cZ1->1, cZ2->2]
+    # so suf covers only (1Yb,2Yb) = 1.  pre first, then suf.
+    assert [(r.step, r.rule, r.new_tp, r.cum_tp) for r in out] == [
+        (1, "pre", 2, 2),
+        (2, "suf", 1, 3),
+    ]
+    assert out[-1].completeness == 1.0
+    # cum_comparisons = sum of the selected rules' own pair counts
+    assert out[0].cum_comparisons == out[0].comparisons
+    assert out[1].cum_comparisons == out[0].comparisons + out[1].comparisons
+
+
+def test_learn_blocking_scheme_tie_breaks_and_zero_gain(spark):
+    from orchid_fst_spark.er.neighborhood import learn_blocking_scheme
+
+    recs = spark.createDataFrame(
+        [("ab",), ("ac",), ("zz1",), ("zz2",), ("zz3",)], "id string"
+    )
+    truth = spark.createDataFrame([("ab", "ac")], "key_a string, key_b string")
+    rules = [
+        # both cover the single truth pair; 'wide' also blocks the zz
+        # trio so it costs 3 extra comparisons -> 'narrow' must win
+        ("wide", F.expr("CASE WHEN id LIKE 'a%' THEN 'A' ELSE 'Z' END")),
+        ("narrow", F.expr("CASE WHEN id LIKE 'a%' THEN 'A' END")),
+        ("useless", F.expr("id")),  # singleton blocks: zero coverage
+    ]
+    out = learn_blocking_scheme(recs, truth, rules, id_col="id").collect()
+    # narrow picked first (same gain, 1 vs 4 comparisons); wide adds
+    # nothing new; useless never covers -> exactly one row
+    assert [(r.step, r.rule) for r in out] == [(1, "narrow")]
+    assert out[0].new_tp == 1 and out[0].comparisons == 1
+
+
+def test_learn_blocking_scheme_block_cap(spark):
+    from orchid_fst_spark.er.neighborhood import learn_blocking_scheme
+
+    recs = spark.createDataFrame(
+        [(f"h{i}",) for i in range(10)], "id string"
+    )
+    truth = spark.createDataFrame(
+        [("h1", "h2")], "key_a string, key_b string"
+    )
+    rules = [("first", F.expr("substring(id, 1, 1)"))]  # one hot block
+    capped = learn_blocking_scheme(
+        recs, truth, rules, id_col="id", block_cap=5
+    ).collect()
+    assert capped == []  # the only covering block was purged
+    uncapped = learn_blocking_scheme(
+        recs, truth, rules, id_col="id", block_cap=100
+    ).collect()
+    assert [(r.rule, r.new_tp, r.comparisons) for r in uncapped] == [
+        ("first", 1, 45)
+    ]
