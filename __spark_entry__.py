@@ -1854,6 +1854,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_swoosh_entities"] = _er_swoosh_entities
 
+    # incremental merge-based ER: resolve the gadget WITHOUT record #3,
+    # then fold #3 in starting from that assignment.  Under ICAR
+    # ER(R1 ∪ R2) == ER(ER(R1) ∪ R2) — the oracle is therefore the
+    # SAME full 2-round replay as er_swoosh (the er_incremental
+    # pattern: the full-corpus recomputation IS the oracle)
+    def _er_swoosh_incremental(spark, sf):
+        from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+        recs = _swoosh_records(spark, sf)
+        old = recs.filter(~F.col("id").endswith("#3"))
+        prior = swoosh_resolve(old, rounds=2)
+        return swoosh_resolve(recs, rounds=2, init_assignment=prior)
+
+    q["er_swoosh_incremental"] = _er_swoosh_incremental
+
+    # attribute-level fusion over the comp2 clustering: per-cluster
+    # majority vote on two key-derived attributes (deterministic
+    # (votes DESC, value ASC) tie-break; min_by one-aggregate winner)
+    def _er_fused_values(spark, sf):
+        from orchid_fst_spark.er.clustering import fuse_attributes
+
+        pred, _, _ = _vdict_clusterings(spark, sf)
+        recs = pred.select(
+            "component",
+            F.length("node").cast("string").alias("key_len"),
+            F.substring("node", 1, 1).alias("initial"),
+        )
+        return fuse_attributes(
+            recs, cluster_col="component", attrs=["key_len", "initial"]
+        )
+
+    q["er_fused_values"] = _er_fused_values
+
     # progressive ER: three cheap redundant blocking rules (first-2
     # prefix / last-2 suffix / key length) vote via the CBS block graph;
     # the top-50 pairs under (weight DESC, id_a, id_b) are the
@@ -4162,6 +4195,36 @@ asg2 AS MATERIALIZED (SELECT g.id, l.c AS ent FROM asg1 g JOIN lab2 l USING (ent
         f"WITH RECURSIVE {_SQL_SWOOSH}\n"
         "SELECT id, ent AS entity_id FROM asg2"
     )
+
+    # incremental == full rerun under ICAR: same replay
+    o["er_swoosh_incremental"] = (
+        f"WITH RECURSIVE {_SQL_SWOOSH}\n"
+        "SELECT id, ent AS entity_id FROM asg2"
+    )
+
+    # attribute fusion over comp2: melt -> vote counts -> windowed
+    # winner under (votes DESC, value ASC) + per-(cluster, attr) total
+    o["er_fused_values"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+fm AS (
+  SELECT pc AS cluster, 'key_len' AS attr, length(node)::VARCHAR AS value
+  FROM comp2
+  UNION ALL
+  SELECT pc, 'initial', substr(node, 1, 1) FROM comp2
+),
+fc AS (
+  SELECT cluster, attr, value, count(*)::BIGINT AS votes
+  FROM fm WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+fr AS (
+  SELECT cluster, attr, value, votes,
+    row_number() OVER (PARTITION BY cluster, attr
+                       ORDER BY votes DESC, value ASC) AS rn,
+    sum(votes) OVER (PARTITION BY cluster, attr) AS tv
+  FROM fc
+)
+SELECT cluster, attr, value, votes, tv::BIGINT AS total_votes,
+       round(votes::DOUBLE / tv::DOUBLE, 6) AS support
+FROM fr WHERE rn = 1"""
 
     o["er_swoosh_entities"] = f"""WITH RECURSIVE {_SQL_SWOOSH},
 m AS (SELECT ent, count(*)::BIGINT AS n_members FROM asg2 GROUP BY ent),

@@ -371,6 +371,86 @@ def golden_records(
     return out.select(cluster_col, "n_members", "_rec.*")
 
 
+def fuse_attributes(
+    df: DataFrame,
+    cluster_col: str = "component",
+    attrs: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Attribute-level data fusion: resolve each attribute's value per
+    cluster by (weighted) majority vote — the conflict-resolution stage
+    of record linkage (Bleiholder & Naumann, "Data Fusion", ACM CSUR
+    2008; Dong & Naumann VLDB'09 tutorial).  Complements
+    ``golden_records``: that keeps one whole record, this builds a
+    composite — each attribute fused independently, so the entity can
+    carry r1's name and r2's phone.
+
+    One LONG-form row per (cluster, attr): ``(cluster, attr, value,
+    votes, total_votes, support)`` with ``value`` the winner under
+    (votes DESC, value ASC — deterministic tie-break), ``support`` =
+    votes/total_votes rounded 6dp.  Null attribute values do not vote
+    (the standard convention); a (cluster, attr) whose values are all
+    null emits no row.
+
+    ``weight_col``: optional INTEGER per-row source weight (a source-
+    reliability prior); integer weights keep the vote counts exact in
+    any engine.  Default: one row, one vote.
+
+    Plan shape: one melt (explode(array(struct…))) over the clustered
+    frame, ONE (cluster, attr, value) count aggregate, then the winner
+    as ONE ``min_by(struct(value, votes), struct(-votes, value))``
+    aggregate per (cluster, attr) — map-side partial combine, no
+    window sort (the ``golden_records`` argument); total votes ride
+    the same aggregate as a ``sum``.  Attribute values are cast to
+    string for the melt (document per-attr types upstream); at web
+    scale the only shuffles carry (cluster, attr, value) counts.
+    """
+    if not attrs:
+        raise ValueError("attrs: need at least one attribute column")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    melted = df.select(
+        F.col(cluster_col).alias("cluster"),
+        w.alias("_w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("attr"),
+                        F.col(a).cast("string").alias("value"),
+                    )
+                    for a in attrs
+                ]
+            )
+        ).alias("_m"),
+    ).select("cluster", "_m.attr", "_m.value", "_w")
+    counted = (
+        melted.filter(F.col("value").isNotNull())
+        .groupBy("cluster", "attr", "value")
+        .agg(F.sum("_w").cast("long").alias("votes"))
+    )
+    fused = counted.groupBy("cluster", "attr").agg(
+        F.min_by(
+            F.struct(F.col("value"), F.col("votes")),
+            F.struct((-F.col("votes")).alias("nv"), F.col("value")),
+        ).alias("win"),
+        F.sum("votes").cast("long").alias("total_votes"),
+    )
+    return fused.select(
+        "cluster",
+        "attr",
+        F.col("win.value").alias("value"),
+        F.col("win.votes").alias("votes"),
+        "total_votes",
+        F.round(F.col("win.votes") / F.col("total_votes"), 6).alias(
+            "support"
+        ),
+    )
+
+
 def cluster_cohesion(
     assignment: DataFrame,
     edges: DataFrame,

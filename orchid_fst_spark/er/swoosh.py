@@ -105,6 +105,7 @@ def swoosh_resolve(
     rounds: int | None = None,
     max_rounds: int = 20,
     value_cap: int | None = None,
+    init_assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve ``records`` under the union-merge / conjunctive-overlap
     Swoosh instance.  Returns ``(id, entity_id)`` with ``entity_id`` =
@@ -124,10 +125,28 @@ def swoosh_resolve(
     the current assignment (one explode + join per field) instead of
     growing merged arrays iteratively — state is the assignment frame
     only, lineage-cut per round.
+
+    ``init_assignment``: an existing ``(id, entity_id)`` assignment to
+    resume from — the INCREMENTAL form (the Swoosh paper's
+    incrementality: ER(R1 ∪ R2) = ER(ER(R1) ∪ R2) under ICAR, the same
+    contract as ``er/incremental.py``).  Pass the previous resolve's
+    output covering a subset of ``records``; ids absent from it start
+    as singletons.  Because match/merge here are ICAR, resuming from a
+    correct prior assignment yields the IDENTICAL fixpoint as a full
+    rerun (pinned by test), while the first round's edge work is
+    (new batch + touched entities)-sized in the value joins.
     """
-    asg = records.select(
+    base = records.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("ent")
-    ).localCheckpoint(eager=True)
+    )
+    if init_assignment is not None:
+        prior = init_assignment.select(
+            F.col(id_col).alias("_id"), F.col("entity_id").alias("_pent")
+        )
+        base = base.join(prior, "_id", "left").select(
+            "_id", F.coalesce("_pent", "ent").alias("ent")
+        )
+    asg = base.localCheckpoint(eager=True)
 
     n_rounds = rounds if rounds is not None else max_rounds
     for r in range(n_rounds):

@@ -1769,3 +1769,68 @@ def test_gmd_hand_example(spark):
     # identical clusterings: gmd 0 both directions
     z = gmd_metrics(truth, truth).collect()[0]
     assert (z.splits, z.merges, z.gmd) == (0, 0, 0)
+
+
+def test_fuse_attributes_majority_ties_nulls_weights(spark):
+    from orchid_fst_spark.er.clustering import fuse_attributes
+
+    df = spark.createDataFrame(
+        [
+            (1, "alice", "nyc", 2),
+            (1, "alice", "sf", 1),
+            (1, "alyce", None, 1),   # null city does not vote
+            (2, "bob", "la", 1),
+            (2, "rob", "la", 1),     # name tie -> 'bob' (value ASC)
+        ],
+        "component int, name string, city string, w int",
+    )
+    out = {
+        (r.cluster, r.attr): r
+        for r in fuse_attributes(df, attrs=["name", "city"]).collect()
+    }
+    assert out[(1, "name")].value == "alice"
+    assert (out[(1, "name")].votes, out[(1, "name")].total_votes) == (2, 3)
+    assert out[(1, "name")].support == round(2 / 3, 6)
+    assert out[(1, "city")].value == "nyc"
+    assert out[(1, "city")].total_votes == 2  # null excluded
+    assert out[(2, "name")].value == "bob"   # deterministic tie-break
+    # weighted: 'rob' outvotes 'bob' with weight 3 vs 1
+    wdf = df.withColumn(
+        "w", F.when(F.col("name") == "rob", 3).otherwise(F.col("w"))
+    )
+    wout = {
+        (r.cluster, r.attr): r
+        for r in fuse_attributes(
+            wdf, attrs=["name"], weight_col="w"
+        ).collect()
+    }
+    assert wout[(2, "name")].value == "rob"
+    assert wout[(2, "name")].votes == 3
+
+
+def test_swoosh_incremental_equals_full_rerun(spark):
+    from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+    old = [
+        ("r1", ["a1", "a9"], ["b1"]),
+        ("r2", ["a1"], ["b1", "b2"]),
+        ("r6", ["c1"], ["d1"]),
+        ("r7", ["c1"], ["d1"]),
+    ]
+    # batch: r3 completes the novelty gadget; r0 (SMALLER id) bridges
+    # the two old entities via evidence from both
+    batch = [
+        ("r3", ["a9"], ["b2"]),
+        ("r0", ["a1", "c1"], ["b1", "d1"]),
+    ]
+    schema = "id string, a_vals array<string>, b_vals array<string>"
+    old_df = spark.createDataFrame(old, schema)
+    all_df = spark.createDataFrame(old + batch, schema)
+    prior = swoosh_resolve(old_df)
+    inc = swoosh_resolve(all_df, init_assignment=prior)
+    full = swoosh_resolve(all_df)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the bridge collapses everything into one entity labeled r0
+    assert {r.entity_id for r in inc.collect()} == {"r0"}
