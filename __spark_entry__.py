@@ -1887,6 +1887,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fused_values"] = _er_fused_values
 
+    # truth discovery over the same clustering: source-reliability EM
+    # (3 iterations, integer micro-unit trust) — sources derived from
+    # key length so the variant records form systematically deviant
+    # sources; the oracle is a mechanical 3-iteration unrolled replay
+    def _er_fusion_em(spark, sf):
+        from orchid_fst_spark.er.clustering import fusion_em
+
+        pred, _, _ = _vdict_clusterings(spark, sf)
+        recs = pred.select(
+            "component",
+            F.concat(
+                F.lit("s"), (F.length("node") % 3).cast("string")
+            ).alias("source"),
+            F.length("node").cast("string").alias("key_len"),
+            F.substring("node", 1, 1).alias("initial"),
+        )
+        return fusion_em(
+            recs,
+            cluster_col="component",
+            attrs=["key_len", "initial"],
+            source_col="source",
+            iters=3,
+        )
+
+    q["er_fusion_em"] = _er_fusion_em
+
     # progressive ER: three cheap redundant blocking rules (first-2
     # prefix / last-2 suffix / key length) vote via the CBS block graph;
     # the top-50 pairs under (weight DESC, id_a, id_b) are the
@@ -4225,6 +4251,58 @@ fr AS (
 SELECT cluster, attr, value, votes, tv::BIGINT AS total_votes,
        round(votes::DOUBLE / tv::DOUBLE, 6) AS support
 FROM fr WHERE rn = 1"""
+
+    # truth-discovery EM: the operator's exact integer arithmetic —
+    # 500000 uniform start trust, winner = (conf DESC, value ASC),
+    # trust update (2·matches·10⁶ + total) // (2·total) clamped
+    # [1, 999999]; three unrolled iterations, MATERIALIZED throughout
+    _FEM_ITER = """
+fconf{i} AS MATERIALIZED (
+  SELECT c.cluster, c.attr, c.value, sum(t.t)::BIGINT AS conf
+  FROM fclaims c JOIN ftr{p} t USING (src) GROUP BY 1, 2, 3
+),
+fwin{i} AS MATERIALIZED (
+  SELECT cluster, attr, value, conf, tc FROM (
+    SELECT cluster, attr, value, conf,
+      row_number() OVER (PARTITION BY cluster, attr
+                         ORDER BY conf DESC, value ASC) AS rn,
+      sum(conf) OVER (PARTITION BY cluster, attr) AS tc
+    FROM fconf{i}
+  ) WHERE rn = 1
+)"""
+    _FEM_TRUST = """
+ftr{i} AS MATERIALIZED (
+  SELECT c.src,
+    least(greatest(
+      (2 * sum(CASE WHEN c.value = w.value THEN 1 ELSE 0 END) * 1000000
+       + count(*)) // (2 * count(*)), 1), 999999)::BIGINT AS t
+  FROM fclaims c
+  JOIN fwin{i} w ON c.cluster = w.cluster AND c.attr = w.attr
+  GROUP BY c.src
+)"""
+    o["er_fusion_em"] = (
+        f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+fraw AS (
+  SELECT pc, node, 'key_len' AS attr, length(node)::VARCHAR AS value
+  FROM comp2
+  UNION ALL SELECT pc, node, 'initial', substr(node, 1, 1) FROM comp2
+),
+fclaims AS MATERIALIZED (
+  SELECT DISTINCT pc AS cluster, attr, value,
+         's' || (length(node) % 3)::VARCHAR AS src
+  FROM fraw
+),
+ftr0 AS (SELECT DISTINCT src, 500000::BIGINT AS t FROM fclaims),"""
+        + _FEM_ITER.format(i=1, p=0) + ","
+        + _FEM_TRUST.format(i=1) + ","
+        + _FEM_ITER.format(i=2, p=1) + ","
+        + _FEM_TRUST.format(i=2) + ","
+        + _FEM_ITER.format(i=3, p=2)
+        + """
+SELECT cluster, attr, value, conf AS confidence,
+       round(conf::DOUBLE / tc::DOUBLE, 6) AS support
+FROM fwin3"""
+    )
 
     o["er_swoosh_entities"] = f"""WITH RECURSIVE {_SQL_SWOOSH},
 m AS (SELECT ent, count(*)::BIGINT AS n_members FROM asg2 GROUP BY ent),

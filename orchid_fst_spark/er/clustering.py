@@ -451,6 +451,136 @@ def fuse_attributes(
     )
 
 
+def fusion_em(
+    df: DataFrame,
+    cluster_col: str = "component",
+    attrs: list[str] | None = None,
+    source_col: str = "source",
+    iters: int = 3,
+) -> DataFrame:
+    """Truth discovery: iterative source-reliability fusion (the
+    TruthFinder / AccuVote construction — Yin, Han & Yu KDD'07; Dong,
+    Berti-Équille & Srivastava VLDB'09).  ``fuse_attributes`` counts
+    every row equally; here sources EARN weight: a value's confidence
+    is the sum of its supporting sources' trust, the per-cell winner is
+    the max-confidence value, and a source's trust is the fraction of
+    its claims that agree with the current winners — iterated a fixed
+    ``iters`` times from uniform trust (iteration 1 is therefore plain
+    plurality; by iteration 3 a source that keeps disagreeing with the
+    consensus has lost its vote weight).
+
+    Claims are the DISTINCT (cluster, attr, source, value) assertions
+    with non-null values.  One row per (cluster, attr):
+    ``(cluster, attr, value, confidence, support)`` — ``confidence``
+    the winner's integer trust-sum (micro-units), ``support`` its
+    share of the cell's total confidence (6dp).
+
+    Determinism (cross-engine): trust is held in integer MICRO-units —
+    start 500000, update ``(2·matches·10⁶ + total) div (2·total)``
+    (exact half-up integer rounding of matches/total), clamped to
+    [1, 999999] (the EM clamp discipline: a source never hits hard 0,
+    which would freeze it out irrecoverably); confidences are exact
+    integer sums; winners break ties (confidence DESC, value ASC);
+    ``support`` is ONE IEEE division rounded 6dp.  No float exists
+    anywhere in the loop, so a DuckDB replay is a mechanical unrolled
+    CTE (the ``er_fs_em`` pattern).
+
+    Scale shape per iteration: claims ⋈ trust (source-count-sized —
+    AQE broadcasts it), one (cluster, attr, value) confidence
+    aggregate, one ``min_by`` winner aggregate, one source-agreement
+    aggregate; the trust frame is ``localCheckpoint``-cut per
+    iteration (the iterative-loop lesson), so every iteration plans a
+    constant tree.
+    """
+    if not attrs:
+        raise ValueError("attrs: need at least one attribute column")
+    claims = (
+        df.select(
+            F.col(cluster_col).alias("cluster"),
+            F.col(source_col).cast("string").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("attr"),
+                            F.col(a).cast("string").alias("value"),
+                        )
+                        for a in attrs
+                    ]
+                )
+            ).alias("_m"),
+        )
+        .select("cluster", "_m.attr", "_m.value", "src")
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    trust = (
+        claims.select("src")
+        .distinct()
+        .withColumn("t", F.lit(500000).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _winners(tr: DataFrame) -> DataFrame:
+        conf = (
+            claims.join(tr, "src")
+            .groupBy("cluster", "attr", "value")
+            .agg(F.sum("t").cast("long").alias("conf"))
+        )
+        return conf.groupBy("cluster", "attr").agg(
+            F.min_by(
+                F.struct(F.col("value"), F.col("conf")),
+                F.struct((-F.col("conf")).alias("nc"), F.col("value")),
+            ).alias("win"),
+            F.sum("conf").cast("long").alias("total_conf"),
+        )
+
+    win = None
+    for _ in range(iters):
+        win = _winners(trust)
+        agree = (
+            claims.join(
+                win.select(
+                    "cluster", "attr", F.col("win.value").alias("wv")
+                ),
+                ["cluster", "attr"],
+            )
+            .groupBy("src")
+            .agg(
+                F.count("*").cast("long").alias("total"),
+                F.sum(
+                    F.when(F.col("value") == F.col("wv"), 1).otherwise(0)
+                ).cast("long").alias("matches"),
+            )
+        )
+        trust = agree.select(
+            "src",
+            F.least(
+                F.greatest(
+                    F.call_function(
+                        "div",
+                        2 * F.col("matches") * F.lit(1000000)
+                        + F.col("total"),
+                        2 * F.col("total"),
+                    ),
+                    F.lit(1),
+                ),
+                F.lit(999999),
+            ).cast("long").alias("t"),
+        ).localCheckpoint(eager=True)
+
+    return win.select(
+        "cluster",
+        "attr",
+        F.col("win.value").alias("value"),
+        F.col("win.conf").alias("confidence"),
+        F.round(F.col("win.conf") / F.col("total_conf"), 6).alias(
+            "support"
+        ),
+    )
+
+
 def cluster_cohesion(
     assignment: DataFrame,
     edges: DataFrame,

@@ -1834,3 +1834,42 @@ def test_swoosh_incremental_equals_full_rerun(spark):
     )
     # the bridge collapses everything into one entity labeled r0
     assert {r.entity_id for r in inc.collect()} == {"r0"}
+
+
+def test_fusion_em_trust_overturns_tie(spark):
+    from orchid_fst_spark.er.clustering import fusion_em
+
+    rows = []
+    # s1, s2 reliable on cells 1-3 ("x"); s3 always deviant ("y")
+    for c in (1, 2, 3):
+        rows += [(c, "s1", "x"), (c, "s2", "x"), (c, "s3", "y")]
+    # cell 4: s2 vs s3 — plurality ties and value-ASC favors s3's "a",
+    # but by iteration 2 s3 has lost trust and s2's "v" must win
+    rows += [(4, "s2", "v"), (4, "s3", "a")]
+    df = spark.createDataFrame(rows, "component int, source string, val string")
+    em = {
+        r.cluster: r
+        for r in fusion_em(df, attrs=["val"], iters=3).collect()
+    }
+    assert em[1].value == "x" and em[4].value == "v"
+    # iteration 1 IS plurality: the tie goes to "a" (value ASC)
+    one = {
+        r.cluster: r
+        for r in fusion_em(df, attrs=["val"], iters=1).collect()
+    }
+    assert one[4].value == "a"
+    # support: winner share of the cell's total confidence
+    assert 0.5 < em[1].support <= 1.0
+    assert em[4].support > 0.5
+
+
+def test_fusion_em_unanimous(spark):
+    from orchid_fst_spark.er.clustering import fusion_em
+
+    df = spark.createDataFrame(
+        [(1, "s1", "x"), (1, "s2", "x"), (2, "s1", "z")],
+        "component int, source string, val string",
+    )
+    out = {r.cluster: r for r in fusion_em(df, attrs=["val"]).collect()}
+    assert out[1].value == "x" and out[1].support == 1.0
+    assert out[2].value == "z" and out[2].support == 1.0
