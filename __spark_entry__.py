@@ -1618,6 +1618,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_match_metrics"] = _er_fs_match_metrics
 
+    # calibration of the EM posteriors: per-pair trained posterior
+    # (broadcast pattern join) binned against the planted lev<=1 truth
+    # — the reliability diagram read before trusting the 0.5 Bayes cut
+    def _er_fs_calibration(spark, sf):
+        from orchid_fst_spark.er.evaluate import calibration_report
+        from orchid_fst_spark.er.scoring import (
+            _flag_features,
+            default_fs_features,
+            fs_em_train,
+        )
+
+        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
+        scored = score_pairs(cands)
+        feats = default_fs_features()
+        _, patterns = fs_em_train(scored, feats, _FS_EM_ITERS)
+        agree_cols = [f"agree_{n}" for n, _ in feats]
+        withp = _flag_features(scored, feats).join(
+            F.broadcast(patterns.select(*agree_cols, "posterior")),
+            agree_cols,
+        )
+        truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
+        return calibration_report(withp, truth, prob_col="posterior")
+
+    q["er_fs_calibration"] = _er_fs_calibration
+
     # the FS three-region decision (link / clerical review / nonlink)
     # with bounds read off the threshold sweep: one literal CASE, then
     # a 3-row count — the human-workload report
@@ -4835,6 +4860,42 @@ SELECT tp, fp, fn,
   round(CASE WHEN p_raw + r_raw > 0
              THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END, 6) AS f1
 FROM r"""
+
+    # EM-posterior calibration: per-pair posterior via the feat-epost
+    # join, micro-unit fixed sums per bin, fixed-order IEEE ratios
+    o["er_fs_calibration"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
+{_fs_em_sql(with_final=False)},
+cwp AS (
+  SELECT least(f.key_a, f.key_b) AS pa, greatest(f.key_a, f.key_b) AS pb,
+         max(e.posterior) AS p
+  FROM feat f
+  JOIN epost e ON f.agree_dist = e.agree_dist
+              AND f.agree_jw = e.agree_jw
+              AND f.agree_jaccard = e.agree_jaccard
+  WHERE least(f.key_a, f.key_b) < greatest(f.key_a, f.key_b)
+  GROUP BY 1, 2
+),
+ctruth AS (
+  SELECT DISTINCT least(key_a, key_b) AS pa, greatest(key_a, key_b) AS pb
+  FROM pairs WHERE dist <= 1 AND key_a <> key_b
+),
+cflag AS (
+  SELECT w.p, t.pa IS NOT NULL AS in_t
+  FROM cwp w LEFT JOIN ctruth t ON w.pa = t.pa AND w.pb = t.pb
+),
+cper AS (
+  SELECT least(floor(p * 10), 9)::INT AS bin,
+         count(*)::BIGINT AS n,
+         coalesce(sum(CASE WHEN in_t THEN 1 END), 0)::BIGINT AS n_true,
+         sum(floor(p * 1e6 + 0.5)::BIGINT)::BIGINT AS psum
+  FROM cflag GROUP BY 1
+)
+SELECT bin, n, n_true,
+  round(psum::DOUBLE / (n::DOUBLE * 1e6), 6) AS avg_pred,
+  round(n_true::DOUBLE / n::DOUBLE, 6) AS observed,
+  round(abs(psum::DOUBLE / (n::DOUBLE * 1e6) - n_true::DOUBLE / n::DOUBLE),
+        6) AS gap
+FROM cper"""
 
     # unsupervised resolve: posterior >= 0.5 edges -> transitive closure
     # labeled by min member (singletons self-labeled)

@@ -301,6 +301,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_swoosh",
         "er_blocking_scheme",
         "er_fusion_em",
+        "er_fs_calibration",
     ]
     # count() prunes columns: for entries whose cost lives in a value
     # column produced by an Arrow UDF, time with that column consumed

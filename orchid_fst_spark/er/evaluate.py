@@ -425,6 +425,78 @@ def weight_threshold_sweep(
     )
 
 
+def calibration_report(
+    scored: DataFrame,
+    truth: DataFrame,
+    prob_col: str = "posterior",
+    a: str = "key_a",
+    b: str = "key_b",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram of a probabilistic matcher: bin the pairs by
+    predicted match probability and compare the bin's mean prediction
+    with its OBSERVED truth rate (DeGroot & Fienberg's calibration
+    construction; the check a trained Fellegi-Sunter posterior owes you
+    before its 0.5 Bayes cut is trusted).  A well-calibrated model has
+    ``observed ≈ avg_pred`` in every bin; systematic gaps say the EM
+    fit's posteriors are over/under-confident and the three-region
+    bounds should come from the sweep instead.
+
+    One row per non-empty bin: ``(bin, n, n_true, avg_pred, observed,
+    gap)`` — ``bin`` = ``floor(p·bins)`` clamped to ``bins-1``,
+    ``gap = |avg_pred − observed|``.  Truth pairs missing from
+    ``scored`` are NOT counted (calibration is a property of the
+    scored set; recall lives in ``pair_metrics``).
+
+    Determinism: probabilities enter as 6dp values, are fixed to exact
+    MICRO-unit longs (``floor(p·1e6 + 0.5)``) before the per-bin sum,
+    so the mean is ONE IEEE division of exact integers; the observed
+    rate and gap are fixed-order expressions rounded 6dp.  The bin
+    index is the same IEEE ``floor(p·bins)`` in both engines.
+
+    Plan: one canonicalize + max aggregate per pair, one left join of
+    the truth flag, ONE bin aggregate — everything pair-sized.
+    """
+    wp = (
+        scored.select(
+            F.least(F.col(a), F.col(b)).alias("pa"),
+            F.greatest(F.col(a), F.col(b)).alias("pb"),
+            F.col(prob_col).alias("_p"),
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.max("_p").alias("_p"))
+    )
+    t = _canon_pairs(truth, a, b).withColumn("in_t", F.lit(1))
+    flagged = wp.join(t, ["pa", "pb"], "left")
+    bin_col = F.least(
+        F.floor(F.col("_p") * bins), F.lit(bins - 1)
+    ).cast("int")
+    per = (
+        flagged.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("in_t"), F.lit(0)).cast("long").alias("n_true"),
+            F.sum(
+                F.floor(F.col("_p") * 1e6 + 0.5).cast("long")
+            ).cast("long").alias("_psum"),
+        )
+    )
+    avg_raw = F.col("_psum").cast("double") / (
+        F.col("n").cast("double") * 1e6
+    )
+    obs_raw = F.col("n_true") / F.col("n")
+    return per.select(
+        "bin",
+        "n",
+        "n_true",
+        F.round(avg_raw, 6).alias("avg_pred"),
+        F.round(obs_raw, 6).alias("observed"),
+        F.round(F.abs(avg_raw - obs_raw), 6).alias("gap"),
+    )
+
+
 def ari_metrics(
     predicted: DataFrame,
     truth: DataFrame,

@@ -1873,3 +1873,65 @@ def test_fusion_em_unanimous(spark):
     out = {r.cluster: r for r in fusion_em(df, attrs=["val"]).collect()}
     assert out[1].value == "x" and out[1].support == 1.0
     assert out[2].value == "z" and out[2].support == 1.0
+
+
+def test_swoosh_coarsens_pairwise_cc(spark):
+    # structural pin of the paradigm ordering: round-1 (pairwise
+    # evidence) clusters always REFINE the merge-based fixpoint — every
+    # extra merge comes from evidence assembled across members
+    import random
+
+    from orchid_fst_spark.er.swoosh import swoosh_resolve
+
+    rng = random.Random(41)
+    recs = []
+    for i in range(16):
+        a = sorted({f"a{rng.randint(1, 5)}" for _ in range(rng.randint(1, 3))})
+        b = sorted({f"b{rng.randint(1, 5)}" for _ in range(rng.randint(1, 3))})
+        recs.append((f"r{i:02d}", a, b))
+    sdf = spark.createDataFrame(
+        recs, "id string, a_vals array<string>, b_vals array<string>"
+    )
+    one = {r.id: r.entity_id for r in swoosh_resolve(sdf, rounds=1).collect()}
+    full = {r.id: r.entity_id for r in swoosh_resolve(sdf).collect()}
+    # refinement: same round-1 entity ⇒ same fixpoint entity
+    for x, ex in one.items():
+        for y, ey in one.items():
+            if ex == ey:
+                assert full[x] == full[y], (x, y)
+
+
+def test_calibration_report_hand_math(spark):
+    from orchid_fst_spark.er.evaluate import calibration_report
+
+    scored = spark.createDataFrame(
+        [
+            ("a", "b", 0.95), ("a", "c", 0.9),   # bin 9: both true
+            ("d", "e", 0.55), ("d", "f", 0.5),   # bin 5: one true
+            ("g", "h", 0.04),                     # bin 0: false
+            ("i", "j", 1.0),                      # p=1.0 clamps to bin 9
+        ],
+        "key_a string, key_b string, posterior double",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "e"), ("i", "j")],
+        "key_a string, key_b string",
+    )
+    rows = {r.bin: r for r in calibration_report(scored, truth).collect()}
+    assert set(rows) == {0, 5, 9}
+    assert (rows[9].n, rows[9].n_true) == (3, 3)
+    assert rows[9].avg_pred == round((0.95 + 0.9 + 1.0) / 3, 6)
+    assert rows[9].observed == 1.0
+    assert (rows[5].n, rows[5].n_true) == (2, 1)
+    assert rows[5].observed == 0.5
+    assert rows[5].avg_pred == round((0.55 + 0.5) / 2, 6)
+    assert rows[5].gap == round(abs(0.525 - 0.5), 6)
+    assert (rows[0].n, rows[0].n_true, rows[0].observed) == (1, 0, 0.0)
+    # duplicate/reversed emissions collapse to the max probability
+    dup = scored.union(
+        spark.createDataFrame(
+            [("b", "a", 0.2)], "key_a string, key_b string, posterior double"
+        )
+    )
+    rows2 = {r.bin: r for r in calibration_report(dup, truth).collect()}
+    assert rows2[9].n == 3 and 2 not in rows2
