@@ -915,6 +915,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+#: memo for the shared eval-clusterings fixture (see _vdict_clusterings)
+_VDICT_CC_CACHE: dict = {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1261,8 +1265,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # predicted = components under k=2 edges, truth = components under
     # the stricter k=1 edges; singletons keep their own key as label
     def _vdict_clusterings(spark, sf):
+        # ~10 eval entries read the same two clusterings; each CC run is
+        # a multi-iteration loop, so memoize the lineage-cut frames per
+        # (application, sf) — checkpointed blocks die with the context,
+        # hence the applicationId in the key.  Module-level cache: the
+        # pytest contract re-invokes queries() per test and must still
+        # hit it.
+        _cache = _VDICT_CC_CACHE
+        ck = (spark.sparkContext.applicationId, sf)
+        if ck in _cache:
+            return _cache[ck]
         d = _vdict(spark, sf)
-        edges2 = fuzzy_self_pairs(d, "key", k=2, damerau=False)
+        edges2 = fuzzy_self_pairs(d, "key", k=2, damerau=False).localCheckpoint(
+            eager=True
+        )
 
         def assign(edges):
             return (
@@ -1273,13 +1289,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "left",
                 )
                 .withColumn("component", F.coalesce("component", "node"))
+                .localCheckpoint(eager=True)
             )
 
-        return (
+        out = (
             assign(edges2),
             assign(edges2.filter(F.col("dist") <= 1)),
             edges2,
         )
+        _cache[ck] = out
+        return out
 
     # clustering-level P/R/F1 via the contingency table (no implied-pair
     # materialization)
