@@ -1251,8 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both engines (cross-engine float recipe) so a near-0.9 tie cannot
     # flip membership (planted margins are >= 0.03).
     def _er_pair_metrics(spark, sf):
-        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        scored = score_pairs(cands)
+        cands, scored = _vdict_scored(spark, sf)
         pred = scored.filter(F.round(F.col("jw"), 6) >= 0.9).select(
             "key_a", "key_b"
         )
@@ -1264,6 +1263,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the two reference clusterings every clustering-eval entry reads:
     # predicted = components under k=2 edges, truth = components under
     # the stricter k=1 edges; singletons keep their own key as label
+    def _vdict_scored(spark, sf):
+        # shared FS-chain fixture: candidate pairs + scored features —
+        # recomputed by ~12 er_fs_* entries before this memo (same
+        # per-application cache discipline as _vdict_clusterings)
+        ck = (spark.sparkContext.applicationId, sf, "scored")
+        if ck in _VDICT_CC_CACHE:
+            return _VDICT_CC_CACHE[ck]
+        cands = fuzzy_self_pairs(
+            _vdict(spark, sf), "key", k=2, damerau=False
+        ).localCheckpoint(eager=True)
+        scored = score_pairs(cands).localCheckpoint(eager=True)
+        _VDICT_CC_CACHE[ck] = (cands, scored)
+        return cands, scored
+
     def _vdict_clusterings(spark, sf):
         # ~10 eval entries read the same two clusterings; each CC run is
         # a multi-iteration loop, so memoize the lineage-cut frames per
@@ -1409,9 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _er_fs_weights(spark, sf):
         from orchid_fst_spark.er.scoring import fs_match_weights
 
-        scored = score_pairs(
-            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        )
+        _, scored = _vdict_scored(spark, sf)
         return fs_match_weights(scored).select(
             "key_a",
             "key_b",
@@ -1433,9 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _er_fs_em(spark, sf):
         from orchid_fst_spark.er.scoring import fs_em_train
 
-        scored = score_pairs(
-            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        )
+        _, scored = _vdict_scored(spark, sf)
         _, patterns = fs_em_train(scored, iters=_FS_EM_ITERS)
         return patterns
 
@@ -1447,9 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _er_fs_leveled(spark, sf):
         from orchid_fst_spark.er.scoring import fs_em_train_leveled
 
-        scored = score_pairs(
-            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        )
+        _, scored = _vdict_scored(spark, sf)
         _, patterns = fs_em_train_leveled(scored, iters=_FS_EM_ITERS)
         return patterns
 
@@ -1464,9 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fs_leveled_weights,
         )
 
-        scored = score_pairs(
-            fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        )
+        _, scored = _vdict_scored(spark, sf)
         params, _ = fs_em_train_leveled(scored, iters=_FS_EM_ITERS)
         return fs_leveled_weights(scored, params).select(
             "key_a", "key_b", "lvl_dist", "lvl_jw", "lvl_jaccard",
@@ -1481,8 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _er_mutual_best(spark, sf):
         from orchid_fst_spark.er.scoring import mutual_best_pairs
 
-        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        return mutual_best_pairs(score_pairs(cands), score_col="jw")
+        _, scored = _vdict_scored(spark, sf)
+        return mutual_best_pairs(scored, score_col="jw")
 
     q["er_mutual_best"] = _er_mutual_best
 
@@ -1492,8 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _er_greedy_link(spark, sf):
         from orchid_fst_spark.er.scoring import greedy_one_to_one
 
-        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        return greedy_one_to_one(score_pairs(cands), score_col="jw")
+        _, scored = _vdict_scored(spark, sf)
+        return greedy_one_to_one(scored, score_col="jw")
 
     q["er_greedy_link"] = _er_greedy_link
 
@@ -1573,8 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from orchid_fst_spark.er.evaluate import weight_threshold_sweep
         from orchid_fst_spark.er.scoring import fs_match_weights
 
-        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        weighted = fs_match_weights(score_pairs(cands))
+        cands, scored = _vdict_scored(spark, sf)
+        weighted = fs_match_weights(scored)
         truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
         return weight_threshold_sweep(weighted, truth)
 
@@ -1629,8 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _er_fs_match_metrics(spark, sf):
         from orchid_fst_spark.er.scoring import fs_em_match_edges
 
-        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        scored = score_pairs(cands)
+        cands, scored = _vdict_scored(spark, sf)
         pred = fs_em_match_edges(scored, iters=_FS_EM_ITERS)
         truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
         return pair_metrics(pred, truth)
@@ -1648,8 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fs_em_train,
         )
 
-        cands = fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-        scored = score_pairs(cands)
+        cands, scored = _vdict_scored(spark, sf)
         feats = default_fs_features()
         _, patterns = fs_em_train(scored, feats, _FS_EM_ITERS)
         agree_cols = [f"agree_{n}" for n, _ in feats]
@@ -1668,11 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _er_fs_regions(spark, sf):
         from orchid_fst_spark.er.scoring import fs_match_weights, fs_three_way
 
-        weighted = fs_match_weights(
-            score_pairs(
-                fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-            )
-        )
+        weighted = fs_match_weights(_vdict_scored(spark, sf)[1])
         return (
             fs_three_way(weighted, upper=1.0, lower=-1.0)
             .groupBy("decision")
@@ -1689,11 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from orchid_fst_spark.er.scoring import fs_match_weights, fs_three_way
         from orchid_fst_spark.operators.sampling import deterministic_sample
 
-        weighted = fs_match_weights(
-            score_pairs(
-                fuzzy_self_pairs(_vdict(spark, sf), "key", k=2, damerau=False)
-            )
-        )
+        weighted = fs_match_weights(_vdict_scored(spark, sf)[1])
         review = fs_three_way(weighted, upper=1.0, lower=-1.0).filter(
             F.col("decision") == "review"
         )
