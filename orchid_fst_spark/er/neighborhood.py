@@ -424,6 +424,7 @@ def learn_blocking_scheme(
     b: str = "key_b",
     max_rules: int | None = None,
     block_cap: int = 1000,
+    conjunctions: int = 1,
 ) -> DataFrame:
     """Learn a disjunctive blocking scheme: greedily select the rule
     union that covers the labeled truth pairs at the least comparison
@@ -436,7 +437,12 @@ def learn_blocking_scheme(
 
     ``rules``: ``[(name, key_expression)]`` over the record frame
     (the ``blocking_cost`` convention; null keys opt the record out).
-    Returns one row per SELECTED rule, in selection order:
+    ``conjunctions=2`` adds every pairwise rule CONJUNCTION
+    (``"a&b"`` blocks on the concatenated key — both must agree; null
+    in either side opts out), the paper's actual scheme space:
+    a conjunction covers fewer truth pairs than either atom but at a
+    fraction of the comparisons, so the greedy cost tie-break often
+    prefers it.  Returns one row per SELECTED rule, in selection order:
     ``(step, rule, new_tp, cum_tp, comparisons, cum_comparisons,
     completeness)`` — ``comparisons`` is the rule's own exact pair
     count under the cap, ``completeness`` the cumulative recall of the
@@ -458,6 +464,29 @@ def learn_blocking_scheme(
     names = [n for n, _ in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names in {names}")
+
+    if conjunctions >= 2:
+        # the paper's actual scheme space: disjunctions of rule
+        # CONJUNCTIONS — a conjunction blocks on the concatenated key
+        # (both must agree), typically far cheaper than either atom
+        # alone; null in either side opts the record out (strict AND)
+        base = list(rules)
+        for i in range(len(base)):
+            for j in range(i + 1, len(base)):
+                ni, ei = base[i]
+                nj, ej = base[j]
+                ci = ei.cast("string")
+                cj = ej.cast("string")
+                rules = rules + [
+                    (
+                        f"{ni}&{nj}",
+                        F.when(
+                            ci.isNotNull() & cj.isNotNull(),
+                            F.concat(ci, F.lit("\x1f"), cj),
+                        ),
+                    )
+                ]
+        names = [n for n, _ in rules]
 
     keyed = (
         records.select(

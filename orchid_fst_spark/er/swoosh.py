@@ -126,6 +126,13 @@ def swoosh_resolve(
     growing merged arrays iteratively — state is the assignment frame
     only, lineage-cut per round.
 
+    Precondition: ``id_col`` values are unique (one row per record —
+    run ``exact_dedup``/``keep_latest`` first if a crawl re-delivers);
+    null/empty value arrays are fine — such a record simply generates
+    no evidence on that field and stays a singleton unless the other
+    field matches... which under the conjunctive rule it cannot, so it
+    stays a singleton.
+
     ``init_assignment``: an existing ``(id, entity_id)`` assignment to
     resume from — the INCREMENTAL form (the Swoosh paper's
     incrementality: ER(R1 ∪ R2) = ER(ER(R1) ∪ R2) under ICAR, the same

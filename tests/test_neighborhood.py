@@ -584,3 +584,47 @@ def test_learn_blocking_scheme_block_cap(spark):
     assert [(r.rule, r.new_tp, r.comparisons) for r in uncapped] == [
         ("first", 1, 45)
     ]
+
+
+def test_learn_blocking_scheme_conjunctions(spark):
+    from orchid_fst_spark.er.neighborhood import learn_blocking_scheme
+
+    # the truth pair agrees on BOTH first and last char; each atom also
+    # blocks a noisy crowd (extra comparisons), the conjunction blocks
+    # the pair alone — equal gain, cheaper -> conjunction wins step 1
+    recs = spark.createDataFrame(
+        [("axz",), ("ayz",), ("aq1",), ("aq2",), ("p1z",), ("p2z",)],
+        "id string",
+    )
+    truth = spark.createDataFrame(
+        [("axz", "ayz")], "key_a string, key_b string"
+    )
+    rules = [
+        ("first", F.expr("substring(id, 1, 1)")),
+        ("last", F.expr("substring(id, 3, 1)")),
+    ]
+    atoms = learn_blocking_scheme(recs, truth, rules, id_col="id").collect()
+    conj = learn_blocking_scheme(
+        recs, truth, rules, id_col="id", conjunctions=2
+    ).collect()
+    assert atoms[0].rule in ("first", "last")
+    assert conj[0].rule == "first&last"
+    assert conj[0].new_tp == 1
+    # conjunction comparisons: only (axz, ayz) share key 'a\x1fz' -> 1,
+    # vs 'first' which also pairs the aq crowd (4 records -> 6)
+    assert conj[0].comparisons < atoms[0].comparisons
+    # null in either side opts out: a record with a null-producing atom
+    nrecs = spark.createDataFrame([("ax",), ("ay",)], "id string")
+    nrules = [
+        ("first", F.expr("substring(id, 1, 1)")),
+        ("third", F.expr("CASE WHEN length(id) >= 3 THEN substring(id, 3, 1) END")),
+    ]
+    out = learn_blocking_scheme(
+        nrecs,
+        spark.createDataFrame([("ax", "ay")], "key_a string, key_b string"),
+        nrules,
+        id_col="id",
+        conjunctions=2,
+    ).collect()
+    # only 'first' can cover (third is null on both): conjunction absent
+    assert [r.rule for r in out] == ["first"]
