@@ -465,7 +465,9 @@ def learn_blocking_scheme(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names in {names}")
 
-    if conjunctions >= 2:
+    if conjunctions not in (1, 2):
+        raise ValueError("conjunctions: only depth 1 or 2 is supported")
+    if conjunctions == 2:
         # the paper's actual scheme space: disjunctions of rule
         # CONJUNCTIONS — a conjunction blocks on the concatenated key
         # (both must agree), typically far cheaper than either atom
