@@ -8,6 +8,8 @@ from .ingest import (
     fs_em_from_state,
     stream_fs_pattern_counts,
     stream_near_dedup,
+    stream_swoosh,
+    swoosh_from_state,
     stream_text_index,
 )
 from .joins import stream_interval_join
@@ -26,6 +28,8 @@ __all__ = [
     "stream_interval_join",
     "stream_near_dedup",
     "dedup_from_state",
+    "stream_swoosh",
+    "swoosh_from_state",
     "stream_fs_pattern_counts",
     "fs_em_from_state",
     "stream_text_index",

@@ -608,3 +608,137 @@ def fs_em_from_state(
     # re-read of the state parquet per downstream consumer
     merged_local = spark.createDataFrame(rows, merged.schema)
     return params, _em_report(merged_local, names, lam, m, u)
+
+
+def stream_swoosh(
+    records_stream: DataFrame,
+    state_dir: str,
+    id_col: str = "id",
+    a_col: str = "a_vals",
+    b_col: str = "b_vals",
+    max_rounds: int = 20,
+    value_cap: int | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a merge-based (Swoosh) entity assignment from a record
+    STREAM — the streaming twin of incremental ``swoosh_resolve`` and
+    the same incremental-build-frontier grounding as the rest of this
+    module (fst.h:16-22).  Under ICAR, ER(R1 ∪ R2) = ER(ER(R1) ∪ R2),
+    so folding each micro-batch into the prior assignment yields
+    EXACTLY the batch resolve over everything ingested (pinned by
+    test).
+
+    Per micro-batch (foreachBatch): the first batch runs
+    ``swoosh_resolve`` alone; later batches resume from the prior
+    snapshot via ``init_assignment`` — the prior corpus is already at
+    its fixpoint, so round 1 can only find edges involving a new
+    record, and the round count is the batch's evidence-chain depth.
+    Cost caveat (documented trade): each round re-derives entity value
+    sets from the ACCUMULATED record store (one explode + equi-join
+    per field — linear scans, no growing merged arrays), so a batch
+    pays a corpus-sized scan per round; a (batch + touched)-sized
+    variant would need per-entity materialized value sets.
+
+    State layout (idempotent per-batch overwrite, same discipline as
+    ``stream_near_dedup``): ``state_dir/records/batch_id=N``
+    accumulates records; ``state_dir/assign/batch_id=N`` holds the
+    full assignment snapshot as of batch N.  A retried batch reads
+    only state with batch_id < its own; re-delivered record ids are
+    dropped first-batch-wins.
+
+    Returns the started StreamingQuery.
+    """
+    from ..er.swoosh import swoosh_resolve
+
+    recs_path = os.path.join(state_dir, "records")
+    assign_path = os.path.join(state_dir, "assign")
+    ckpt = checkpoint_dir or os.path.join(state_dir, "_stream_ckpt")
+
+    def _prior_batches(batch_id: int) -> list[int]:
+        if not os.path.isdir(recs_path):
+            return []
+        out = []
+        for e in os.listdir(recs_path):
+            if e.startswith("batch_id="):
+                try:
+                    b = int(e.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b < batch_id:
+                    out.append(b)
+        return sorted(out)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("id"),
+                F.col(a_col).alias("a_vals"),
+                F.col(b_col).alias("b_vals"),
+            )
+            .dropDuplicates(["id"])
+            .persist()
+        )
+        batch_new = batch
+        try:
+            if not batch.take(1):
+                return
+            prior = _prior_batches(batch_id)
+            if prior:
+                old = spark.read.parquet(
+                    *[os.path.join(recs_path, f"batch_id={b}") for b in prior]
+                )
+                batch_new = batch.join(
+                    old.select("id"), "id", "left_anti"
+                ).persist()
+                prev_assign = spark.read.parquet(
+                    os.path.join(assign_path, f"batch_id={max(prior)}")
+                )
+                if not batch_new.take(1):
+                    assign = prev_assign
+                else:
+                    assign = swoosh_resolve(
+                        old.unionByName(batch_new),
+                        max_rounds=max_rounds,
+                        value_cap=value_cap,
+                        init_assignment=prev_assign,
+                    )
+            else:
+                assign = swoosh_resolve(
+                    batch_new, max_rounds=max_rounds, value_cap=value_cap
+                )
+            assign.write.mode("overwrite").parquet(
+                os.path.join(assign_path, f"batch_id={batch_id}")
+            )
+            batch_new.write.mode("overwrite").parquet(
+                os.path.join(recs_path, f"batch_id={batch_id}")
+            )
+        finally:
+            if batch_new is not batch:
+                batch_new.unpersist()
+            batch.unpersist()
+
+    return (
+        records_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def swoosh_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(id, entity_id) — the latest Swoosh assignment snapshot from the
+    accumulated ``stream_swoosh`` state; equals the batch
+    ``swoosh_resolve`` over every record ingested so far (pinned by
+    test)."""
+    assign_path = os.path.join(state_dir, "assign")
+    snaps = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(assign_path)
+        if e.startswith("batch_id=")
+    ]
+    if not snaps:
+        raise FileNotFoundError(f"no assignment snapshots under {assign_path}")
+    return spark.read.parquet(
+        os.path.join(assign_path, f"batch_id={max(snaps)}")
+    )

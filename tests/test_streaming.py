@@ -836,3 +836,61 @@ def test_fs_em_from_state_requires_counts(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         fs_em_from_state(spark, str(tmp_path / "nowhere"))
+
+
+def test_stream_swoosh_equals_batch(spark, tmp_path):
+    # drop 2 completes the novelty gadget across batches: r3 matches no
+    # single record pairwise but matches the drop-1 merged entity; it
+    # also re-delivers r1 (dropped, first batch wins) and brings a
+    # bridge record r0 with a SMALLER id that must relabel the entity
+    from orchid_fst_spark.er.swoosh import swoosh_resolve
+    from orchid_fst_spark.streaming.ingest import (
+        stream_swoosh,
+        swoosh_from_state,
+    )
+
+    schema = (
+        "id string, a_vals array<string>, b_vals array<string>"
+    )
+    d1 = [
+        ("r1", ["a1", "a9"], ["b1"]),
+        ("r2", ["a1"], ["b1", "b2"]),
+        ("r6", ["c1"], ["d1"]),
+        ("r7", ["c1"], ["d1"]),
+    ]
+    d2 = [
+        ("r3", ["a9"], ["b2"]),                    # 2-hop novelty
+        ("r1", ["a1", "a9"], ["b1"]),              # re-delivered id
+        ("r0", ["a1", "c1"], ["b1", "d1"]),        # bridges both entities
+    ]
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+
+    spark.createDataFrame(d1, schema).write.mode("overwrite").parquet(
+        os.path.join(src, "drop1")
+    )
+    q = stream_swoosh(
+        spark.readStream.schema(schema).parquet(src + "/*"), state
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(d2, schema).write.mode("overwrite").parquet(
+        os.path.join(src, "drop2")
+    )
+    q2 = stream_swoosh(
+        spark.readStream.schema(schema).parquet(src + "/*"), state
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.id, r.entity_id)
+        for r in swoosh_from_state(spark, state).collect()
+    }
+    all_recs = spark.createDataFrame(d1 + d2, schema).dropDuplicates(["id"])
+    exp = {
+        (r.id, r.entity_id) for r in swoosh_resolve(all_recs).collect()
+    }
+    assert got == exp
+    # the bridge collapses everything to one entity labeled r0
+    assert {e for _, e in got} == {"r0"}
