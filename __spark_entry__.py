@@ -1786,6 +1786,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_blocking_scheme"] = _er_blocking_scheme
 
+    # distance blocking on the numeric plane: all embedding pairs
+    # within Euclidean 0.01 of each other on the first two dimensions
+    # via 3x3-stencil grid cells (the spatial blocker no string scheme
+    # covers); the bounded brute-force join IS the completeness oracle
+    def _grid_near_pairs(spark, sf):
+        from orchid_fst_spark.er.neighborhood import grid_blocking_pairs
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id",
+            F.element_at("embedding", 1).alias("x"),
+            F.element_at("embedding", 2).alias("y"),
+        )
+        return grid_blocking_pairs(
+            emb, id_col="vec_id", radius=0.01
+        )
+
+    q["grid_near_pairs"] = _grid_near_pairs
+
     # Adjusted Rand Index over the same comp2-vs-comp1 clusterings the
     # other clustering-eval entries read: the chance-corrected agreement
     # number (all four pair-confusion cells, exact longs; the ratio is
@@ -4822,6 +4840,24 @@ SELECT step, rule, new_tp, cum_tp, comparisons, cum_comparisons,
        floor((cum_tp::DOUBLE / n_truth::DOUBLE) * 1e6 + 0.5) / 1e6
          AS completeness
 FROM lrows, lnt"""
+
+    # grid distance blocking: the naive cross join over the cast-to-
+    # DOUBLE plane is the completeness oracle (identical IEEE squared-
+    # distance arithmetic, sqrt only in the reported column)
+    o["grid_near_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(sqrt((a.embedding[1]::DOUBLE - b.embedding[1]::DOUBLE)
+             * (a.embedding[1]::DOUBLE - b.embedding[1]::DOUBLE)
+           + (a.embedding[2]::DOUBLE - b.embedding[2]::DOUBLE)
+             * (a.embedding[2]::DOUBLE - b.embedding[2]::DOUBLE)), 6)
+    AS dist
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND (a.embedding[1]::DOUBLE - b.embedding[1]::DOUBLE)
+      * (a.embedding[1]::DOUBLE - b.embedding[1]::DOUBLE)
+    + (a.embedding[2]::DOUBLE - b.embedding[2]::DOUBLE)
+      * (a.embedding[2]::DOUBLE - b.embedding[2]::DOUBLE)
+    <= 0.01 * 0.01"""
 
     # three-region decision counts over the literal FS weights
     o["er_fs_regions"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},

@@ -302,6 +302,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_blocking_scheme",
         "er_fusion_em",
         "er_fs_calibration",
+        "grid_near_pairs",
     ]
     # count() prunes columns: for entries whose cost lives in a value
     # column produced by an Arrow UDF, time with that column consumed

@@ -628,3 +628,49 @@ def test_learn_blocking_scheme_conjunctions(spark):
     ).collect()
     # only 'first' can cover (third is null on both): conjunction absent
     assert [r.rule for r in out] == ["first"]
+
+
+def test_grid_blocking_matches_brute_force(spark):
+    import math
+    import random
+
+    from orchid_fst_spark.er.neighborhood import grid_blocking_pairs
+
+    rng = random.Random(29)
+    pts = [(f"p{i:03d}", rng.uniform(-5, 5), rng.uniform(-5, 5))
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id string, x double, y double")
+    for radius, cell in ((0.8, None), (0.8, 1.5), (2.0, 2.0)):
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in grid_blocking_pairs(
+                df, id_col="id", radius=radius, cell=cell
+            ).collect()
+        }
+        exp = {}
+        for (ia, xa, ya) in pts:
+            for (ib, xb, yb) in pts:
+                if ia < ib:
+                    d = math.hypot(xa - xb, ya - yb)
+                    if d <= radius:
+                        exp[(ia, ib)] = round(d, 6)
+        assert got == exp, (radius, cell, len(got), len(exp))
+
+
+def test_grid_blocking_cap_and_guards(spark):
+    import pytest as _pytest
+
+    from orchid_fst_spark.er.neighborhood import grid_blocking_pairs
+
+    # 10 coincident points in one cell: cap purges the whole cell
+    df = spark.createDataFrame(
+        [(f"h{i}", 0.5, 0.5) for i in range(10)] + [("far", 9.0, 9.0)],
+        "id string, x double, y double",
+    )
+    assert grid_blocking_pairs(df, id_col="id", radius=1.0,
+                               cell_cap=5).count() == 0
+    assert grid_blocking_pairs(df, id_col="id", radius=1.0).count() == 45
+    with _pytest.raises(ValueError):
+        grid_blocking_pairs(df, id_col="id", radius=1.0, cell=0.5)
+    with _pytest.raises(ValueError):
+        grid_blocking_pairs(df, id_col="id", radius=0.0)
