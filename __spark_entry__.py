@@ -1944,6 +1944,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fused_values"] = _er_fused_values
 
+    # cohesion-gated repair of the comp2 clustering: clusters below
+    # 3/5 direct-edge density are re-formed by star (the density gate
+    # is an exact integer cross-multiplication); dense clusters pass
+    # through — the composition the cohesion report exists to feed
+    def _er_repaired_clusters(spark, sf):
+        from orchid_fst_spark.er.clustering import repair_clusters
+
+        pred, _, edges2 = _vdict_clusterings(spark, sf)
+        return repair_clusters(
+            pred,
+            edges2,
+            node_col="node",
+            cluster_col="component",
+            src="key_a",
+            dst="key_b",
+            min_density_num=3,
+            min_density_den=5,
+        )
+
+    q["er_repaired_clusters"] = _er_repaired_clusters
+
     # truth discovery over the same clustering: source-reliability EM
     # (3 iterations, integer micro-unit trust) — sources derived from
     # key length so the variant records form systematically deviant
@@ -4161,6 +4182,60 @@ SELECT n, n11, n10, n01, n00,
                    + (n11::DOUBLE + n01::DOUBLE) * (n01::DOUBLE + n00::DOUBLE))
              ELSE 1.0 END, 6) AS ari
 FROM cells"""
+
+    # cohesion-gated repair: density gate by integer cross-multiply,
+    # star re-forming restricted to the low-cluster subgraph (the star
+    # oracle's CTEs over redge); MATERIALIZED per the re-inlining
+    # lesson
+    o["er_repaired_clusters"] = f"""WITH RECURSIVE {_SQL_VDICT},{_SQL_CLUST},
+rasg AS MATERIALIZED (SELECT node, pc AS cluster FROM comp2),
+rsz AS (SELECT cluster, count(*)::BIGINT AS n FROM rasg GROUP BY 1),
+redge AS MATERIALIZED (
+  SELECT DISTINCT e.src AS s, e.dst AS d, a1.cluster
+  FROM edges2 e
+  JOIN rasg a1 ON a1.node = e.src
+  JOIN rasg a2 ON a2.node = e.dst AND a2.cluster = a1.cluster
+),
+rcoh AS (SELECT cluster, count(*)::BIGINT AS n_edges FROM redge GROUP BY 1),
+rlow AS MATERIALIZED (
+  SELECT z.cluster FROM rsz z JOIN rcoh c USING (cluster)
+  WHERE c.n_edges * 5 < 3 * (z.n * (z.n - 1) // 2)
+),
+lsym AS MATERIALIZED (
+  SELECT s AS v, d AS u FROM redge
+  WHERE cluster IN (SELECT cluster FROM rlow)
+  UNION ALL
+  SELECT d, s FROM redge WHERE cluster IN (SELECT cluster FROM rlow)
+),
+ldeg AS MATERIALIZED (
+  SELECT v AS node, count(*)::BIGINT AS deg FROM lsym GROUP BY v
+),
+lnb AS MATERIALIZED (
+  SELECT s.v, s.u, dv.deg AS deg_v, du.deg AS deg_u
+  FROM lsym s JOIN ldeg dv ON dv.node = s.v JOIN ldeg du ON du.node = s.u
+),
+lbest AS (SELECT v, deg_v, min(ROW(-deg_u, u)) AS bn FROM lnb
+          GROUP BY v, deg_v),
+lcent AS MATERIALIZED (SELECT v AS c FROM lbest WHERE ROW(-deg_v, v) < bn),
+latt AS (
+  SELECT lnb.v, min(ROW(-lnb.deg_u, lnb.u)) AS bc
+  FROM lnb JOIN lcent ON lnb.u = lcent.c GROUP BY lnb.v
+),
+lassign AS MATERIALIZED (
+  SELECT d.node,
+    CASE WHEN c.c IS NOT NULL THEN d.node
+         ELSE coalesce(a.bc[2], d.node) END AS center
+  FROM ldeg d
+  LEFT JOIN lcent c ON d.node = c.c
+  LEFT JOIN latt a ON d.node = a.v
+)
+SELECT r.node, r.cluster, FALSE AS repaired
+FROM rasg r WHERE r.cluster NOT IN (SELECT cluster FROM rlow)
+UNION ALL
+SELECT r.node, coalesce(l.center, r.node) AS cluster, TRUE AS repaired
+FROM rasg r
+JOIN rlow w ON r.cluster = w.cluster
+LEFT JOIN lassign l ON l.node = r.node"""
 
     # NMI + V-measure over comp2 vs comp1: the operator's exact
     # arithmetic — lnfix(s) = floor(ln(s)*1e9 + 0.5) per INTEGER group

@@ -371,6 +371,80 @@ def golden_records(
     return out.select(cluster_col, "n_members", "_rec.*")
 
 
+def repair_clusters(
+    assignment: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    src: str = "src",
+    dst: str = "dst",
+    min_density_num: int = 1,
+    min_density_den: int = 2,
+) -> DataFrame:
+    """Cohesion-gated cluster repair: clusters whose direct-edge density
+    falls below ``min_density_num/min_density_den`` are RE-FORMED with
+    ``star_clusters`` over their own intra-cluster edges; dense clusters
+    pass through untouched.  This operationalizes the Hassanzadeh
+    VLDB'09 reading of the density lens — transitive closure for the
+    near-cliques, a chaining-free policy exactly where chaining is the
+    diagnosed failure — without paying star formation over the whole
+    graph.
+
+    Returns ``(node, cluster, repaired)`` covering every assigned node:
+    kept nodes carry their original cluster id, repaired nodes their
+    star center (isolated-in-subgraph nodes become singletons labeled
+    by themselves).  The density gate is the exact integer
+    cross-multiplication ``n_edges · den < num · possible`` — float-
+    free, bit-identical in any engine; singletons and 2-member clusters
+    (density 1 by construction) are never repaired.
+
+    Precondition: cluster ids are drawn from member node ids (the
+    CC/star/pivot labeling convention) — repaired labels are member
+    node ids of LOW clusters, so they can never collide with a kept
+    cluster's label.
+
+    Plan shape: one ``cluster_cohesion`` pass (cluster-count-sized
+    after its endpoint joins), a broadcast-sized low-cluster semi-join
+    to split the assignment, star formation over the low subgraph only,
+    and a union — no iteration.
+    """
+    coh = cluster_cohesion(
+        assignment, edges, node_col=node_col, cluster_col=cluster_col,
+        src=src, dst=dst,
+    )
+    low = coh.filter(
+        F.col("n_edges") * F.lit(int(min_density_den))
+        < F.lit(int(min_density_num)) * F.col("possible")
+    ).select(F.col(cluster_col).alias("_lc"))
+    asg = assignment.select(
+        F.col(node_col).alias("node"), F.col(cluster_col).alias("cluster")
+    )
+    low_nodes = asg.join(low, asg["cluster"] == low["_lc"]).select(
+        "node", "cluster"
+    )
+    kept = asg.join(low, asg["cluster"] == low["_lc"], "left_anti").select(
+        "node", "cluster", F.lit(False).alias("repaired")
+    )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    intra = (
+        e.join(low_nodes.withColumnRenamed("node", "_s"), "_s")
+        .withColumnRenamed("cluster", "_ca")
+        .join(low_nodes.withColumnRenamed("node", "_d"), "_d")
+        .filter(F.col("_ca") == F.col("cluster"))
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+    )
+    stars = star_clusters(intra, src="src", dst="dst")
+    rebuilt = (
+        low_nodes.join(stars, "node", "left")
+        .select(
+            "node",
+            F.coalesce("center", "node").alias("cluster"),
+            F.lit(True).alias("repaired"),
+        )
+    )
+    return kept.unionByName(rebuilt)
+
+
 def fuse_attributes(
     df: DataFrame,
     cluster_col: str = "component",

@@ -1935,3 +1935,38 @@ def test_calibration_report_hand_math(spark):
     )
     rows2 = {r.bin: r for r in calibration_report(dup, truth).collect()}
     assert rows2[9].n == 3 and 2 not in rows2
+
+
+def test_repair_clusters_chain_vs_clique(spark):
+    from orchid_fst_spark.er.clustering import repair_clusters
+
+    # cluster 'a': 4-node chain a-b-c-d (3 edges of 6 possible, density
+    # 0.5); cluster 'x': triangle (density 1.0); singleton 's'
+    asg = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+         ("x", "x"), ("y", "x"), ("z", "x"), ("s", "s")],
+        "node string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("x", "y"), ("y", "z"), ("x", "z")],
+        "src string, dst string",
+    )
+    out = {r.node: r for r in repair_clusters(
+        asg, edges, min_density_num=3, min_density_den=5
+    ).collect()}
+    assert len(out) == 8
+    # clique + singleton untouched
+    assert all(not out[n].repaired and out[n].cluster == "x"
+               for n in ("x", "y", "z"))
+    assert not out["s"].repaired and out["s"].cluster == "s"
+    # chain re-formed by star: b is the (deg, id)-dominant center of
+    # {a, b, c}; d's only neighbor c is not a center -> singleton
+    assert all(out[n].repaired for n in ("a", "b", "c", "d"))
+    assert out["a"].cluster == out["b"].cluster == out["c"].cluster == "b"
+    assert out["d"].cluster == "d"
+    # exact-threshold density is KEPT (strict <): 0.5 at min 1/2
+    kept = {r.node: r for r in repair_clusters(
+        asg, edges, min_density_num=1, min_density_den=2
+    ).collect()}
+    assert all(not kept[n].repaired for n in ("a", "b", "c", "d"))
