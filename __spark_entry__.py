@@ -1665,6 +1665,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_fs_calibration"] = _er_fs_calibration
 
+    # the one-number summary of the same reliability diagram
+    def _er_fs_ece(spark, sf):
+        from orchid_fst_spark.er.evaluate import calibration_ece
+        from orchid_fst_spark.er.scoring import (
+            _flag_features,
+            default_fs_features,
+            fs_em_train,
+        )
+
+        cands, scored = _vdict_scored(spark, sf)
+        feats = default_fs_features()
+        _, patterns = fs_em_train(scored, feats, _FS_EM_ITERS)
+        agree_cols = [f"agree_{n}" for n, _ in feats]
+        withp = _flag_features(scored, feats).join(
+            F.broadcast(patterns.select(*agree_cols, "posterior")),
+            agree_cols,
+        )
+        truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
+        return calibration_ece(withp, truth, prob_col="posterior")
+
+    q["er_fs_ece"] = _er_fs_ece
+
     # the FS three-region decision (link / clerical review / nonlink)
     # with bounds read off the threshold sweep: one literal CASE, then
     # a 3-row count — the human-workload report
@@ -5021,6 +5043,47 @@ SELECT bin, n, n_true,
   round(abs(psum::DOUBLE / (n::DOUBLE * 1e6) - n_true::DOUBLE / n::DOUBLE),
         6) AS gap
 FROM cper"""
+
+    # ECE over the same bins: exact-integer |n_true·1e6 − psum| per
+    # bin, one division
+    o["er_fs_ece"] = f"""WITH {_SQL_VDICT},{_SQL_FS_FEAT},
+{_fs_em_sql(with_final=False)},
+cwp AS (
+  SELECT least(f.key_a, f.key_b) AS pa, greatest(f.key_a, f.key_b) AS pb,
+         max(e.posterior) AS p
+  FROM feat f
+  JOIN epost e ON f.agree_dist = e.agree_dist
+              AND f.agree_jw = e.agree_jw
+              AND f.agree_jaccard = e.agree_jaccard
+  WHERE least(f.key_a, f.key_b) < greatest(f.key_a, f.key_b)
+  GROUP BY 1, 2
+),
+ctruth AS (
+  SELECT DISTINCT least(key_a, key_b) AS pa, greatest(key_a, key_b) AS pb
+  FROM pairs WHERE dist <= 1 AND key_a <> key_b
+),
+cflag AS (
+  SELECT w.p, t.pa IS NOT NULL AS in_t
+  FROM cwp w LEFT JOIN ctruth t ON w.pa = t.pa AND w.pb = t.pb
+),
+cper AS (
+  SELECT least(floor(p * 10), 9)::INT AS bin,
+         count(*)::BIGINT AS n,
+         coalesce(sum(CASE WHEN in_t THEN 1 END), 0)::BIGINT AS nt,
+         sum(floor(p * 1e6 + 0.5)::BIGINT)::BIGINT AS ps
+  FROM cflag GROUP BY 1
+),
+cagg AS (
+  SELECT coalesce(sum(n), 0)::BIGINT AS n_pairs,
+         count(*)::BIGINT AS n_bins,
+         coalesce(sum(abs(nt * 1000000 - ps)), 0)::BIGINT AS num
+  FROM cper
+)
+SELECT n_pairs, n_bins,
+  round(CASE WHEN n_pairs > 0
+             THEN num::DOUBLE / (n_pairs::DOUBLE * 1e6)
+             ELSE 0.0 END, 6) AS ece
+FROM cagg"""
 
     # unsupervised resolve: posterior >= 0.5 edges -> transitive closure
     # labeled by min member (singletons self-labeled)

@@ -304,6 +304,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "er_fs_calibration",
         "grid_near_pairs",
         "er_repaired_clusters",
+        "er_fs_ece",
     ]
     # count() prunes columns: for entries whose cost lives in a value
     # column produced by an Arrow UDF, time with that column consumed

@@ -497,6 +497,70 @@ def calibration_report(
     )
 
 
+def calibration_ece(
+    scored: DataFrame,
+    truth: DataFrame,
+    prob_col: str = "posterior",
+    a: str = "key_a",
+    b: str = "key_b",
+    bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error: the one-number summary of
+    ``calibration_report`` — ``ECE = Σ_b (n_b/N)·|observed_b −
+    avg_pred_b|``, the bin-weighted mean reliability gap (Naeini,
+    Cooper & Hauskrecht AAAI'15 formalize the estimator).
+
+    One row: ``(n_pairs, n_bins, ece)``.  Exactly the report's
+    binning; the weighted gap telescopes to
+    ``Σ_b |n_true_b·10⁶ − psum_b| / (N·10⁶)`` — an exact-integer
+    numerator summed per bin (probabilities enter as the same
+    micro-unit longs), so the whole metric is ONE IEEE division,
+    rounded 6dp.  Convention: empty scored set → ece 0.0.
+    """
+    wp = (
+        scored.select(
+            F.least(F.col(a), F.col(b)).alias("pa"),
+            F.greatest(F.col(a), F.col(b)).alias("pb"),
+            F.col(prob_col).alias("_p"),
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.max("_p").alias("_p"))
+    )
+    t = _canon_pairs(truth, a, b).withColumn("in_t", F.lit(1))
+    flagged = wp.join(t, ["pa", "pb"], "left")
+    bin_col = F.least(
+        F.floor(F.col("_p") * bins), F.lit(bins - 1)
+    ).cast("int")
+    per = (
+        flagged.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("in_t"), F.lit(0)).cast("long").alias("nt"),
+            F.sum(
+                F.floor(F.col("_p") * 1e6 + 0.5).cast("long")
+            ).cast("long").alias("ps"),
+        )
+    )
+    one = per.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.coalesce(
+            F.sum(F.abs(F.col("nt") * F.lit(1_000_000) - F.col("ps"))),
+            F.lit(0),
+        ).cast("long").alias("_num"),
+    )
+    ece = F.when(
+        F.col("n_pairs") > 0,
+        F.col("_num").cast("double")
+        / (F.col("n_pairs").cast("double") * 1e6),
+    ).otherwise(F.lit(0.0))
+    return one.select(
+        "n_pairs", "n_bins", F.round(ece, 6).alias("ece")
+    )
+
+
 def ari_metrics(
     predicted: DataFrame,
     truth: DataFrame,

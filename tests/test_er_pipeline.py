@@ -1970,3 +1970,29 @@ def test_repair_clusters_chain_vs_clique(spark):
         asg, edges, min_density_num=1, min_density_den=2
     ).collect()}
     assert all(not kept[n].repaired for n in ("a", "b", "c", "d"))
+
+
+def test_calibration_ece_matches_report(spark):
+    from orchid_fst_spark.er.evaluate import calibration_ece, calibration_report
+
+    scored = spark.createDataFrame(
+        [("a", "b", 0.95), ("a", "c", 0.9), ("d", "e", 0.55),
+         ("d", "f", 0.5), ("g", "h", 0.04), ("i", "j", 1.0)],
+        "key_a string, key_b string, posterior double",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "e"), ("i", "j")],
+        "key_a string, key_b string",
+    )
+    rep = calibration_report(scored, truth).collect()
+    row = calibration_ece(scored, truth).collect()[0]
+    n = sum(r.n for r in rep)
+    exp = sum(r.n * r.gap for r in rep) / n
+    assert row.n_pairs == 6 and row.n_bins == len(rep)
+    assert abs(row.ece - exp) < 2e-6  # report gaps are 6dp-rounded
+    # perfectly calibrated degenerate: all-prob-1 and all-true -> 0
+    perfect = spark.createDataFrame(
+        [("a", "b", 1.0)], "key_a string, key_b string, posterior double"
+    )
+    ptruth = spark.createDataFrame([("a", "b")], "key_a string, key_b string")
+    assert calibration_ece(perfect, ptruth).collect()[0].ece == 0.0
