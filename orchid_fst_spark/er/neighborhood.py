@@ -448,12 +448,20 @@ def grid_blocking_pairs(
     distance (no sqrt in the filter).
     """
     if cell is None:
-        cell = radius
+        # strictly > radius by a relative epsilon: at cell == radius the
+        # stencil proof has zero margin — a pair whose per-axis gap is
+        # within ~1 ulp of exactly `cell` can have IEEE-rounded
+        # quotients x/cell floor into cells 2 apart while still passing
+        # the d² <= r² verify, and would be missed.  The epsilon buys
+        # back the margin without changing any cell index on real data.
+        cell = radius * (1.0 + 1e-12)
     if cell < radius:
         raise ValueError(
             f"cell ({cell}) must be >= radius ({radius}) for the 3x3 "
             "stencil to be complete"
         )
+    # explicit cell == radius is allowed but carries the zero-margin
+    # ulp caveat above; the default avoids it.
     if radius <= 0:
         raise ValueError("radius must be positive")
     pts = records.select(

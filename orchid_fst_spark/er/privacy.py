@@ -139,7 +139,9 @@ def clk_cardinalities(enc: DataFrame) -> DataFrame:
     )
 
 
-def clk_dice_pairs(enc: DataFrame, threshold: float = 0.6) -> DataFrame:
+def clk_dice_pairs(
+    enc: DataFrame, threshold: float = 0.6, max_ids: int | None = 100_000
+) -> DataFrame:
     """All encoding pairs with Dice >= threshold — the BRUTE verify.
 
     Dice(a, b) = 2*|a AND b| / (|a| + |b|), intersections summed over
@@ -155,6 +157,15 @@ def clk_dice_pairs(enc: DataFrame, threshold: float = 0.6) -> DataFrame:
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (0 would imply all pairs)")
+    if max_ids is not None:
+        n = enc.select("id").distinct().count()
+        if n > max_ids:
+            raise ValueError(
+                f"clk_dice_pairs is a brute-force oracle (dense encodings "
+                f"make the word join the full cross product): input has "
+                f"{n} ids > max_ids={max_ids}. Use clk_hlsh_pairs for "
+                f"scale, or pass max_ids=None to override."
+            )
     a = enc.select(
         F.col("id").alias("id_a"), "word", F.col("bits").alias("ba")
     )

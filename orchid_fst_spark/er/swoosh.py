@@ -173,9 +173,20 @@ def swoosh_resolve(
         )
     else:
         if rounds is None:
-            raise RuntimeError(
-                f"swoosh_resolve did not converge in {max_rounds} rounds"
+            # the loop only certifies convergence by OBSERVING an empty
+            # edge set, which a final productive round never does — so
+            # an input whose evidence-chain depth equals max_rounds
+            # exactly would be declared non-converged despite reaching
+            # the fixpoint.  One extra edge-derivation check settles it.
+            va = _entity_values(records, asg, id_col, a_col)
+            vb = _entity_values(records, asg, id_col, b_col)
+            edges = _overlap_pairs(va, value_cap).join(
+                _overlap_pairs(vb, value_cap), ["e1", "e2"]
             )
+            if not edges.isEmpty():
+                raise RuntimeError(
+                    f"swoosh_resolve did not converge in {max_rounds} rounds"
+                )
 
     return asg.select(F.col("_id").alias(id_col), F.col("ent").alias("entity_id"))
 

@@ -43,10 +43,31 @@ def cosine(a, b) -> Column:
 
 
 def cosine_threshold_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (brute-force; for bounded
-    inputs / correctness oracles).  Returns (id_a, id_b, cos)."""
+    inputs / correctness oracles).  Returns (id_a, id_b, cos).
+
+    BOUNDED-INPUT ORACLE TWIN — the O(n²) crossJoin is the point (it is
+    the completeness oracle for the LSH/IVF scale paths), so the input
+    is guarded: ``max_rows`` (default 100k ⇒ ≤5e9 candidate pairs)
+    triggers one count() and a loud ValueError over the bound.  Pass
+    ``max_rows=None`` to disable (you are then on record choosing the
+    quadratic path).  The shipped scale paths are ``cosine_lsh_pairs``
+    / ``ivf_topk`` / ``semantic_dedup``."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_threshold_pairs is a brute-force O(n²) oracle: "
+                f"input has {n} rows > max_rows={max_rows} "
+                f"(~{n * (n - 1) // 2:.2e} pairs). Use cosine_lsh_pairs/"
+                f"ivf_topk for scale, or pass max_rows=None to override."
+            )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -377,6 +377,21 @@ def test_cosine_threshold_pairs(spark, emb_df):
     assert got == exp
 
 
+def test_cosine_threshold_pairs_row_guard(spark, emb_df):
+    # brute-force oracle refuses unbounded inputs loudly...
+    with pytest.raises(ValueError, match="brute-force"):
+        cosine_threshold_pairs(
+            emb_df, "vec_id", "embedding", 0.8, max_rows=3
+        )
+    # ...and the override is explicit
+    assert (
+        cosine_threshold_pairs(
+            emb_df, "vec_id", "embedding", 0.8, max_rows=None
+        ).count()
+        > 0
+    )
+
+
 def test_cosine_topk(spark, emb_df):
     S = _np_cos()
     qdf = emb_df.filter(F.col("vec_id") < 3)

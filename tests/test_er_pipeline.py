@@ -986,6 +986,17 @@ def test_swoosh_three_hop_chain(spark):
     assert two == {frozenset({"r1", "r2", "r3"}), frozenset({"r4"})}
     three = _swoosh_partition(swoosh_resolve(recs, rounds=3).collect())
     assert three == full
+    # fixpoint reached EXACTLY at round max_rounds: the final
+    # productive round never observes an empty edge set, so the
+    # convergence certificate comes from the post-loop edge check —
+    # this input needs 3 productive rounds, so max_rounds=3 converges
+    bounded = _swoosh_partition(
+        swoosh_resolve(recs, max_rounds=3).collect()
+    )
+    assert bounded == full
+    # genuinely unconverged still raises loudly
+    with pytest.raises(RuntimeError, match="did not converge"):
+        swoosh_resolve(recs, max_rounds=2)
 
 
 def test_swoosh_matches_sequential_rswoosh(spark):

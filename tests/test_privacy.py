@@ -142,6 +142,16 @@ def test_clk_validation_errors(spark):
         clk_encode(df, "key", k_hashes=0)
     with pytest.raises(ValueError):
         clk_dice_pairs(clk_encode(df, "key"), threshold=0.0)
+    # brute-force oracle refuses unbounded inputs loudly; override is
+    # explicit (mirrors cosine_threshold_pairs' max_rows guard)
+    with pytest.raises(ValueError, match="brute-force"):
+        clk_dice_pairs(clk_encode(df, "key"), threshold=0.5, max_ids=1)
+    assert (
+        clk_dice_pairs(
+            clk_encode(df, "key"), threshold=0.5, max_ids=None
+        ).count()
+        >= 0
+    )
 
 
 def test_clk_plan_is_jvm_only(spark):
