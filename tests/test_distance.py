@@ -335,3 +335,65 @@ SELECT coalesce(sum(CASE WHEN best6 >= 900000
         (exp,) = con.execute(sql, [ta, wa, tb, wb]).fetchone()
         got = soft_tfidf(ta, wa, tb, wb)
         assert got == exp, (ta, wa, tb, wb, got, exp)
+
+
+def test_batch_jw_family_matches_scalar_kernels():
+    """The numpy padded-batch JW family (batch_jaro_winkler /
+    batch_monge_elkan / batch_soft_tfidf) must be BIT-IDENTICAL to the
+    scalar reference kernels — the 6dp/1e9 fixpoints and therefore the
+    DuckDB oracle hashes depend on it.  5k random pairs incl. unicode,
+    astral-plane chars, empties, and near-duplicates (the dedup-gather
+    path must still cover every distinct pair)."""
+    import numpy as np
+
+    from orchid_fst_spark.functions.similarity import (
+        batch_jaro_winkler,
+        batch_monge_elkan,
+        batch_soft_tfidf,
+        jaro_winkler,
+        monge_elkan,
+        soft_tfidf,
+    )
+
+    rng = random.Random(4242)
+    alpha = "abcdefgh /-éß\U0001F600"
+
+    def rnd(maxlen):
+        return "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, maxlen))
+        )
+
+    pairs = [(rnd(20), rnd(20)) for _ in range(3000)]
+    for _ in range(2000):  # near-duplicates: heavy pair collisions
+        a = rnd(15)
+        b = list(a)
+        for _ in range(rng.randint(0, 3)):
+            if b:
+                b[rng.randrange(len(b))] = rng.choice(alpha)
+        pairs.append((a, "".join(b)))
+    left = [p[0] for p in pairs]
+    right = [p[1] for p in pairs]
+
+    got = batch_jaro_winkler(left, right)
+    exp = np.array([jaro_winkler(a, b) for a, b in pairs])
+    assert (got == exp).all()
+
+    got = batch_monge_elkan(left, right)
+    exp = np.array([monge_elkan(a, b) for a, b in pairs])
+    assert (got == exp).all()
+
+    def mk():
+        toks = sorted({rnd(8).strip() or "x" for _ in range(rng.randint(0, 5))})
+        return toks, [round(rng.uniform(0.1, 5.0), 6) for _ in toks]
+
+    TA, WA, TB, WB = [], [], [], []
+    for _ in range(2000):
+        t1, w1 = mk()
+        t2, w2 = mk()
+        TA.append(t1), WA.append(w1), TB.append(t2), WB.append(w2)
+    TA.append(None), WA.append(None), TB.append(["a"]), WB.append([1.0])
+    got = batch_soft_tfidf(TA, WA, TB, WB)
+    exp = np.array(
+        [soft_tfidf(TA[i], WA[i], TB[i], WB[i]) for i in range(len(TA))]
+    )
+    assert (got == exp).all()
