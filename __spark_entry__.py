@@ -976,7 +976,7 @@ _NEVER_CHECKED_PRIORITY: list[str] = [
     "minhash_lsh_join_pairs", "near_dedup_incremental", "span_dedup",
     "jaccard_prefix_pairs", "canonical_url_dedup", "crawl_diff_status",
     # ANN
-    "ann_recall_ivf",
+    "ann_recall_ivf", "ann_block_pairs", "ann_block_quality",
     # search / persisted index
     "phrase_search_docs", "boolean_search_docs", "indexed_phrase_scan",
     "indexed_bm25_search", "indexed_fuzzy_term_scan",
@@ -2696,6 +2696,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_recall_ivf"] = _ann_recall_ivf
+
+    # embedding (ANN) blocking bridge into ER: records quantizing to
+    # the same IVF coarse cell (multi-probe 2, md5 hash-sample
+    # centroids — the ann_ivf cells recipe) become candidate pairs with
+    # shared-cell CBS weights, through block_graph's cap discipline
+    def _ann_block_pairs(spark, sf):
+        from orchid_fst_spark.er.neighborhood import ann_blocking_pairs
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return ann_blocking_pairs(
+            emb, id_col="vec_id", vec_col="embedding",
+            n_centroids=16, n_probe=2,
+        )
+
+    q["ann_block_pairs"] = _ann_block_pairs
+
+    # pair-completeness / reduction-ratio report of the ANN blocker vs
+    # the brute cosine>=0.4 truth (the margin-verified threshold the
+    # cosine_near_pairs entry uses)
+    def _ann_block_quality(spark, sf):
+        from orchid_fst_spark.er.evaluate import blocking_quality
+        from orchid_fst_spark.er.neighborhood import ann_blocking_pairs
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        cand = ann_blocking_pairs(
+            emb, id_col="vec_id", vec_col="embedding",
+            n_centroids=16, n_probe=2,
+        )
+        truth = cosine_threshold_pairs(emb, "vec_id", "embedding", 0.4)
+        return blocking_quality(cand, truth, emb, a="id_a", b="id_b")
+
+    q["ann_block_quality"] = _ann_block_quality
+
     q["cosine_near_pairs"] = lambda spark, sf: (
         cosine_threshold_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet"),
@@ -5987,6 +6020,65 @@ SELECT p.q_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
        p.n_exact::BIGINT AS n_exact,
        round(coalesce(h.n_hit, 0) / p.n_exact, 6) AS recall
 FROM perq p LEFT JOIN hits h ON h.q_id = p.q_id"""
+
+    # ANN blocking: the ann_ivf cells recipe with rn <= 2 (multi-probe
+    # redundant assignment) for EVERY record, block_graph's cell cap
+    # mirrored as a window filter, shared-cell pair counts as weight
+    _sql_ann_blocks = f"""{_sql_embX},
+cents AS (
+  SELECT vec_id FROM norms ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+),
+cdots AS (
+  SELECT a.vec_id AS id, b.vec_id AS cid,
+         sum(a.v * b.v) / (na.nrm * nb.nrm) AS ccos
+  FROM x a JOIN x b ON a.i = b.i AND b.vec_id IN (SELECT vec_id FROM cents)
+  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+blocks AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY round(ccos, 6) DESC, cid) AS rn
+    FROM cdots
+  ) WHERE rn <= 2
+),
+capped AS (
+  SELECT id, cell FROM (
+    SELECT id, cell, count(*) OVER (PARTITION BY cell) AS n FROM blocks
+  ) WHERE n <= 1000
+),
+annpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS weight
+  FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id
+  GROUP BY a.id, b.id
+)"""
+    o["ann_block_pairs"] = f"""WITH {_sql_ann_blocks}
+SELECT id_a, id_b, weight FROM annpairs"""
+
+    o["ann_block_quality"] = f"""WITH {_sql_ann_blocks},
+truth AS (
+  SELECT d.ida AS id_a, d.idb AS id_b
+  FROM (SELECT a2.vec_id AS ida, b2.vec_id AS idb, sum(a2.v * b2.v) AS dot
+        FROM x a2 JOIN x b2 ON a2.i = b2.i AND a2.vec_id < b2.vec_id
+        GROUP BY a2.vec_id, b2.vec_id) d
+  JOIN norms na ON na.vec_id = d.ida JOIN norms nb ON nb.vec_id = d.idb
+  WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM embeddings)::BIGINT AS n_records,
+    (SELECT count(*) FROM annpairs)::BIGINT AS n_candidates,
+    (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+    (SELECT count(*) FROM annpairs c JOIN truth t
+       ON c.id_a = t.id_a AND c.id_b = t.id_b)::BIGINT AS tp
+)
+SELECT n_records, n_candidates, n_truth, tp,
+  round(CASE WHEN n_truth > 0 THEN tp::DOUBLE / n_truth ELSE 1.0 END,
+        6) AS pair_completeness,
+  round(CASE WHEN n_records * (n_records - 1) // 2 > 0
+             THEN 1 - n_candidates::DOUBLE / (n_records * (n_records - 1) // 2)
+             ELSE 0.0 END, 6) AS reduction_ratio
+FROM m"""
 
     # PQ/ADC: the dists CTE (per-vector per-subspace distance to every
     # sub-centroid, rounded to 6 dp like the Spark fold) serves both the

@@ -518,6 +518,68 @@ def grid_blocking_pairs(
     )
 
 
+def ann_blocking_pairs(
+    records: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    n_centroids: int = 4096,
+    n_probe: int = 2,
+    centroid_algo: str = "hash",
+    seed: int = 42,
+    block_cap: int = 1000,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding (ANN) blocking — the modern-ER default blocker (e.g.
+    Splink / dedupe / DeepBlocker-style embedding blocking) the string
+    menu (phonetic / q-gram / suffix / grid) cannot express: records
+    whose EMBEDDINGS quantize to the same IVF coarse cell become
+    candidates, pairing semantic near-duplicates that share no token,
+    phoneme, or character n-gram.
+
+    Each record is assigned to its ``n_probe`` nearest centroids (the
+    multi-probe trick from IVF search, reused as REDUNDANT blocking:
+    a record near a cell boundary co-occurs with both sides, which is
+    what makes the scheme recall-robust — and shared-cell counts become
+    meta-blocking evidence).  Returns ``(id_a, id_b, weight)`` through
+    ``block_graph`` — weight counts shared cells, composable with
+    ``wep_prune`` / ``wnp_prune`` and the ``blocking_quality`` report.
+
+    Scale shape (100 TB): the centroid set is a hard ``n_centroids``
+    bound independent of corpus size (``ivf_centroids`` — hash-ordered
+    sample by default, trained k-means via ``centroid_algo='kmeans'``),
+    BROADCAST against the corpus, so scoring is map-side with no
+    shuffle of the n × n_centroids frame; the per-record top-``n_probe``
+    runs as a rank-limit window (WindowGroupLimit caps rows map-side
+    before its Exchange), and cells hotter than ``block_cap`` are
+    purged BEFORE the pair explode by ``block_graph``'s constant-memory
+    window-count idiom.  Tie-breaks mirror ``ivf_assign``/``ivf_topk``
+    exactly — ``(round(ccos, 6) DESC, cid ASC)`` — the cross-engine
+    determinism recipe, so the whole blocker is oracle-checkable.
+    """
+    from ..operators.similarity import cosine, ivf_centroids
+
+    if n_probe < 1:
+        raise ValueError("need n_probe >= 1")
+    src = records.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).filter(F.col("vec").isNotNull())
+    if cents is None:
+        cents = ivf_centroids(
+            records, id_col, vec_col, n_centroids,
+            algo=centroid_algo, seed=seed,
+        )
+    scored = src.join(F.broadcast(cents)).withColumn(
+        "ccos", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    blocks = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("id", F.col("cid").alias("block"))
+    )
+    return block_graph(blocks, block_cap=block_cap)
+
+
 def learn_blocking_scheme(
     records: DataFrame,
     truth: DataFrame,

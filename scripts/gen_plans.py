@@ -888,6 +888,28 @@ def main() -> None:
         at_most={"Exchange": 4},  # 4 mentions == TWO Exchange nodes
     )
 
+    from orchid_fst_spark.er.neighborhood import ann_blocking_pairs
+
+    add(
+        "ANN / embedding blocking (`er.neighborhood.ann_blocking_pairs`)",
+        "The IVF-cell blocker: the centroid set is a hard n_centroids "
+        "bound independent of corpus size and is BROADCAST against the "
+        "corpus (BroadcastNestedLoopJoin over the bounded side — never "
+        "a shuffle or an unbroadcast cartesian), scoring stays map-side "
+        "JVM (Catalyst aggregate fold, no Python), the per-record "
+        "top-n_probe is a rank-limit window (WindowGroupLimit caps "
+        "rows map-side before its Exchange), and block_graph purges "
+        "over-cap cells with the constant-memory window-count idiom "
+        "BEFORE the pair explode.",
+        ann_blocking_pairs(
+            emb, id_col="vec_id", vec_col="embedding",
+            n_centroids=16, n_probe=2,
+        ),
+        must_contain=("BroadcastNestedLoopJoin", "Window"),
+        must_not=("CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "MapInPandas"),
+    )
+
     from orchid_fst_spark.er.scoring import group_linkage, score_pairs
 
     docs_keys = docs.select(

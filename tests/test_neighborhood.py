@@ -674,3 +674,140 @@ def test_grid_blocking_cap_and_guards(spark):
         grid_blocking_pairs(df, id_col="id", radius=1.0, cell=0.5)
     with _pytest.raises(ValueError):
         grid_blocking_pairs(df, id_col="id", radius=0.0)
+
+
+# ---------------------------------------------------------------------------
+# ANN (embedding / IVF-cell) blocking
+# ---------------------------------------------------------------------------
+
+def _brute_ann_blocking(vecs, n_centroids, n_probe, cap=1000):
+    """Pure-python replica of ann_blocking_pairs: hash-sample centroids
+    (md5-ordered ids), 6dp-rounded cosine, (ccos desc, cid asc)
+    top-n_probe assignment, cell cap, shared-cell pair weights."""
+    import hashlib
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (na ** 0.5 * nb ** 0.5)
+
+    ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = ids[:n_centroids]
+    cells = collections.defaultdict(set)
+    for i, v in vecs.items():
+        scored = sorted(
+            ((round(cos(v, vecs[c]), 6), c) for c in cents),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for _, c in scored[:n_probe]:
+            cells[c].add(i)
+    w = collections.Counter()
+    for mem in cells.values():
+        if len(mem) > cap:
+            continue
+        for a, c in itertools.combinations(sorted(mem), 2):
+            w[(a, c)] += 1
+    return dict(w)
+
+
+def _ann_vecs():
+    import random
+
+    rng = random.Random(7)
+    vecs = {}
+    # 4 planted clusters of 5 near-identical vectors + 6 loners
+    for ci in range(4):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        for j in range(5):
+            vecs[ci * 5 + j] = [
+                x + rng.uniform(-0.01, 0.01) for x in base
+            ]
+    for k in range(6):
+        vecs[100 + k] = [rng.uniform(-1, 1) for _ in range(8)]
+    return vecs
+
+
+def test_ann_blocking_matches_brute_force(spark):
+    from orchid_fst_spark.er.neighborhood import ann_blocking_pairs
+
+    vecs = _ann_vecs()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "id long, vec array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in ann_blocking_pairs(
+            df, n_centroids=6, n_probe=2
+        ).collect()
+    }
+    exp = _brute_ann_blocking(vecs, n_centroids=6, n_probe=2)
+    assert got == exp
+
+
+def test_ann_blocking_multi_probe_pairs_planted_clusters(spark):
+    # every planted intra-cluster pair must survive blocking (the
+    # pair-completeness property the blocker exists for), and weights
+    # compose as meta-blocking CBS evidence
+    from orchid_fst_spark.er.neighborhood import ann_blocking_pairs
+
+    vecs = _ann_vecs()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "id long, vec array<double>",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ann_blocking_pairs(df, n_centroids=6, n_probe=2).collect()
+    }
+    for ci in range(4):
+        mem = [ci * 5 + j for j in range(5)]
+        for a, b in itertools.combinations(mem, 2):
+            assert (a, b) in pairs, f"lost intra-cluster pair {(a, b)}"
+
+
+def test_ann_blocking_cap_and_guards(spark):
+    from orchid_fst_spark.er.neighborhood import ann_blocking_pairs
+
+    vecs = _ann_vecs()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "id long, vec array<double>",
+    )
+    # cap=3 purges every cell bigger than 3 members before the explode
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in ann_blocking_pairs(
+            df, n_centroids=6, n_probe=2, block_cap=3
+        ).collect()
+    }
+    exp = _brute_ann_blocking(vecs, n_centroids=6, n_probe=2, cap=3)
+    assert got == exp
+    import pytest
+
+    with pytest.raises(ValueError, match="n_probe"):
+        ann_blocking_pairs(df, n_probe=0)
+
+
+def test_ann_blocking_plan_broadcasts_centroids(spark):
+    # the centroid join must be a broadcast (the bounded side), never a
+    # shuffle or nested-loop of the corpus against centroids
+    from orchid_fst_spark.er.neighborhood import ann_blocking_pairs
+
+    vecs = _ann_vecs()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "id long, vec array<double>",
+    )
+    plan = (
+        ann_blocking_pairs(df, n_centroids=6, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
