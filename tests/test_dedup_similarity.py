@@ -633,9 +633,11 @@ def test_decode_images_fake_path_and_real_gate(spark, docs_df):
         d = hashlib.sha256(text.encode()).digest()
         assert by_id[did].width == 16 + d[0] % 240
         assert by_id[did].height == 16 + d[1] % 240
-    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+    # non-media bytes fail loudly through BOTH real parsers, never
+    # silently (decoder='real' now actually decodes PNG/JPEG — see
+    # test_decode_images_real_png_jpeg)
+    with pytest.raises(Exception, match="(?i)image format"):
         decode_images(src, "doc_id", "payload", decoder="real").collect()
-    # non-media bytes through the real parser fail loudly, not silently
     with pytest.raises(Exception, match="(?i)image format"):
         decode_images(src, "doc_id", "payload", decoder="codec").collect()
 
@@ -698,6 +700,94 @@ def test_audio_and_resize_codec(spark):
         pix = parse_ppm(bytes(r.payload))  # re-encoded output is valid PPM
         assert pix.shape == (12, 16, 3)
         assert r.pix_sum == int(pix.astype(np.int64).sum())
+
+
+def test_decode_images_real_png_jpeg(spark):
+    # decoder='real' actually decodes compressed formats now: PNG
+    # losslessly (exact pix_sum) and baseline JPEG within PSNR
+    import numpy as np
+
+    from orchid_fst_spark.operators.imagecodecs import encode_jpeg, encode_png
+    from orchid_fst_spark.operators.multimodal import _image_pixels
+
+    rows = []
+    truth = {}
+    for did in range(6):
+        pix = _image_pixels(did, 24 + did, 16 + did)
+        truth[did * 2] = ("png", pix)
+        truth[did * 2 + 1] = ("jpeg", pix)
+        rows.append((did * 2, bytearray(encode_png(pix))))
+        rows.append((did * 2 + 1, bytearray(encode_jpeg(pix, quality=90))))
+    src = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.id: r
+        for r in decode_images(
+            src, "doc_id", "payload", decoder="real"
+        ).collect()
+    }
+    assert len(got) == 12
+    for rid, (fmt, pix) in truth.items():
+        r = got[rid]
+        assert (r.format, r.width, r.height) == (fmt, pix.shape[1], pix.shape[0])
+        if fmt == "png":
+            assert r.pix_sum == int(pix.astype(np.int64).sum())
+        else:  # lossy: per-pixel mean error small
+            n = pix.shape[0] * pix.shape[1] * 3
+            assert abs(r.pix_sum - int(pix.astype(np.int64).sum())) < 12 * n
+
+
+def test_resize_and_audio_and_frames_real(spark):
+    import numpy as np
+
+    from orchid_fst_spark.operators.imagecodecs import encode_png, parse_png
+    from orchid_fst_spark.operators.multimodal import (
+        _image_pixels,
+        extract_audio_features,
+        gen_audio_payloads,
+        gen_video_payloads,
+        resize_images,
+        sample_frames,
+    )
+
+    pix = _image_pixels(3, 40, 30)
+    src = spark.createDataFrame(
+        [(1, bytearray(encode_png(pix)))], "doc_id long, payload binary"
+    )
+    r = resize_images(src, "doc_id", "payload", 16, 12, decoder="real").collect()[0]
+    out = parse_png(bytes(r.payload))  # real path re-encodes lossless PNG
+    sx = (np.arange(16) * 40) // 16
+    sy = (np.arange(12) * 30) // 12
+    assert (out == pix[sy][:, sx]).all()
+    assert r.pix_sum == int(out.astype(np.int64).sum())
+
+    # WAV through decoder='real' == the codec path (the RIFF parser IS
+    # the real decoder); compressed audio raises naming soundfile
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(10)
+    wav = gen_audio_payloads(docs, "doc_id")
+    a = extract_audio_features(wav, "id", "payload", decoder="real").collect()
+    b = extract_audio_features(wav, "id", "payload", decoder="codec").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    mp3ish = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x03\x00garbage"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="soundfile|NotImplemented"):
+        extract_audio_features(
+            mp3ish, "doc_id", "payload", decoder="real"
+        ).collect()
+
+    # PVID through decoder='real' == codec; MP4 raises naming PyAV
+    vid = gen_video_payloads(docs, "doc_id")
+    fa = sample_frames(vid, "id", "payload", every_n=2, decoder="real").collect()
+    fb = sample_frames(vid, "id", "payload", every_n=2, decoder="codec").collect()
+    assert sorted(map(tuple, fa)) == sorted(map(tuple, fb))
+    mp4ish = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="PyAV|NotImplemented"):
+        sample_frames(mp4ish, "doc_id", "payload", decoder="real").collect()
 
 
 def test_lsh_planted_hot_bucket_caps(spark):
