@@ -219,7 +219,9 @@ def _me_tokens(s: str) -> list[str]:
 def _me_oneway(xs: list[str], ys: list[str]) -> float:
     """mean over x in xs of max over y in ys of JW(x, y).
 
-    Cross-engine determinism (the CLAUDE.md integer-fixpoint recipe):
+    Cross-engine determinism (integer-fixpoint recipe — round every
+    float to a scaled integer BEFORE any max/sum so both engines
+    compare identical ints):
     each inner JW is fixed to a 6dp integer via floor(jw*1e6 + 0.5) —
     jw itself is bit-exact vs DuckDB's jaro_winkler_similarity — the
     per-token maxima and their sum are exact integer arithmetic, and the

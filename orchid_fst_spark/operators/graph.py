@@ -31,7 +31,7 @@ Scale notes (100 TB of edges):
   ``er.clustering.connected_components``).
 
 Cross-engine determinism: ranks are double sums whose order Spark does
-not fix; the published recipe (CLAUDE.md) is followed — iterate
+not fix; the standard recipe is followed — iterate
 unrounded, round to ``round_dp`` only on output, like
 ``ranking.lm_doc_logprob``.  With iterations fixed and small, ulp noise
 stays ~1e-12 relative, far inside the 6-dp output grid.

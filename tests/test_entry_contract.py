@@ -83,3 +83,46 @@ def test_query_vs_oracle(spark, duck, sf, name):
         diff_a = [r for r in a if r not in set(map(tuple, b))][:5]
         diff_b = [r for r in b if r not in set(map(tuple, a))][:5]
         raise AssertionError(f"{name}: value mismatch; spark-only={diff_a} duck-only={diff_b}")
+
+
+def test_memoized_fixtures_are_lineage_cut_and_context_keyed(spark, sf):
+    """The entry-fixture memo contract (_VDICT_CC_CACHE): every cached
+    frame must be lineage-cut (localCheckpoint leaf — checkpoint blocks
+    die with the Spark context) and keyed by (applicationId, sf, ...)
+    so a future entry can never capture a dead checkpoint from another
+    context or scale factor."""
+    from pyspark.sql import DataFrame
+
+    entrymod._VDICT_CC_CACHE.clear()
+    qs = entrymod.queries()
+    # populate both memo families through entries that read them
+    qs["er_cluster_metrics"](spark, sf).collect()
+    qs["er_pair_metrics"](spark, sf).collect()
+    cache = entrymod._VDICT_CC_CACHE
+    assert cache, "memo never populated — fixture wiring changed?"
+    app_id = spark.sparkContext.applicationId
+    for key, value in cache.items():
+        assert isinstance(key, tuple) and key[0] == app_id, key
+        assert key[1] == sf, key
+        frames = value if isinstance(value, tuple) else (value,)
+        for f in frames:
+            if not isinstance(f, DataFrame):
+                continue
+            plan = f._jdf.queryExecution().optimizedPlan().toString()
+            # a localCheckpoint'd frame optimizes to a bare scan of the
+            # checkpointed RDD — any Join/Aggregate here means the
+            # lineage was NOT cut and the memo re-plans per consumer
+            assert "LogicalRDD" in plan, (key, plan)
+            assert "Join" not in plan and "Aggregate" not in plan, (
+                key, plan,
+            )
+    # memo hit: a fresh queries() invocation (the pytest contract)
+    # must return the SAME checkpointed objects, not rebuild
+    before = {k: tuple(map(id, v if isinstance(v, tuple) else (v,)))
+              for k, v in cache.items()}
+    qs2 = entrymod.queries()
+    qs2["er_cluster_metrics"](spark, sf).collect()
+    qs2["er_pair_metrics"](spark, sf).collect()
+    after = {k: tuple(map(id, v if isinstance(v, tuple) else (v,)))
+             for k, v in cache.items()}
+    assert before == after
