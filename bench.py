@@ -207,20 +207,33 @@ def bench_er_suite(spark, sf_dir: str, trials: int | None = None) -> dict:
     from orchid_fst_spark.er.swoosh import swoosh_resolve
 
     trials = trials or int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    wanted = set(
+        os.environ.get(
+            "SPARK_GRAFT_SUITE_OPS",
+            "swoosh_resolve,fs_em_match_edges,group_linkage,"
+            "learn_blocking_scheme",
+        ).split(",")
+    )
+    scale = int(os.environ.get("SPARK_GRAFT_SUITE_SCALE", str(SCALE)))
     ncores = spark.sparkContext.defaultParallelism
-    pages = _pages(spark, sf_dir, SCALE).repartition(ncores * 4).cache()
+    pages = _pages(spark, sf_dir, scale).repartition(ncores * 4).cache()
     n_pages = pages.count()
     norm = normalize_pages(pages).select("url", "norm_key")
+    need_pairs = wanted & {
+        "fs_em_match_edges", "group_linkage", "learn_blocking_scheme"
+    }
     cands = candidate_pairs(norm, k=2, damerau=True)
-    scored = score_pairs(cands).repartition(ncores * 4).cache()
-    n_scored = scored.count()
+    n_scored = None
+    if need_pairs:
+        scored = score_pairs(cands).repartition(ncores * 4).cache()
+        n_scored = scored.count()
 
     # Swoosh records: 3 per (doc, copy), conjunctively chained inside
     # the triple (r0-r1 via A0, r1-r2 via A1, all sharing B) and
     # isolated across triples — entity size stays 3 at every SCALE,
     # so the workload (value explode + overlap join + CC) is linear
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").crossJoin(
-        spark.range(SCALE).select(F.col("id").alias("copy"))
+        spark.range(scale).select(F.col("id").alias("copy"))
     )
     ck = F.concat_ws("#", "doc_id", "copy")
     base = docs.select(ck.alias("ck"))
@@ -239,10 +252,12 @@ def bench_er_suite(spark, sf_dir: str, trials: int | None = None) -> dict:
                 F.array(F.concat(F.lit("B-"), F.col("ck"))).alias("b_vals"),
             )
         )
-    recs = parts[0].unionAll(parts[1]).unionAll(parts[2]).repartition(
-        ncores * 4
-    ).cache()
-    n_recs = recs.count()
+    n_recs = None
+    if "swoosh_resolve" in wanted:
+        recs = parts[0].unionAll(parts[1]).unionAll(parts[2]).repartition(
+            ncores * 4
+        ).cache()
+        n_recs = recs.count()
 
     def timed(name, fn, workload):
         fn()  # warm-up (untimed)
@@ -259,51 +274,57 @@ def bench_er_suite(spark, sf_dir: str, trials: int | None = None) -> dict:
             "rows_per_sec": round(workload / best, 1) if best else None,
         }
 
-    out = {"pages": n_pages, "scored_pairs": n_scored, "scale": SCALE}
-    out["swoosh_resolve"] = timed(
-        "swoosh_resolve",
-        lambda: swoosh_resolve(recs, max_rounds=4).count(),
-        n_recs,
-    )
-    out["fs_em_match_edges"] = timed(
-        "fs_em_match_edges",
-        lambda: fs_em_match_edges(scored, iters=10).count(),
-        n_scored,
-    )
-    groups = (
-        norm.select(F.col("norm_key").alias("key"))
-        .distinct()
-        .withColumn(
-            "grp", (F.xxhash64("key") % 16).cast("string")
+    out = {"pages": n_pages, "scored_pairs": n_scored, "scale": scale}
+    if "swoosh_resolve" in wanted:
+        out["swoosh_resolve"] = timed(
+            "swoosh_resolve",
+            lambda: swoosh_resolve(recs, max_rounds=4).count(),
+            n_recs,
         )
-    ).cache()
-    groups.count()
-    out["group_linkage"] = timed(
-        "group_linkage",
-        lambda: group_linkage(
-            scored, groups, score_col="jw", rounds=2
-        ).count(),
-        n_scored,
-    )
+    if "fs_em_match_edges" in wanted:
+        out["fs_em_match_edges"] = timed(
+            "fs_em_match_edges",
+            lambda: fs_em_match_edges(scored, iters=10).count(),
+            n_scored,
+        )
+    if "group_linkage" in wanted:
+        groups = (
+            norm.select(F.col("norm_key").alias("key"))
+            .distinct()
+            .withColumn(
+                "grp", (F.xxhash64("key") % 16).cast("string")
+            )
+        ).cache()
+        groups.count()
+        out["group_linkage"] = timed(
+            "group_linkage",
+            lambda: group_linkage(
+                scored, groups, score_col="jw", rounds=2
+            ).count(),
+            n_scored,
+        )
+        groups.unpersist()
     rules = [
         ("prefix4", F.substring("key", 1, 4)),
         ("suffix4", F.substring(F.reverse("key"), 1, 4)),
         ("len", F.length("key").cast("string")),
         ("host", F.substring_index("key", "/", 1)),
     ]
-    truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
-    rec_keys = norm.select(F.col("norm_key").alias("key")).distinct()
-    out["learn_blocking_scheme"] = timed(
-        "learn_blocking_scheme",
-        lambda: learn_blocking_scheme(
-            rec_keys, truth, rules, id_col="key"
-        ).count(),
-        n_pages,
-    )
+    if "learn_blocking_scheme" in wanted:
+        truth = cands.filter(F.col("dist") <= 1).select("key_a", "key_b")
+        rec_keys = norm.select(F.col("norm_key").alias("key")).distinct()
+        out["learn_blocking_scheme"] = timed(
+            "learn_blocking_scheme",
+            lambda: learn_blocking_scheme(
+                rec_keys, truth, rules, id_col="key"
+            ).count(),
+            n_pages,
+        )
     pages.unpersist()
-    scored.unpersist()
-    recs.unpersist()
-    groups.unpersist()
+    if need_pairs:
+        scored.unpersist()
+    if "swoosh_resolve" in wanted:
+        recs.unpersist()
     return out
 
 
@@ -700,11 +721,20 @@ def run_er_suite_scaling(sf_dir: str) -> dict:
         "group_linkage",
         "learn_blocking_scheme",
     ):
+        if op not in results[lo]:
+            continue
         tp_lo = results[lo][op]["rows_per_sec"]
         tp_hi = results[hi][op]["rows_per_sec"]
+        t_lo, t_hi = results[lo][op]["sec"], results[hi][op]["sec"]
+        # Amdahl decomposition from the two points (t = w/cores + c):
+        # w = parallel work at 1 core, c = the serial driver component
+        # (plan compilation, broadcast builds, per-round checkpoint job
+        # floors) — constant in input, so efficiency rises with scale
+        w = (t_lo - t_hi) / (1.0 / int(lo) - 1.0 / int(hi))
+        c = t_lo - w / int(lo)
         ops[op] = {
-            "n_sec": results[lo][op]["sec"],
-            "four_n_sec": results[hi][op]["sec"],
+            "n_sec": t_lo,
+            "four_n_sec": t_hi,
             "n_rows_per_sec": tp_lo,
             "four_n_rows_per_sec": tp_hi,
             "workload_rows": results[hi][op]["workload_rows"],
@@ -712,6 +742,8 @@ def run_er_suite_scaling(sf_dir: str) -> dict:
             "scaling_efficiency": (
                 round((tp_hi / tp_lo) / ratio, 3) if tp_lo else None
             ),
+            "amdahl_parallel_sec": round(w, 3),
+            "amdahl_serial_sec": round(c, 3),
         }
     suite = {
         "cores_n": int(lo),
@@ -730,7 +762,8 @@ def _append_er_suite_md(s: dict) -> None:
     rows = "\n".join(
         f"| {op} | {d['n_sec']} | {d['four_n_sec']} | "
         f"{d['n_rows_per_sec']} | {d['four_n_rows_per_sec']} | "
-        f"{d['speedup_n_to_4n']}x | {d['scaling_efficiency']} |"
+        f"{d['speedup_n_to_4n']}x | {d['scaling_efficiency']} | "
+        f"{d['amdahl_parallel_sec']} | {d['amdahl_serial_sec']} |"
         for op, d in s["ops"].items()
     )
     section = f"""
@@ -745,8 +778,8 @@ once untimed — the headline scaling section above owns that stage; this
 section isolates the iterative operators.  Min-of-3 trials per point,
 fresh JVM per core count, AQE off, shuffle in /dev/shm.
 
-| operator | local[{n}] sec | local[{n4}] sec | N rows/s | 4N rows/s | speedup | efficiency |
-|---|---|---|---|---|---|---|
+| operator | local[{n}] sec | local[{n4}] sec | N rows/s | 4N rows/s | speedup | efficiency | fitted parallel work (s·core) | fitted serial (s) |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
