@@ -766,17 +766,22 @@ def _append_er_suite_md(s: dict) -> None:
         f"{d['amdahl_parallel_sec']} | {d['amdahl_serial_sec']} |"
         for op, d in s["ops"].items()
     )
+    sp = s.get("scored_pairs")
+    sp_line = (
+        f"{sp:,} scored candidate pairs; " if sp is not None else ""
+    )
+    trials_env = os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")
     section = f"""
 
 ## Iterative-ER-suite scaling (local[{n}] vs local[{n4}], x{s['scale']} corpus)
 
 The round-4 ER family timed on a non-toy input: {s['pages']:,} pages,
-{s['scored_pairs']:,} scored candidate pairs; Swoosh runs over
+{sp_line}Swoosh runs over
 {s['pages']:,} conjunctively-chained records (entities stay size 3 at
 every scale).  Fixtures (candidate generation + scoring) materialize
 once untimed — the headline scaling section above owns that stage; this
-section isolates the iterative operators.  Min-of-3 trials per point,
-fresh JVM per core count, AQE off, shuffle in /dev/shm.
+section isolates the iterative operators.  Min-of-{trials_env} trials
+per point, fresh JVM per core count, AQE off, shuffle in /dev/shm.
 
 | operator | local[{n}] sec | local[{n4}] sec | N rows/s | 4N rows/s | speedup | efficiency | fitted parallel work (s·core) | fitted serial (s) |
 |---|---|---|---|---|---|---|---|---|
