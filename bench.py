@@ -394,6 +394,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
         "fuzzy_term_search",
         "hybrid_search_rrf",
         "ann_recall_ivf",
+        "ann_block_pairs",
+        "ann_block_quality",
         "er_pair_metrics",
         "bpe_merges",
         "snm_pairs",
